@@ -1,0 +1,93 @@
+"""Engine index-page link extractor + last-page probe (SURVEY.md M1, S3).
+
+Semantics of the reference extractor (reference ``crawler/article.py:438-459``
+and twin ``crawler/article_index.py:138-166``): direct div children of the
+``r-list-container action-bar-margin bbs-screen`` container, in DOM order,
+stopping at the first ``r-list-sep`` (pinned-post separator); each ``r-ent``
+contributes its first anchor's href (divs without an anchor are deleted
+posts and are skipped); ``web_id`` is the href basename minus ``.html``.
+
+Batch entry point :func:`parse_index_batch` expands one index page row into
+N discovered-link rows (the frontier-growth step).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..htmlmini import parse_html
+
+PTT_URL = "https://www.ptt.cc"
+_LAST_PAGE = re.compile(r'href="/bbs/\w+/index(\d+).html">&lsaquo;')
+_INDEX_NO = re.compile(r"/index(\d+)\.html")
+_HTML_EXT = re.compile(r"\.html")
+
+
+def extract_index_links(html_text: str, index_no: int) -> list[tuple[str, str, int]]:
+    """[(web_id, absolute link, index_no)] in page DOM order."""
+    root = parse_html(html_text)
+    container = root.find("div", class_="r-list-container action-bar-margin bbs-screen")
+    if container is None:
+        return []
+    links = []
+    for div in container.find_children("div"):
+        cls = div.classes
+        if "r-list-sep" in cls:
+            break
+        if "r-ent" not in cls:
+            continue
+        anchor = div.find("a")
+        if anchor is None or "href" not in anchor.attrs:
+            continue  # deleted post (href-404 path)
+        href = anchor.attrs["href"]
+        web_id = _HTML_EXT.sub("", href.split("/")[-1])
+        links.append((web_id, PTT_URL + href, index_no))
+    return links
+
+
+def get_last_page(index_html_text: str) -> int:
+    """'‹' pagination anchor regex over raw HTML, +1; missing → 1
+    (reference crawler/article.py:397-402)."""
+    m = _LAST_PAGE.search(index_html_text)
+    return 1 if m is None else int(m.group(1)) + 1
+
+
+def index_no_of(url: str) -> int:
+    m = _INDEX_NO.search(url)
+    return int(m.group(1)) if m else -1
+
+
+def parse_index_batch(batch: pa.Table) -> pa.Table:
+    """map_batches fn: index-page rows → discovered article-link rows.
+
+    Input needs columns (url, html); output one row per extracted link:
+    (web_id, url, board, index_no, src_url).
+    """
+    urls = batch["url"].to_pylist()
+    htmls = batch["html"].to_pylist()
+
+    web_ids, links, boards, index_nos, src_urls = [], [], [], [], []
+    for url, html in zip(urls, htmls):
+        if html is None:
+            continue
+        m = re.search(r"/bbs/([^/]+)/", url)
+        board = m.group(1) if m else ""
+        idx = index_no_of(url)
+        for web_id, link, _ in extract_index_links(html.decode("utf-8"), idx):
+            web_ids.append(web_id)
+            links.append(link)
+            boards.append(board)
+            index_nos.append(idx)
+            src_urls.append(url)
+
+    return pa.Table.from_pydict(
+        {
+            "web_id": pa.array(web_ids, pa.string()),
+            "url": pa.array(links, pa.string()),
+            "board": pa.array(boards, pa.string()),
+            "index_no": pa.array(index_nos, pa.int32()),
+            "src_url": pa.array(src_urls, pa.string()),
+        }
+    )

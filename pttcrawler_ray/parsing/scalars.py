@@ -1,0 +1,44 @@
+"""Scalar normalizers used by the sink/export stages (SURVEY.md M3–M5).
+
+Reference quirks preserved as spec:
+
+- :func:`parse_push_ipdatetime` parses the push time with ``"%m/%d %M:%S"``
+  — minute:second, not hour:minute — exactly as the reference does
+  (reference ``crawler/article.py:119-132``; SURVEY.md M4 'bug as spec').
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+
+_AUTHOR = re.compile(r"([\S]*)\D\((.*)\)")
+_PUSH_IPDT = re.compile(r"([\d.]*)\W?(\d{2}\/\d{2}\ \d{2}:\d{2})")
+
+
+def parse_author(author):
+    """Username without the nickname — reference crawler/article.py:134-140."""
+    if author:
+        m = _AUTHOR.search(author)
+        if m:
+            return m.group(1)
+    return author
+
+
+def parse_push_ipdatetime(push_ipdatetime):
+    """(push_ip, push_datetime|None) — reference crawler/article.py:119-132."""
+    if push_ipdatetime:
+        m = _PUSH_IPDT.search(push_ipdatetime)
+        if m:
+            push_ip = m.group(1)
+            push_dt = datetime.strptime(m.group(2), "%m/%d %M:%S")
+            return push_ip, push_dt
+    return None, None
+
+
+def parse_article_date(date_str):
+    """'%a %b %d %H:%M:%S %Y' → datetime | None (reference crawler/article.py:170-172)."""
+    try:
+        return datetime.strptime(date_str, "%a %b %d %H:%M:%S %Y")
+    except (TypeError, ValueError):
+        return None
