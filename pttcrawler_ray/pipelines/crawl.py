@@ -1,0 +1,379 @@
+"""The crawl pipeline — frontier shards feeding a streaming Ray Data round.
+
+Architecture (SURVEY.md §7.1(5), §7.4 'frontier actors feeding a streaming
+Dataset'): Ray Data pipelines are pull-based while a crawl is iterative
+(fetching discovers more work), so the driver runs ROUNDS.  Each round:
+
+1. every frontier shard releases its politeness budget of urls
+   (``FrontierShard.pop_round`` — priority order, index barrier in strict
+   mode);
+2. the released urls become a Dataset → ``map_batches(FetchPages)`` (actor
+   pool holding the hash-bucketed pages index) → ``map_batches(ProcessPages)``
+   (actor pool that parses article pages and routes links extracted from
+   index pages back to the owning shards, acking the index barrier);
+3. parsed articles are appended to a per-round Parquet partition (written to
+   a temp dir and atomically renamed — idempotent, resumable sink), and the
+   round's released urls land in the ``seen`` Parquet table;
+4. per-round lineage (popped/enqueued/dedup-hit/depth per shard) goes into
+   the run manifest; shard snapshots checkpoint the frontier.
+
+A round models one politeness epoch (``round_seconds``): a lane never
+releases more than ``round_seconds / delay`` urls per round, so politeness
+is enforced by scheduling, not by sleeping workers (the reference sleeps —
+crawler/article.py:480,512 — which is why it tops out at 0.5 url/s).
+
+Scale notes: shard count spreads lanes across the cluster; url→shard
+routing happens inside the processing actors (no driver materialization of
+discoveries); the pages index is bucket-partitioned so fetch actors touch
+only their buckets; articles/seen sinks are partitioned by round and board.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from .. import schemas
+from ..parsing.article import parse_articles_batch
+from ..parsing.index import get_last_page, parse_index_batch
+from ..sources.pages import FetchPages, PagesStore
+from ..state.frontier import FrontierShard, lane_of, shard_of
+
+PTT_URL = "https://www.ptt.cc"
+
+
+@dataclass
+class CrawlConfig:
+    num_shards: int = 4
+    round_seconds: float = 30.0
+    default_delay_s: float = 2.0
+    strict_order: bool = True
+    record_order: bool = False
+    use_cuckoo: bool = False
+    split: dict = field(default_factory=dict)  # site → sublane count (hot-site skew)
+    seen_capacity: int = 1_000_000
+    fetch_concurrency: int = 2
+    process_concurrency: int = 2
+    batch_size: int = 256
+    checkpoint_every: int = 0  # rounds between frontier snapshots; 0 = final only
+    max_rounds: int = 100_000
+    # 'rayds': each round is a streaming Ray Data pipeline (best for big
+    # rounds — throughput mode).  'actors': a persistent pool of workers
+    # running the SAME stage classes, avoiding per-round pool spin-up (best
+    # for the fine-grained rounds strict ordering implies).  'auto' picks
+    # 'actors' when strict_order else 'rayds'.
+    engine: str = "auto"
+
+
+class ProcessPages:
+    """map_batches actor: fetched page rows → parsed article rows.
+
+    Index pages: extract links (engine extractor, reference semantics M1),
+    route them to their owning frontier shards, and ack the index barrier.
+    Article pages: parse (M2) into ARTICLES-schema rows, including error
+    rows for 404s and parse failures.
+    """
+
+    def __init__(self, shard_handles: list, num_shards: int, split: dict):
+        self.shards = shard_handles
+        self.num_shards = num_shards
+        self.split = split
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        is_index = pc.equal(batch["kind"], "index")
+        index_rows = batch.filter(is_index)
+        article_rows = batch.filter(pc.invert(is_index))
+
+        pending = []
+        if index_rows.num_rows:
+            links = parse_index_batch(index_rows)  # skips 404s (html null)
+            adds: dict[int, dict[str, list]] = {}
+            for i in range(links.num_rows):
+                url = links["url"][i].as_py()
+                board = links["board"][i].as_py()
+                idx = links["index_no"][i].as_py()
+                lane = lane_of(url, board, self.split)
+                s = shard_of(lane, self.num_shards)
+                d = adds.setdefault(s, {"url": [], "board": [], "kind": [], "index_no": []})
+                d["url"].append(url); d["board"].append(board)
+                d["kind"].append("article"); d["index_no"].append(idx)
+
+            acks: dict[int, list[str]] = {}
+            for i in range(index_rows.num_rows):
+                lane = index_rows["lane"][i].as_py()
+                acks.setdefault(shard_of(lane, self.num_shards), []).append(lane)
+
+            for s in set(adds) | set(acks):
+                d = adds.get(s)
+                tbl = (pa.table({"url": pa.array(d["url"], pa.string()),
+                                 "board": pa.array(d["board"], pa.string()),
+                                 "kind": pa.array(d["kind"], pa.string()),
+                                 "index_no": pa.array(d["index_no"], pa.int32())})
+                       if d else pa.table({"url": pa.array([], pa.string()),
+                                           "board": pa.array([], pa.string()),
+                                           "kind": pa.array([], pa.string()),
+                                           "index_no": pa.array([], pa.int32())}))
+                pending.append(self.shards[s].add.remote(tbl, acks=acks.get(s, [])))
+
+        if article_rows.num_rows:
+            out = parse_articles_batch(article_rows)
+        else:
+            out = pa.Table.from_pylist([], schema=schemas.ARTICLES)
+
+        if pending:
+            ray.get(pending)  # links + acks delivered before the batch completes
+        return out
+
+
+class CrawlWorker:
+    """Persistent fetch+process worker (the 'actors' engine): composes the
+    same two stage callables map_batches uses, kept alive across rounds so
+    the pages bucket index is built once per worker (SURVEY.md §7.4 —
+    raw actors only where per-round Dataset overhead would dominate)."""
+
+    def __init__(self, corpus_dir: str, shard_handles: list, num_shards: int, split: dict):
+        self.fetch = FetchPages(corpus_dir)
+        self.process = ProcessPages(shard_handles, num_shards, split)
+
+    def run(self, batch: pa.Table) -> pa.Table:
+        return self.process(self.fetch(batch))
+
+
+def _seed_rows(store: PagesStore, boards: list[str]) -> pa.Table:
+    urls, bs, kinds, idxs = [], [], [], []
+    for board in boards:
+        probe_url = f"{PTT_URL}/bbs/{board}/index.html"
+        handles = store.lookup_newest([probe_url])
+        page = store.take(handles)
+        html = page["html"][0].as_py()
+        last = get_last_page(html.decode("utf-8")) if html is not None else 1
+        for n in range(last, 0, -1):  # newest first — reference crawl order O1
+            urls.append(f"{PTT_URL}/bbs/{board}/index{n}.html")
+            bs.append(board); kinds.append("index"); idxs.append(n)
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "board": pa.array(bs, pa.string()),
+                     "kind": pa.array(kinds, pa.string()),
+                     "index_no": pa.array(idxs, pa.int32())})
+
+
+def _route_add(shards, table: pa.Table, num_shards: int, split: dict, force=False):
+    lanes = [lane_of(u, b, split) for u, b in
+             zip(table["url"].to_pylist(), table["board"].to_pylist())]
+    owners = [shard_of(ln, num_shards) for ln in lanes]
+    refs = []
+    for s in range(num_shards):
+        mask = pa.array([o == s for o in owners])
+        sub = table.filter(mask)
+        if sub.num_rows:
+            refs.append(shards[s].add.remote(sub, force=force))
+    return ray.get(refs)
+
+
+def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
+              resume: bool = False) -> dict:
+    """Run the crawl to frontier exhaustion; returns the run summary manifest."""
+    cfg = cfg or CrawlConfig()
+    t0 = time.monotonic()
+
+    store = PagesStore(corpus_dir)
+    import pyarrow.parquet as pq
+
+    seed_tbl = pq.read_table(os.path.join(corpus_dir, "seed_boards.parquet"))
+    boards = seed_tbl["board"].to_pylist()
+    delays = seed_tbl["politeness_delay_s"].to_pylist()
+    site_delays = {f"www.ptt.cc/{b}": d for b, d in zip(boards, delays)}
+
+    ShardActor = ray.remote(FrontierShard)
+    shards = [
+        ShardActor.options(num_cpus=0.25).remote(
+            shard_id=s, num_shards=cfg.num_shards,
+            round_seconds=cfg.round_seconds, default_delay_s=cfg.default_delay_s,
+            site_delays=site_delays, split=cfg.split,
+            seen_capacity=cfg.seen_capacity, use_cuckoo=cfg.use_cuckoo,
+            strict_order=cfg.strict_order, record_order=cfg.record_order,
+        )
+        for s in range(cfg.num_shards)
+    ]
+
+    ckpt_dir = os.path.join(out_dir, "checkpoint")
+    rounds_log: list[dict] = []
+    start_round = 0
+    if resume and os.path.exists(os.path.join(ckpt_dir, "run.json")):
+        with open(os.path.join(ckpt_dir, "run.json")) as f:
+            run_meta = json.load(f)
+        ray.get([shards[s].restore.remote(ckpt_dir) for s in range(cfg.num_shards)])
+        start_round = run_meta["completed_rounds"]
+        rounds_log = run_meta.get("rounds_log", [])
+        # discard partitions past the checkpoint (they will be re-crawled)
+        for sub in ("articles", "seen"):
+            base = os.path.join(out_dir, sub)
+            if os.path.isdir(base):
+                for name in os.listdir(base):
+                    if name.startswith("round=") and int(name.split("=")[1]) > start_round:
+                        shutil.rmtree(os.path.join(base, name))
+                    elif name.startswith(".tmp"):
+                        shutil.rmtree(os.path.join(base, name))
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        for sub in ("articles", "seen"):
+            sp = os.path.join(out_dir, sub)
+            if os.path.isdir(sp):
+                shutil.rmtree(sp)
+        seeds = _seed_rows(store, boards)
+        _route_add(shards, seeds, cfg.num_shards, cfg.split)
+
+    engine = cfg.engine
+    if engine == "auto":
+        engine = "actors" if cfg.strict_order else "rayds"
+    workers = []
+    if engine == "actors":
+        WorkerActor = ray.remote(CrawlWorker)
+        n_workers = max(cfg.fetch_concurrency, cfg.process_concurrency)
+        workers = [
+            WorkerActor.options(num_cpus=1).remote(
+                corpus_dir=corpus_dir, shard_handles=shards,
+                num_shards=cfg.num_shards, split=cfg.split)
+            for _ in range(n_workers)
+        ]
+
+    from ..util.canonical import canonicalize_url
+    from ..util.hashing import hash_u64_many
+
+    round_no = start_round
+    total_popped = 0
+    stalls = 0
+    while round_no < cfg.max_rounds:
+        popped = ray.get([s.pop_round.remote() for s in shards])
+        popped = [t for t in popped if t.num_rows]
+        n = sum(t.num_rows for t in popped)
+        if n == 0:
+            depth = sum(ray.get([s.depth.remote() for s in shards]))
+            if depth == 0:
+                break
+            stalls += 1
+            if stalls > 5:  # blocked lanes whose acks never arrived
+                raise RuntimeError(f"frontier stalled with depth={depth}")
+            continue
+        stalls = 0
+        round_no += 1
+        total_popped += n
+        batch = pa.concat_tables(popped)
+
+        art_dir = os.path.join(out_dir, "articles", f"round={round_no}")
+        tmp_dir = os.path.join(out_dir, "articles", f".tmp-round={round_no}")
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+        if engine == "actors":
+            refs = []
+            for i, off in enumerate(range(0, batch.num_rows, cfg.batch_size)):
+                w = workers[i % len(workers)]
+                refs.append(w.run.remote(batch.slice(off, cfg.batch_size)))
+            parts = [t for t in ray.get(refs) if t.num_rows]
+            os.makedirs(tmp_dir, exist_ok=True)
+            if parts:
+                pq.write_table(pa.concat_tables(parts),
+                               os.path.join(tmp_dir, "part-0.parquet"))
+        else:
+            ds = rd.from_arrow(batch)
+            ds = ds.map_batches(
+                FetchPages,
+                fn_constructor_kwargs={"corpus_dir": corpus_dir},
+                batch_format="pyarrow", batch_size=cfg.batch_size,
+                concurrency=cfg.fetch_concurrency, num_cpus=1,
+            )
+            ds = ds.map_batches(
+                ProcessPages,
+                fn_constructor_kwargs={"shard_handles": shards,
+                                       "num_shards": cfg.num_shards,
+                                       "split": cfg.split},
+                batch_format="pyarrow", batch_size=cfg.batch_size,
+                concurrency=cfg.process_concurrency, num_cpus=1,
+            )
+            os.makedirs(tmp_dir, exist_ok=True)
+            ds.write_parquet(tmp_dir)
+
+        shutil.rmtree(art_dir, ignore_errors=True)
+        os.replace(tmp_dir, art_dir)  # atomic partition commit
+
+        seen_dir = os.path.join(out_dir, "seen", f"round={round_no}")
+        os.makedirs(seen_dir, exist_ok=True)
+        seen_tbl = pa.table({
+            "url": batch["url"],
+            "url_hash": pa.array(
+                hash_u64_many([canonicalize_url(u) for u in batch["url"].to_pylist()]),
+                pa.uint64()),
+        })
+        pq.write_table(seen_tbl, os.path.join(seen_dir, "part-0.parquet"))
+
+        stats = ray.get([s.get_stats.remote() for s in shards])
+        rounds_log.append({
+            "round": round_no, "popped": n,
+            "depth": sum(s["depth"] for s in stats),
+            "enqueued": sum(s["enqueued"] for s in stats),
+            "dedup_hits": sum(s["dedup_hits"] for s in stats),
+        })
+        if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
+            _checkpoint(shards, ckpt_dir, round_no, rounds_log)
+
+    _checkpoint(shards, ckpt_dir, round_no, rounds_log)
+    elapsed = time.monotonic() - t0
+    final_stats = ray.get([s.get_stats.remote() for s in shards])
+    order_logs = (ray.get([s.get_order_log.remote() for s in shards])
+                  if cfg.record_order else None)
+    politeness = ray.get([s.get_politeness_log.remote() for s in shards])
+
+    summary = {
+        "rounds": round_no,
+        "popped": total_popped,
+        "elapsed_s": elapsed,
+        "urls_per_sec": total_popped / elapsed if elapsed > 0 else 0.0,
+        "shard_stats": final_stats,
+        "out_dir": out_dir,
+    }
+    if order_logs is not None:
+        summary["order_logs"] = order_logs
+    summary["politeness_logs"] = politeness
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump({k: v for k, v in summary.items()
+                   if k not in ("order_logs", "politeness_logs")}, f, indent=2, default=str)
+    return summary
+
+
+def _checkpoint(shards, ckpt_dir, round_no, rounds_log):
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ray.get([s.snapshot.remote(ckpt_dir) for s in shards])
+    tmp = os.path.join(ckpt_dir, "run.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"completed_rounds": round_no, "rounds_log": rounds_log}, f)
+    os.replace(tmp, os.path.join(ckpt_dir, "run.json"))
+
+
+def articles_dataset(out_dir: str) -> "rd.Dataset":
+    """All crawled article rows (all rounds, error rows included)."""
+    return rd.read_parquet(os.path.join(out_dir, "articles"))
+
+
+def latest_articles(out_dir: str) -> "rd.Dataset":
+    """Dedupe: one row per url, newest warc_ts wins (SURVEY.md D2/O2).
+
+    groupby(url) is the one shuffle of the sink path; groups stay Arrow
+    end-to-end (nested messages/message_count columns never round-trip
+    through pandas)."""
+    ds = articles_dataset(out_dir)
+    ds = ds.map_batches(lambda t: t.filter(pc.is_null(t["error"])),
+                        batch_format="pyarrow")
+
+    def newest(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group["warc_ts"])
+        return group.take([idx[len(idx) - 1].as_py()])
+
+    return ds.groupby("url").map_groups(newest, batch_format="pyarrow")

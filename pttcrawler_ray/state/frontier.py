@@ -1,0 +1,271 @@
+"""Frontier shard — the stateful heart of the crawl scheduler (SURVEY.md §2.3).
+
+Each shard is a long-lived Ray actor owning a disjoint set of politeness
+*lanes*.  A lane is ``site#sublane`` where ``site = host/board`` (PTT boards
+share one physical host; the reference crawls per board sequentially —
+reference ``crawler/article.py:414-512`` — so the board is the politeness
+unit; for generic Common-Crawl input the site is just the host) and
+``sublane`` implements explicit hot-site skew splitting: a site configured
+with split factor k spreads its urls over k lanes (by url-hash) that may
+land on different shards, with the site's politeness budget divided k ways.
+With k=1 (the default) per-site pop order is exactly the reference crawl
+order (O1): index pages before their articles, descending index number,
+discovery order within a page — enforced by the sort key
+``(-index_no, kind_rank, seq)`` plus the strict-mode index barrier (a lane
+that popped an index page releases nothing more until that page's extracted
+links have been routed back, mirroring the reference's fetch-page →
+crawl-its-articles → next-page loop).
+
+Held state (reference analogs):
+- URL-seen set: bloom filter, or cuckoo filter when deletions are needed
+  (``--upgrade`` re-crawl, reference crawler/article.py:152-157) — T2;
+- per-lane politeness budget per round (reference ``time.sleep`` constants,
+  crawler/article.py:480,512) — T3: a round models one politeness epoch of
+  ``round_seconds``; a lane releases at most ``round_seconds/delay`` urls
+  per round, and never sleeps a worker;
+- board watermarks min/max index_no (reference article_index.py:72-88) — A2;
+- lineage counters: enqueued / popped / dedup hits / per-round-per-lane
+  release counts (the politeness audit log).
+
+The class is plain Python (unit-testable without Ray); the pipeline wraps it
+with ``ray.remote``.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..util.canonical import canonicalize_url, host_of
+from ..util.hashing import hash_u64, hash_u64_many
+from .bloom import BloomFilter
+from .cuckoo import CuckooFilter
+
+_KIND_RANK = {"index": 0, "article": 1}
+
+
+def site_of(url: str, board: str) -> str:
+    return f"{host_of(url)}/{board}"
+
+
+def lane_of(url: str, board: str, split: dict[str, int]) -> str:
+    site = site_of(url, board)
+    k = split.get(site, 1)
+    if k <= 1:
+        return f"{site}#0"
+    return f"{site}#{hash_u64(canonicalize_url(url)) % k}"
+
+
+def shard_of(lane: str, num_shards: int) -> int:
+    return hash_u64(lane) % num_shards
+
+
+class FrontierShard:
+    def __init__(
+        self,
+        shard_id: int,
+        num_shards: int,
+        round_seconds: float = 30.0,
+        default_delay_s: float = 2.0,
+        site_delays: dict[str, float] | None = None,
+        split: dict[str, int] | None = None,
+        seen_capacity: int = 1_000_000,
+        use_cuckoo: bool = False,
+        strict_order: bool = True,
+        record_order: bool = False,
+    ):
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.round_seconds = round_seconds
+        self.default_delay_s = default_delay_s
+        self.site_delays = site_delays or {}
+        self.split = split or {}
+        self.strict_order = strict_order
+        self.record_order = record_order
+
+        self.seen = (CuckooFilter(seen_capacity) if use_cuckoo
+                     else BloomFilter(seen_capacity))
+        self.heaps: dict[str, list] = {}      # lane -> heap of (key..., payload)
+        self.blocked: set[str] = set()        # lanes awaiting an index ack
+        self.seq = 0
+        self.round_no = 0
+        self.watermarks: dict[str, list] = {}  # board -> [min_index, max_index]
+        self.stats = {"enqueued": 0, "popped": 0, "dedup_hits": 0, "acks": 0}
+        self.politeness_log: list[tuple[int, str, int]] = []  # (round, lane, released)
+        self.order_log: list[tuple[str, int, str]] = []       # (lane, seq, url)
+
+    # ------------------------------------------------------------------ add
+    def _lane_budget(self, lane: str) -> int:
+        site = lane.rsplit("#", 1)[0]
+        delay = self.site_delays.get(site, self.default_delay_s)
+        k = self.split.get(site, 1)
+        return max(1, int(self.round_seconds / max(delay, 1e-9)) // max(k, 1))
+
+    def add(self, batch: pa.Table, acks: list[str] | None = None, force: bool = False) -> dict:
+        """Enqueue frontier rows (url, board, kind, index_no); bloom-dedup
+        unless ``force`` (the upgrade path).  ``acks`` unblocks lanes whose
+        index page produced these links."""
+        for lane in acks or []:
+            self.blocked.discard(lane)
+            self.stats["acks"] += 1
+
+        n_in = batch.num_rows
+        n_fresh = 0
+        if n_in:
+            urls = batch["url"].to_pylist()
+            boards = batch["board"].to_pylist()
+            kinds = batch["kind"].to_pylist()
+            index_nos = batch["index_no"].to_pylist()
+
+            hashes = hash_u64_many([canonicalize_url(u) for u in urls])
+            if force:
+                fresh = np.ones(n_in, dtype=bool)
+            else:
+                fresh = ~self.seen.contains_many(hashes)
+            n_fresh = int(fresh.sum())
+            self.stats["dedup_hits"] += n_in - n_fresh
+            self.seen.add_many(hashes[fresh])
+
+            for i in np.flatnonzero(fresh):
+                url, board, kind, idx = urls[i], boards[i], kinds[i], index_nos[i]
+                lane = lane_of(url, board, self.split)
+                key = (-int(idx), _KIND_RANK.get(kind, 1), self.seq)
+                heapq.heappush(
+                    self.heaps.setdefault(lane, []),
+                    (key, (url, board, kind, int(idx), lane)),
+                )
+                self.seq += 1
+                self.stats["enqueued"] += 1
+                if kind == "index":
+                    wm = self.watermarks.setdefault(board, [idx, idx])
+                    wm[0] = min(wm[0], idx)
+                    wm[1] = max(wm[1], idx)
+        return {"fresh": n_fresh, "dedup_hits": self.stats["dedup_hits"]}
+
+    def unsee(self, urls: list[str]) -> int:
+        """Remove urls from the seen set (cuckoo only) — re-crawl support."""
+        if not isinstance(self.seen, CuckooFilter):
+            raise TypeError("unsee requires the cuckoo-filter seen set (use_cuckoo=True)")
+        return self.seen.delete_many(hash_u64_many([canonicalize_url(u) for u in urls]))
+
+    # ------------------------------------------------------------------ pop
+    def pop_round(self) -> pa.Table:
+        """Release ≤ politeness-budget urls per lane, in priority order.
+        In strict mode a lane stops at (and blocks on) an index page."""
+        self.round_no += 1
+        urls, boards, kinds, idxs, lanes = [], [], [], [], []
+        for lane in sorted(self.heaps):  # deterministic lane order
+            if lane in self.blocked:
+                continue
+            heap = self.heaps[lane]
+            budget = self._lane_budget(lane)
+            released = 0
+            while heap and released < budget:
+                _, (url, board, kind, idx, ln) = heapq.heappop(heap)
+                urls.append(url); boards.append(board); kinds.append(kind)
+                idxs.append(idx); lanes.append(ln)
+                released += 1
+                if self.record_order:
+                    self.order_log.append((ln, self.stats["popped"] + released, url))
+                if kind == "index" and self.strict_order:
+                    self.blocked.add(lane)
+                    break
+            if released:
+                self.politeness_log.append((self.round_no, lane, released))
+            if not heap:
+                del self.heaps[lane]
+        self.stats["popped"] += len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "board": pa.array(boards, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "index_no": pa.array(idxs, pa.int32()),
+                "lane": pa.array(lanes, pa.string()),
+            }
+        )
+
+    # ------------------------------------------------------------ inspection
+    def depth(self) -> int:
+        return sum(len(h) for h in self.heaps.values())
+
+    def has_blocked(self) -> bool:
+        return bool(self.blocked)
+
+    def get_stats(self) -> dict:
+        return {
+            **self.stats,
+            "shard_id": self.shard_id,
+            "round_no": self.round_no,
+            "depth": self.depth(),
+            "blocked_lanes": sorted(self.blocked),
+            "watermarks": {b: list(w) for b, w in self.watermarks.items()},
+        }
+
+    def get_order_log(self) -> list[tuple[str, int, str]]:
+        return self.order_log
+
+    def get_politeness_log(self) -> list[tuple[int, str, int]]:
+        return self.politeness_log
+
+    # ------------------------------------------------------------ checkpoint
+    def snapshot(self, ckpt_dir: str) -> str:
+        """Per-partition lineage checkpoint: pending queue as parquet, seen
+        filter bytes, counters + watermarks as json."""
+        os.makedirs(ckpt_dir, exist_ok=True)
+        rows = []
+        for lane, heap in self.heaps.items():
+            for key, (url, board, kind, idx, ln) in heap:
+                rows.append({"url": url, "board": board, "kind": kind,
+                             "index_no": idx, "lane": ln, "seq": key[2]})
+        pending = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema([("url", pa.string()), ("board", pa.string()),
+                              ("kind", pa.string()), ("index_no", pa.int32()),
+                              ("lane", pa.string()), ("seq", pa.int64())]),
+        )
+        pq.write_table(pending, os.path.join(ckpt_dir, f"pending_{self.shard_id}.parquet"))
+        with open(os.path.join(ckpt_dir, f"seen_{self.shard_id}.pickle"), "wb") as f:
+            pickle.dump({"type": type(self.seen).__name__, "snap": self.seen.snapshot()}, f)
+        meta = {
+            "shard_id": self.shard_id, "seq": self.seq, "round_no": self.round_no,
+            "stats": self.stats, "watermarks": self.watermarks,
+            "blocked": sorted(self.blocked),
+            "politeness_log": self.politeness_log[-1000:],
+        }
+        meta_path = os.path.join(ckpt_dir, f"shard_{self.shard_id}.json")
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)  # atomic manifest commit
+        return meta_path
+
+    def restore(self, ckpt_dir: str) -> None:
+        with open(os.path.join(ckpt_dir, f"shard_{self.shard_id}.json")) as f:
+            meta = json.load(f)
+        self.seq = meta["seq"]
+        self.round_no = meta["round_no"]
+        self.stats = meta["stats"]
+        self.watermarks = {b: list(w) for b, w in meta["watermarks"].items()}
+        self.blocked = set(meta["blocked"])
+        with open(os.path.join(ckpt_dir, f"seen_{self.shard_id}.pickle"), "rb") as f:
+            seen = pickle.load(f)
+        self.seen = (CuckooFilter.restore(seen["snap"]) if seen["type"] == "CuckooFilter"
+                     else BloomFilter.restore(seen["snap"]))
+        pending = pq.read_table(os.path.join(ckpt_dir, f"pending_{self.shard_id}.parquet"))
+        self.heaps = {}
+        # re-add without dedup (already marked seen at first enqueue); the
+        # original discovery seq is preserved so resumed pop order is
+        # identical to an uninterrupted run
+        for row in pending.to_pylist():
+            key = (-row["index_no"], _KIND_RANK.get(row["kind"], 1), row["seq"])
+            heapq.heappush(
+                self.heaps.setdefault(row["lane"], []),
+                (key, (row["url"], row["board"], row["kind"], row["index_no"], row["lane"])),
+            )

@@ -15,6 +15,9 @@ def ray_session():
     )
     from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # keep list<struct> columns (messages) as plain objects in pandas
+    ctx.enable_tensor_extension_casting = False
     yield
     ray.shutdown()
