@@ -1,0 +1,166 @@
+"""Export pipelines — the denormalized Article / Push / User sheets (K4).
+
+Reference: ``export.py:45-126`` builds three sheets by walking the ORM graph
+row-at-a-time with per-row dim lookups.  Here each sheet is a Dataset
+pipeline: latest-version articles (O2) → scalar normalization →
+broadcast-dict ASN lookup (the IpAsn dim is small — J3) → flat projection
+(M12), globally sorted by post_datetime (reference ``export.py:60``, O4).
+The push sheet explodes the latest version's messages (child-table
+expansion); push datetimes are re-formatted '%m/%d %H:%M:%S' on export
+(reference ``export.py:101-105``).  ods output is a format concern out of
+scope (SURVEY.md K4); csv/json are provided.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..stages.normalize import explode_pushes_batch, normalize_articles_batch
+from ..util.rayops import sort_nullable_ts
+from .asn import distinct_ips, enrich_ips
+from .crawl import latest_articles
+
+_ASN_FIELDS = ("asn", "asn_cidr", "asn_country_code", "asn_registry",
+               "asn_description", "asn_date")
+
+
+def build_ip_asn_map(out_dir: str, corpus_dir: str) -> dict[str, dict]:
+    """The IpAsn dimension as a broadcastable dict (small side)."""
+    latest = latest_articles(out_dir)
+    pushes = latest.map_batches(explode_pushes_batch, batch_format="pyarrow")
+    dim = enrich_ips(distinct_ips(latest, pushes),
+                     os.path.join(corpus_dir, "asn_db.parquet"))
+    out = {}
+    for row in dim.to_pandas().to_dict("records"):
+        out[row["ip"]] = row
+    return out
+
+
+class _AsnLookup:
+    """Broadcast-dict lookup stage: ip column → asn columns appended."""
+
+    def __init__(self, ip_asn_ref, ip_col: str):
+        self.dim = ray.get(ip_asn_ref) if not isinstance(ip_asn_ref, dict) else ip_asn_ref
+        self.ip_col = ip_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ips = batch[self.ip_col].to_pylist()
+        cols = {k: [] for k in _ASN_FIELDS}
+        for ip in ips:
+            hit = self.dim.get(ip) if ip else None
+            for k in _ASN_FIELDS:
+                v = hit.get(k) if hit else None
+                cols[k].append(v if v == v else None)  # NaN → None
+        out = batch
+        for k in _ASN_FIELDS[:-1]:
+            out = out.append_column(k, pa.array(cols[k], pa.string()))
+        return out.append_column("asn_date", pa.array(
+            [None if v is None or v != v else v for v in cols["asn_date"]],
+            pa.timestamp("us")))
+
+
+def export_articles(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "rd.Dataset":
+    """The Article sheet (reference export.py:62-85), post_datetime-ordered."""
+    ip_asn = ip_asn if ip_asn is not None else build_ip_asn_map(out_dir, corpus_dir)
+    ref = ray.put(ip_asn)
+    ds = latest_articles(out_dir)
+    ds = ds.map_batches(normalize_articles_batch, batch_format="pyarrow")
+    ds = ds.map_batches(_AsnLookup, fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "ip"},
+                        batch_format="pyarrow", concurrency=2)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "web_id": t["article_id"],
+            "board": t["board"],
+            "author": t["author_username"],
+            "title": t["article_title"],
+            "content": t["content"],
+            "post_ip": t["ip"],
+            "asn": t["asn"],
+            "asn_date": t["asn_date"],
+            "asn_registry": t["asn_registry"],
+            "asn_cidr": t["asn_cidr"],
+            "asn_country_code": t["asn_country_code"],
+            "asn_description": t["asn_description"],
+            "post_datetime": t["post_datetime"],
+            "last_modified_time": t["warc_ts"],
+        })
+
+    return sort_nullable_ts(ds.map_batches(project, batch_format="pyarrow"),
+                            "post_datetime")
+
+
+def export_pushes(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "rd.Dataset":
+    """The Push sheet (reference export.py:87-109): latest version's pushes."""
+    ip_asn = ip_asn if ip_asn is not None else build_ip_asn_map(out_dir, corpus_dir)
+    ref = ray.put(ip_asn)
+    ds = latest_articles(out_dir)
+    ds = ds.map_batches(explode_pushes_batch, batch_format="pyarrow")
+    ds = ds.map_batches(_AsnLookup,
+                        fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "push_ip"},
+                        batch_format="pyarrow", concurrency=2)
+
+    def project(t: pa.Table) -> pa.Table:
+        # '%m/%d %H:%M:%S' re-format (reference export.py:101-105)
+        dt = pc.strftime(t["push_datetime"], format="%m/%d %H:%M:%S")
+        return pa.table({
+            "article_web_id": t["article_id"],
+            "username": t["push_userid"],
+            "tag": t["push_tag"],
+            "content": t["push_content"],
+            "floor": t["floor"],
+            "push_ip": t["push_ip"],
+            "asn": t["asn"],
+            "asn_cidr": t["asn_cidr"],
+            "asn_country_code": t["asn_country_code"],
+            "asn_date": t["asn_date"],
+            "asn_description": t["asn_description"],
+            "asn_registry": t["asn_registry"],
+            "push_datetime": dt,
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def export_users(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "rd.Dataset":
+    """The User sheet (reference export.py:111-126)."""
+    from .users import users_dataset
+
+    ip_asn = ip_asn if ip_asn is not None else build_ip_asn_map(out_dir, corpus_dir)
+    ref = ray.put(ip_asn)
+    ds = users_dataset(corpus_dir)
+    ds = ds.map_batches(lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow")
+    ds = ds.map_batches(_AsnLookup,
+                        fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "last_login_ip"},
+                        batch_format="pyarrow", concurrency=2)
+    return ds.select_columns([
+        "username", "login_times", "valid_article_count",
+        "last_login_datetime", "last_login_ip",
+        "asn", "asn_date", "asn_registry", "asn_cidr",
+        "asn_country_code", "asn_description",
+    ])
+
+
+def export_run(out_dir: str, corpus_dir: str, dest: str, fmt: str = "csv") -> dict:
+    """Write all three sheets; returns row counts (K4 sink)."""
+    ip_asn = build_ip_asn_map(out_dir, corpus_dir)
+    counts = {}
+    for name, ds in (
+        ("article", export_articles(out_dir, corpus_dir, ip_asn)),
+        ("push", export_pushes(out_dir, corpus_dir, ip_asn)),
+        ("user", export_users(out_dir, corpus_dir, ip_asn)),
+    ):
+        path = os.path.join(dest, name)
+        if fmt == "csv":
+            # csv cannot carry nested columns; sheets are already flat
+            ds.write_csv(path)
+        else:
+            ds.write_json(path)
+        counts[name] = ds.count()
+    return counts

@@ -1,0 +1,30 @@
+"""Small Ray Data helpers.
+
+:func:`sort_nullable_ts` works around a Ray 2.49 sort defect observed in
+this environment: ``Dataset.sort`` on a column containing nulls, downstream
+of a ``groupby().map_groups`` chain, duplicates rows nondeterministically
+(reproduced in isolation; see tests/test_aux_pipelines.py history).  The
+workaround sorts on a non-null int64 surrogate (epoch micros; nulls mapped
+to an extreme sentinel).  Nulls-first ascending matches SQLite's ``ORDER
+BY`` semantics the reference relies on (reference ``export.py:60``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SENTINEL_LOW = -(2**62)
+_SENTINEL_HIGH = 2**62
+_KEY = "__sort_surrogate"
+
+
+def sort_nullable_ts(ds, col: str, descending: bool = False, nulls_first: bool = True):
+    sentinel = _SENTINEL_LOW if (nulls_first != descending) else _SENTINEL_HIGH
+
+    def add_key(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t[col], pa.int64())
+        return t.append_column(_KEY, pc.fill_null(micros, sentinel))
+
+    out = ds.map_batches(add_key, batch_format="pyarrow").sort(_KEY, descending=descending)
+    return out.map_batches(lambda t: t.drop_columns([_KEY]), batch_format="pyarrow")

@@ -1,0 +1,171 @@
+"""Aux capability tests: pushes explode, export sheets, query report, asn
+enrichment, user extraction, version rotation, watermarks (SURVEY.md §2.2-2.7)."""
+
+import glob
+import os
+from datetime import datetime
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pttcrawler_ray.fixtures import corpus_for_scale
+from pttcrawler_ray.oracle.refcrawl import sequential_crawl
+from pttcrawler_ray.parsing.scalars import parse_push_ipdatetime
+from pttcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+from pttcrawler_ray.stages.normalize import explode_pushes_batch, normalize_articles_batch
+
+
+@pytest.fixture(scope="module")
+def crawled(ray_session, tmp_path_factory):
+    d = corpus_for_scale("t1")
+    out = str(tmp_path_factory.mktemp("aux_crawl"))
+    run_crawl(d, out, CrawlConfig(num_shards=2, strict_order=False,
+                                  round_seconds=3600.0, fetch_concurrency=1,
+                                  process_concurrency=1, seen_capacity=100_000))
+    pages = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(f"{d}/pages/bucket=*/part-0.parquet"))])
+    boards = pq.read_table(f"{d}/seed_boards.parquet")["board"].to_pylist()
+    golden = sequential_crawl(pages, boards)
+    return d, out, golden
+
+
+def test_explode_pushes(crawled):
+    d, out, golden = crawled
+    from pttcrawler_ray.pipelines.crawl import latest_articles
+
+    latest = latest_articles(out)
+    pushes = latest.map_batches(explode_pushes_batch, batch_format="pyarrow").to_pandas()
+
+    expected_total = sum(len(a["messages"]) for a in golden["articles"].values())
+    assert len(pushes) == expected_total
+
+    url = next(u for u, a in golden["articles"].items() if len(a["messages"]) >= 2)
+    g = golden["articles"][url]
+    sub = pushes[pushes["url"] == url].sort_values("floor")
+    assert list(sub["floor"]) == list(range(1, len(g["messages"]) + 1))  # 1-based (O5)
+    for (_, row), msg in zip(sub.iterrows(), g["messages"]):
+        assert row["push_tag"] == msg["push_tag"]
+        assert row["push_content"] == msg["push_content"]
+        ip, dt = parse_push_ipdatetime(msg["push_ipdatetime"])
+        assert (row["push_ip"] or None) == (ip or None)
+        got = row["push_datetime"]
+        assert (got.to_pydatetime() if got is not None and got == got else None) == dt
+
+
+def test_normalize_articles(crawled):
+    _, out, golden = crawled
+    from pttcrawler_ray.pipelines.crawl import latest_articles
+
+    df = latest_articles(out).map_batches(
+        normalize_articles_batch, batch_format="pyarrow").to_pandas()
+    assert (df["author_username"].notna()).all()
+    # nickname stripped: 'user123 (暱稱)' → 'user123'
+    sample = df[df["author"].str.contains(r"\(", na=False)].iloc[0]
+    assert "(" not in sample["author_username"]
+    # unparsable dates → null post_datetime (M5)
+    bad = df[df["date"] == "不明時間"]
+    assert len(bad) > 0 and bad["post_datetime"].isna().all()
+
+
+def test_asn_enrichment(crawled):
+    d, _, _ = crawled
+    from pttcrawler_ray.pipelines.asn import AsnEnrich
+
+    enr = AsnEnrich(os.path.join(d, "asn_db.parquet"))
+    hit = enr.lookup("140.112.3.4")
+    assert hit is not None and hit["asn_country_code"] == "TW"
+    assert enr.lookup("8.8.1.2")["asn_country_code"] == "US"
+    assert enr.lookup("203.0.113.9") is None  # no covering cidr
+    assert enr.lookup("not-an-ip") is None
+
+
+def test_export_sheets(crawled, tmp_path):
+    d, out, golden = crawled
+    from pttcrawler_ray.pipelines.export import export_articles, export_run
+
+    arts = export_articles(out, d).to_pandas()
+    assert len(arts) == len(golden["articles"])
+    # post_datetime global ordering (O4)
+    dts = arts["post_datetime"].dropna().tolist()
+    assert dts == sorted(dts)
+    assert set(arts.columns) >= {"web_id", "board", "author", "title", "content",
+                                 "post_ip", "asn", "asn_country_code", "post_datetime"}
+    # TW ip got enriched
+    tw = arts[arts["post_ip"].str.startswith("140.112", na=False)]
+    assert (tw["asn_country_code"] == "TW").all()
+
+    counts = export_run(out, d, str(tmp_path / "exp"), fmt="csv")
+    assert counts["article"] == len(arts) and counts["push"] > 0 and counts["user"] > 0
+    assert glob.glob(str(tmp_path / "exp" / "article" / "*"))
+
+
+def test_query_report_matches_independent_calc(crawled):
+    d, out, golden = crawled
+    from pttcrawler_ray.pipelines.asn import AsnEnrich
+    from pttcrawler_ray.pipelines.query import board_ip_report
+
+    board = "gossiping"
+    report = board_ip_report(out, d, board).to_pandas().set_index("type")
+
+    enr = AsnEnrich(os.path.join(d, "asn_db.parquet"))
+
+    def is_tw(ip):
+        hit = enr.lookup(ip)
+        return hit is not None and hit["asn_country_code"] == "TW"
+
+    arts = [a for a in golden["articles"].values() if a["board"] == board]
+    a_tw = sum(1 for a in arts if a["ip"] and is_tw(a["ip"]))
+    a_not = sum(1 for a in arts if a["ip"] and not is_tw(a["ip"]))
+    push_ips = [parse_push_ipdatetime(m["push_ipdatetime"])[0]
+                for a in arts for m in a["messages"]]
+    p_tw = sum(1 for ip in push_ips if ip and is_tw(ip))
+    p_not = sum(1 for ip in push_ips if ip and not is_tw(ip))
+
+    assert report.loc["Article", "tw_ip"] == a_tw
+    assert report.loc["Article", "not_tw_ip"] == a_not
+    assert report.loc["Push", "tw_ip"] == p_tw
+    assert report.loc["Push", "not_tw_ip"] == p_not
+
+
+def test_user_extraction(crawled):
+    d, _, _ = crawled
+    from pttcrawler_ray.pipelines.users import users_dataset
+
+    df = users_dataset(d).to_pandas()
+    ok = df[df["error"].isna()]
+    bad = df[df["error"].notna()]
+    assert len(ok) > 0 and len(bad) > 0  # error path exercised
+    assert ok["login_times"].notna().all()
+    # scan order (login_times, username) — O6
+    keys = list(zip(ok["login_times"], ok["username"]))
+    assert keys == sorted(keys)
+    assert isinstance(ok.iloc[0]["last_login_datetime"].to_pydatetime(), datetime)
+
+
+def test_version_rotation(ray_session):
+    import ray.data as rd
+    from pttcrawler_ray.pipelines.compact import rotate_versions
+
+    rows = [{"url": f"u{i % 3}", "warc_ts": datetime(2024, 1, 1 + d), "v": d}
+            for i in range(3) for d in range(10)]
+    ds = rd.from_items(rows)
+    out = rotate_versions(ds, keep=4).to_pandas()
+    assert len(out) == 12
+    per = out.groupby("url")["v"].apply(lambda s: sorted(s.tolist()))
+    for url, vs in per.items():
+        assert vs == [6, 7, 8, 9]  # newest 4 kept
+
+
+def test_board_watermarks(crawled):
+    d, out, _ = crawled
+    import json
+
+    from pttcrawler_ray.pipelines.compact import board_watermarks
+
+    wm = board_watermarks(out).to_pandas().set_index("board")
+    manifest = json.load(open(os.path.join(d, "manifest.json")))
+    for board, info in manifest["boards"].items():
+        assert wm.loc[board, "min_index"] == 1
+        assert wm.loc[board, "max_index"] == info["last_page"]
