@@ -1,0 +1,157 @@
+"""Text analysis stages for a training-data pipeline over ``documents``.
+
+All stages are vectorized ``map_batches`` transforms (Arrow kernels /
+numpy segment ops); language-ID keeps its profiles in actor state.
+
+- :func:`token_count_batch` — whitespace token count + a BPE-ish subword
+  estimate (letter runs, digit runs, other symbols counted separately).
+- :func:`quality_score_batch` — composite quality signals: length score,
+  alpha ratio, stopword ratio, mean token length, repetition ratio
+  (Gopher/C4-style heuristics).
+- :class:`LangId` — character-frequency + stopword-hit n-gram heuristic
+  over built-in profiles (en/de/fr/es/zh); stateful actor (profiles built
+  once per actor).
+- :func:`fingerprint_batch` — 64-bit full-text hash + Karp–Rabin rolling
+  window min-hash fingerprint (winnowing-style document signature).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util.hashing import hash_u64_many
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been on for with as at by "
+    "from that this it not no"
+).split()
+
+
+def _tokens_flat(texts: pa.ChunkedArray | pa.Array):
+    """(flat lowered token array, parent indices, per-doc counts)."""
+    toks = pc.utf8_split_whitespace(texts)
+    counts = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = np.repeat(np.arange(len(counts)), counts)
+    return flat, parents, counts
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    text = batch["text"]
+    ws_tokens = pc.list_value_length(pc.utf8_split_whitespace(text)).fill_null(0)
+    # BPE-ish estimate: letter runs + digit runs + individual other symbols
+    subword = pc.add(
+        pc.count_substring_regex(text, r"[A-Za-z]+|[0-9]+"),
+        pc.count_substring_regex(text, r"[^A-Za-z0-9\s]"),
+    )
+    out = batch.append_column("n_tokens", pc.cast(ws_tokens, pa.int64()))
+    return out.append_column("n_subwords", pc.cast(subword, pa.int64()))
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    text = batch["text"]
+    n = len(batch)
+    nchars = pc.utf8_length(text).fill_null(0).to_numpy(zero_copy_only=False).astype(np.float64)
+    alpha = pc.count_substring_regex(text, r"[A-Za-z]").to_numpy(zero_copy_only=False)
+    flat, parents, counts = _tokens_flat(text)
+    counts_f = counts.astype(np.float64)
+    safe = np.maximum(counts_f, 1.0)
+
+    stop_hits = pc.is_in(pc.utf8_lower(flat), value_set=pa.array(_STOPWORDS))
+    stop_np = stop_hits.to_numpy(zero_copy_only=False).astype(np.float64)
+    stop_sum = np.zeros(n)
+    np.add.at(stop_sum, parents, stop_np)
+    stop_ratio = stop_sum / safe
+
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    len_sum = np.zeros(n)
+    np.add.at(len_sum, parents, tok_lens)
+    mean_tok_len = len_sum / safe
+
+    # repetition: distinct/total tokens per doc
+    tok_hashes = hash_u64_many(flat.to_pylist())
+    uniq = np.zeros(n)
+    if len(tok_hashes):
+        order = np.lexsort((tok_hashes, parents))
+        ph, th = parents[order], tok_hashes[order]
+        newgrp = np.ones(len(th), dtype=bool)
+        newgrp[1:] = (ph[1:] != ph[:-1]) | (th[1:] != th[:-1])
+        np.add.at(uniq, ph[newgrp], 1.0)
+    distinct_ratio = uniq / safe
+
+    alpha_ratio = np.divide(alpha, np.maximum(nchars, 1.0))
+    length_score = np.clip(nchars / 500.0, 0.0, 1.0)
+    quality = (0.25 * length_score + 0.25 * alpha_ratio
+               + 0.25 * np.clip(stop_ratio * 4, 0, 1) + 0.25 * distinct_ratio)
+
+    out = batch
+    for name, arr in (("alpha_ratio", alpha_ratio), ("stop_ratio", stop_ratio),
+                      ("mean_token_len", mean_tok_len),
+                      ("distinct_ratio", distinct_ratio),
+                      ("quality", quality)):
+        out = out.append_column(name, pa.array(arr, pa.float64()))
+    return out
+
+
+class LangId:
+    """Stateful lang-ID actor: stopword-set hits + char-class signals."""
+
+    PROFILES = {
+        "en": "the and of to in is that it for was with as his on be at by",
+        "de": "der die und in den von zu das mit sich des auf ist nicht ein",
+        "fr": "le la et les des en du de un une est que pour dans qui sur",
+        "es": "el la de que y en los del se las por un con una su para es",
+        "zh": "的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国",
+    }
+
+    def __init__(self):
+        self.sets = {lang: frozenset(words.split()) for lang, words in self.PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, parents, counts = _tokens_flat(batch["text"])
+        toks = pc.utf8_lower(flat).to_pylist()
+        n = len(batch)
+        scores = {lang: np.zeros(n) for lang in self.sets}
+        for lang, vocab in self.sets.items():
+            hits = np.fromiter((t in vocab for t in toks), dtype=np.float64,
+                               count=len(toks))
+            np.add.at(scores[lang], parents, hits)
+        # CJK char share is decisive for zh
+        cjk = pc.count_substring_regex(batch["text"], r"[一-鿿]")
+        scores["zh"] += cjk.to_numpy(zero_copy_only=False).astype(np.float64)
+
+        langs = list(self.sets)
+        mat = np.stack([scores[lang] for lang in langs], axis=1)
+        totals = mat.sum(axis=1)
+        best = mat.argmax(axis=1)
+        conf = np.where(totals > 0, mat.max(axis=1) / np.maximum(totals, 1e-9), 0.0)
+        pred = [langs[i] if totals[j] > 0 else "und" for j, i in enumerate(best)]
+        out = batch.append_column("pred_lang", pa.array(pred, pa.string()))
+        return out.append_column("lang_confidence", pa.array(conf, pa.float64()))
+
+
+def fingerprint_batch(batch: pa.Table, window: int = 4, keep: int = 8) -> pa.Table:
+    """64-bit text hash + winnowing-style min-k rolling-window fingerprint."""
+    texts = batch["text"].to_pylist()
+    text_hash = hash_u64_many([t or "" for t in texts])
+    fps = []
+    B = np.uint64(1000003)
+    for t in texts:
+        toks = (t or "").split()
+        if len(toks) < window:
+            fps.append([int(h) for h in hash_u64_many(toks)] if toks else [])
+            continue
+        th = hash_u64_many(toks)
+        # Karp-Rabin rolling hash over token-hash windows (vectorized)
+        powers = B ** np.arange(window, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            win = np.lib.stride_tricks.sliding_window_view(th, window)
+            rolled = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        rolled = np.unique(rolled)
+        fps.append([int(h) for h in rolled[:keep]])
+    out = batch.append_column("text_hash", pa.array(text_hash, pa.uint64()))
+    return out.append_column("fingerprint", pa.array(fps, pa.list_(pa.uint64())))

@@ -1,0 +1,131 @@
+"""Similarity search over the ``embeddings`` table (``list<float>`` column).
+
+- :func:`knn_brute` — the exact baseline: per-batch numpy matmul against a
+  broadcast query matrix (``ray.put`` once, read per actor), per-batch
+  top-k, small driver-side merge.  One pass, no shuffle.
+- :func:`knn_ivf` — the scale path: coarse k-means centroids (seeded,
+  trained on a driver-side sample), batches assigned vectorized; a query
+  probes only its ``nprobe`` nearest centroid partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BatchTopK:
+    """map_batches actor: per-batch cosine top-k against broadcast queries."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        sim = self.q @ m.T  # (nq, nb)
+        k = min(self.k, sim.shape[1])
+        top = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(sim.shape[0]):
+            rows_q.extend([qi] * k)
+            rows_id.extend(ids[top[qi]])
+            rows_s.extend(sim[qi, top[qi]])
+        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                         "vec_id": pa.array(rows_id, pa.int64()),
+                         "cosine": pa.array(rows_s, pa.float64())})
+
+
+def _merge_topk(parts: "pa.Table | list", k: int) -> pa.Table:
+    import pandas as pd
+
+    df = parts if isinstance(parts, pd.DataFrame) else parts.to_pandas()
+    df = df.sort_values(["query_id", "cosine", "vec_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+_EMPTY_KNN = pa.table({"query_id": pa.array([], pa.int64()),
+                       "vec_id": pa.array([], pa.int64()),
+                       "cosine": pa.array([], pa.float64()),
+                       "rank": pa.array([], pa.int64())})
+
+
+def knn_brute(emb_ds: "rd.Dataset", queries: np.ndarray, k: int = 5,
+              concurrency: int = 2, batch_size: int = 4096) -> pa.Table:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank)."""
+    if len(queries) == 0:
+        return _EMPTY_KNN
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    parts = emb_ds.map_batches(
+        _BatchTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+    return _merge_topk(parts.to_pandas(), k)
+
+
+class _IvfAssign:
+    def __init__(self, centroids_ref):
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.c = _normalize(np.asarray(c, dtype=np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+        assign = (m @ self.c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("ivf_cluster", pa.array(assign, pa.int64()))
+
+
+def train_centroids(emb_ds: "rd.Dataset", n_clusters: int = 16, sample: int = 2048,
+                    iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Seeded mini k-means on a sample (spherical: cosine metric)."""
+    rows = emb_ds.limit(sample).to_pandas()["embedding"].tolist()
+    x = _normalize(np.stack(rows).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def knn_ivf(emb_ds: "rd.Dataset", queries: np.ndarray, k: int = 5,
+            n_clusters: int = 16, nprobe: int = 4, concurrency: int = 2) -> pa.Table:
+    """IVF approximate top-k: assign once, probe nprobe clusters per query."""
+    if len(queries) == 0:
+        return _EMPTY_KNN
+    centroids = train_centroids(emb_ds, n_clusters)
+    cref = ray.put(centroids)
+    # autoscaling (1, n) pools: two fixed pools of n would reserve 2n CPUs
+    # and starve the task stage between them on small machines
+    assigned = emb_ds.map_batches(
+        _IvfAssign, fn_constructor_kwargs={"centroids_ref": cref},
+        batch_format="pyarrow", concurrency=(1, concurrency))
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ _normalize(centroids).T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probes for c in row})
+    sub = assigned.map_batches(
+        lambda t, w=frozenset(wanted): t.filter(
+            pa.array([c in w for c in t["ivf_cluster"].to_pylist()])),
+        batch_format="pyarrow")
+
+    qref = ray.put(q)
+    parts = sub.map_batches(
+        _BatchTopK, fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow", concurrency=(1, concurrency)).to_pandas()
+    # keep only (query, vec) hits whose cluster is probed by that query
+    return _merge_topk(parts, k)

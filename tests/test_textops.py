@@ -1,0 +1,197 @@
+"""Training-data ops: text analysis, dedup suite, similarity search,
+multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(ray_session):
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_count(docs):
+    from pttcrawler_ray.textops.analysis import token_count_batch
+
+    df = docs.map_batches(token_count_batch, batch_format="pyarrow").to_pandas()
+    expect = df["text"].str.split().str.len()
+    assert (df["n_tokens"] == expect).all()
+    assert (df["n_subwords"] >= df["n_tokens"]).all()
+
+
+def test_quality_score(docs):
+    from pttcrawler_ray.textops.analysis import quality_score_batch
+
+    df = docs.map_batches(quality_score_batch, batch_format="pyarrow").to_pandas()
+    for col in ("alpha_ratio", "stop_ratio", "distinct_ratio", "quality"):
+        assert df[col].between(0, 1).all(), col
+    assert df["mean_token_len"].gt(0).all()
+    # independent check on one row
+    row = df.iloc[0]
+    toks = row["text"].split()
+    stop = sum(t.lower() in {"the", "a", "an", "and", "or", "of", "to", "in", "is",
+                             "are", "was", "were", "be", "been", "on", "for",
+                             "with", "as", "at", "by", "from", "that", "this",
+                             "it", "not", "no"} for t in toks)
+    assert row["stop_ratio"] == pytest.approx(stop / len(toks))
+    assert row["distinct_ratio"] == pytest.approx(len(set(toks)) / len(toks))
+
+
+def test_lang_id(ray_session):
+    from pttcrawler_ray.textops.analysis import LangId
+
+    ds = rd.from_items([
+        {"text": "the cat sat on the mat and it was happy with that"},
+        {"text": "der hund und die katze sind nicht in den garten"},
+        {"text": "le chat et les chiens sont dans la maison pour une nuit"},
+        {"text": "今天 天氣 真好 我們 一起 去 公園"},
+        {"text": ""},
+    ])
+    df = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert df["pred_lang"].tolist()[:4] == ["en", "de", "fr", "zh"]
+    assert df["pred_lang"].iloc[4] == "und"
+    assert df["lang_confidence"].iloc[0] > 0.5
+
+
+def test_fingerprint_deterministic(docs):
+    from pttcrawler_ray.textops.analysis import fingerprint_batch
+
+    df1 = docs.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    df2 = docs.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    m1 = dict(zip(df1["doc_id"], df1["text_hash"]))
+    m2 = dict(zip(df2["doc_id"], df2["text_hash"]))
+    assert m1 == m2
+    fp = df1.iloc[0]["fingerprint"]
+    assert len(fp) > 0
+
+
+def test_exact_dedup(ray_session):
+    from pttcrawler_ray.textops.dedup import exact_dedup
+
+    rows = [{"doc_id": i, "text": f"unique text {i}"} for i in range(20)]
+    rows += [{"doc_id": 100 + i, "text": "duplicated body"} for i in range(5)]
+    out = exact_dedup(rd.from_items(rows)).to_pandas()
+    assert len(out) == 21
+    dups = out[out["text"] == "duplicated body"]
+    assert dups["doc_id"].tolist() == [100]  # min id survives
+
+
+def test_minhash_lsh(ray_session):
+    from pttcrawler_ray.textops.dedup import minhash_dedup, minhash_lsh_pairs
+
+    base = ("spark ray data cluster parquet arrow stream shard crawl frontier "
+            "batch queue index sort merge join filter group window agg " * 3).split()
+    rows = []
+    for i in range(30):  # unrelated docs
+        rng = np.random.default_rng(1000 + i)
+        rows.append({"doc_id": i, "text": " ".join(rng.permutation([f"w{i}_{j}" for j in range(60)]))})
+    rows.append({"doc_id": 200, "text": " ".join(base)})
+    near = list(base)
+    near[5] = "changed"
+    rows.append({"doc_id": 201, "text": " ".join(near)})  # near-dup of 200
+
+    ds = rd.from_items(rows)
+    pairs = minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    assert [(200, 201)] == list(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert pairs["jaccard"].iloc[0] > 0.6
+
+    kept = minhash_dedup(ds, threshold=0.6).to_pandas()
+    assert 200 in set(kept["doc_id"]) and 201 not in set(kept["doc_id"])
+    assert len(kept) == 31
+
+
+def test_simhash(ray_session):
+    from pttcrawler_ray.textops.dedup import simhash_pairs
+
+    base = [f"token{i}" for i in range(80)]
+    near = list(base)
+    near[3] = "spoon"
+    rows = [{"doc_id": 1, "text": " ".join(base)},
+            {"doc_id": 2, "text": " ".join(near)}]
+    for i in range(10, 30):
+        rng = np.random.default_rng(i)
+        rows.append({"doc_id": i, "text": " ".join(f"z{i}_{j}" for j in range(80))})
+    pairs = simhash_pairs(rd.from_items(rows), max_hamming=6).to_pandas()
+    assert (1, 2) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert not any(a >= 10 for a in pairs["doc_a"])  # unrelated not paired
+
+
+def test_embedding_neardup(ray_session):
+    from pttcrawler_ray.textops.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 16))
+    vecs[7] = vecs[3] + rng.standard_normal(16) * 0.01  # near-dup pair (3,7)
+    rows = [{"vec_id": i, "embedding": [float(x) for x in v]} for i, v in enumerate(vecs)]
+    pairs = embedding_neardup_pairs(rd.from_items(rows), dim=16, threshold=0.98,
+                                    bits=6).to_pandas()
+    assert (3, 7) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+
+
+def test_knn_brute_matches_numpy(embs):
+    from pttcrawler_ray.textops.similarity import knn_brute
+
+    all_df = embs.to_pandas()
+    mat = np.stack(all_df["embedding"])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = mat[:3]
+    expected_sets = []
+    for qi in range(3):
+        sims = mat @ q[qi]
+        top = np.argsort(-sims)[:5]
+        expected_sets.append(set(all_df["vec_id"].iloc[top]))
+
+    out = knn_brute(embs, q, k=5).to_pandas()
+    for qi in range(3):
+        got = set(out[out["query_id"] == qi]["vec_id"])
+        assert got == expected_sets[qi]
+    assert out.groupby("query_id")["rank"].apply(
+        lambda s: s.tolist() == [1, 2, 3, 4, 5]).all()
+
+
+def test_knn_ivf_recall(embs):
+    from pttcrawler_ray.textops.similarity import knn_brute, knn_ivf
+
+    all_df = embs.to_pandas()
+    mat = np.stack(all_df["embedding"])
+    q = mat[:5]
+    brute = knn_brute(embs, q, k=5).to_pandas()
+    ivf = knn_ivf(embs, q, k=5, n_clusters=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        b = set(brute[brute["query_id"] == qi]["vec_id"])
+        a = set(ivf[ivf["query_id"] == qi]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.6  # probing 4/8 clusters
+
+
+def test_multimodal_stub(ray_session):
+    from pttcrawler_ray.multimodal import DecodeMedia, decode_media, make_fake_blob
+
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(fake=False)  # real codecs absent → clearly-marked stub
+
+    rows = [{"media_id": i, "payload": make_fake_blob(i)} for i in range(20)]
+    rows.append({"media_id": 99, "payload": b"garbage-not-a-blob"})
+    out = decode_media(rd.from_items(rows), fake=True, batch_size=8).to_pandas()
+    ok = out[out["error"].isna()]
+    assert len(ok) == 20
+    assert (ok["channels"] == 3).all()
+    assert ok["feature"].map(len).eq(16).all()
+    f1 = out[out["media_id"] == 5]["feature"].iloc[0]
+    f2 = decode_media(rd.from_items(rows[:6]), fake=True).to_pandas()
+    assert list(f2[f2["media_id"] == 5]["feature"].iloc[0]) == list(f1)  # deterministic
+    bad = out[out["media_id"] == 99]
+    assert bad["error"].iloc[0] == "decode failed"
