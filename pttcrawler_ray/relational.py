@@ -1,0 +1,246 @@
+"""Relational operator layer over the testdata star schema — each function
+is one SURVEY.md §2 operator family expressed Ray-Data-first, with a
+matching DuckDB oracle in ``__ray_entry__.oracle_sql``.
+
+Patterns (per the Ray guide):
+- reads prune columns (`read_parquet(columns=[...])`) and push filters;
+- small sides broadcast (``ray.put`` once, dict/set lookup per batch) —
+  no shuffle joins for dimension tables;
+- aggregations pre-combine inside map_batches where the group count is
+  small, else use the built-in partial+final groupby aggregates;
+- per-group argmax / top-k via ``groupby().map_groups`` on Arrow tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ------------------------------------------------------------ D2/O2: latest
+def latest_event_per_user(sf_dir: str) -> "rd.Dataset":
+    """Latest event per user (ties → max event_id) — the dedupe-latest
+    pattern (groupby key, keep max ts), same shape as the crawl sink."""
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
+
+    def newest(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "descending"), ("event_id", "descending")])
+        return g.take([idx[0].as_py()])
+
+    return ds.groupby("user_id").map_groups(newest, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- A2: watermarks
+def event_type_watermarks(sf_dir: str) -> "rd.Dataset":
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    return ds.groupby("event_type").aggregate(
+        Min("ts", alias_name="min_ts"), Max("ts", alias_name="max_ts"))
+
+
+# -------------------------------------------------------- O3: top-k / group
+def topk_events_per_user(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("ts", "descending"), ("event_id", "descending")])
+        return g.take(idx[:k])
+
+    return ds.groupby("user_id").map_groups(topk, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- J1: anti-join
+def customers_without_orders(sf_dir: str, min_total: float = 400_000.0) -> "rd.Dataset":
+    """Broadcast anti-join: customers with no order above ``min_total``.
+    The distinct qualifying custkey set rides the object store once; at
+    100TB this becomes a bloom-filter broadcast + exact bucketed pass
+    (same shape as the frontier's seen-set anti-join).  The filter is
+    pushed into the orders read (row-group pruning)."""
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"],
+                             filter=(pc.field("o_totalprice") > min_total))
+    keys = set()
+    for b in orders.iter_batches(batch_format="pyarrow", batch_size=65536):
+        keys.update(b["o_custkey"].to_pylist())
+    ref = ray.put(frozenset(keys))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    class AntiFilter:
+        def __init__(self, key_ref):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
+            return t.filter(pa.array(mask))
+
+    return cust.map_batches(AntiFilter, fn_constructor_kwargs={"key_ref": ref},
+                            batch_format="pyarrow", concurrency=(1, 2))
+
+
+# ------------------------------------------------------------- J4: semi-join
+def orders_of_segment(sf_dir: str, segment: str = "BUILDING") -> "rd.Dataset":
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_keys = frozenset(
+        k for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536)
+        for k, s in zip(b["c_custkey"].to_pylist(), b["c_mktsegment"].to_pylist())
+        if s == segment)
+    ref = ray.put(seg_keys)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    class SemiFilter:
+        def __init__(self, key_ref):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k in self.keys for k in t["o_custkey"].to_pylist()]
+            return t.filter(pa.array(mask))
+
+    return orders.map_batches(SemiFilter, fn_constructor_kwargs={"key_ref": ref},
+                              batch_format="pyarrow", concurrency=(1, 2))
+
+
+# -------------------------------------------------------- A4: grouped count
+def orders_per_customer(sf_dir: str) -> "rd.Dataset":
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    return ds.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+
+
+# -------------------------------------------- A3: conditional counts (TW-ish)
+def customers_balance_by_nation(sf_dir: str) -> "rd.Dataset":
+    """Per nation name: customers with positive vs non-positive balance —
+    the TW/non-TW conditional-count shape with a broadcast dim join."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put(nmap)
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    class Partial:
+        """Pre-aggregate inside the batch: one row per nation per batch."""
+
+        def __init__(self, nref):
+            self.nmap = ray.get(nref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["c_nationkey"].to_pylist()
+            pos = pc.greater(t["c_acctbal"], 0.0).to_pylist()
+            agg: dict[str, list[int]] = {}
+            for k, p in zip(keys, pos):
+                row = agg.setdefault(self.nmap[k], [0, 0])
+                row[0 if p else 1] += 1
+            return pa.table({
+                "nation": pa.array(list(agg), pa.string()),
+                "positive_bal": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "non_positive_bal": pa.array([v[1] for v in agg.values()], pa.int64()),
+            })
+
+    partials = cust.map_batches(Partial, fn_constructor_kwargs={"nref": ref},
+                                batch_format="pyarrow", concurrency=(1, 2))
+    return partials.groupby("nation").aggregate(
+        Sum("positive_bal", alias_name="positive_bal"),
+        Sum("non_positive_bal", alias_name="non_positive_bal"))
+
+
+# ----------------------------------------------------------- A5/D3: distinct
+def distinct_doc_dims(sf_dir: str) -> "rd.Dataset":
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return ds.groupby(["lang", "source"]).count().select_columns(["lang", "source"])
+
+
+# --------------------------------------------------------- O4: sort + limit
+def top_orders(sf_dir: str, k: int = 10) -> "rd.Dataset":
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+# ----------------------------------------------- J3/M12: export denorm join
+def orders_denorm(sf_dir: str) -> "rd.Dataset":
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cmap = {r.c_custkey: (r.c_name, r.c_nationkey) for r in cust.itertuples()}
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((cmap, nmap))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    class Denorm:
+        def __init__(self, r):
+            self.cmap, self.nmap = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names, nations = [], []
+            for k in t["o_custkey"].to_pylist():
+                cname, nk = self.cmap[k]
+                names.append(cname)
+                nations.append(self.nmap[nk])
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "c_name": pa.array(names, pa.string()),
+                "n_name": pa.array(nations, pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            })
+
+    return orders.map_batches(Denorm, fn_constructor_kwargs={"r": ref},
+                              batch_format="pyarrow", concurrency=(1, 2))
+
+
+# ------------------------------------------------------ TPC-H Q1-ish summary
+def lineitem_summary(sf_dir: str) -> "rd.Dataset":
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="count_order"))
+
+
+# ----------------------------------------------------- M8: filter + pushdown
+def high_value_events(sf_dir: str, min_value: float = 90.0) -> "rd.Dataset":
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"],
+        filter=(pc.field("value") >= min_value))  # row-group pushdown at the read
+    return ds.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"], "user_id": t["user_id"]}),
+        batch_format="pyarrow")
+
+
+# ----------------------------------------- streaming-shaped: tumbling window
+def events_hourly(sf_dir: str) -> "rd.Dataset":
+    """Tumbling 1h event-time window per event_type: count + max value.
+    Ray Data has no native event-time windows; the window key is computed
+    per batch and the aggregate shuffles on (type, window) — the guide's
+    pattern for stream-shaped references."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return t.append_column("window_start", pc.floor_temporal(t["ts"], unit="hour"))
+
+    return ds.map_batches(add_window, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Count(alias_name="n_events"), Max("value", alias_name="max_value"))
+
+
+# ---------------------------------------------------------- knn (oracle-able)
+def knn_top1(sf_dir: str, n_queries: int = 3) -> pa.Table:
+    """Top-1 non-self cosine neighbor for the first n vec_ids (ints only —
+    float-free result columns so the hash compare is exact)."""
+    from .textops.similarity import knn_brute
+
+    embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = embs.to_pandas().set_index("vec_id").sort_index()
+    q = np.stack(qdf.loc[range(n_queries), "embedding"])
+    out = knn_brute(embs, q, k=2).to_pandas()
+    out = out[out["vec_id"] != out["query_id"]]
+    out = out.sort_values(["query_id", "rank"]).groupby("query_id").head(1)
+    return pa.table({
+        "query_id": pa.array(out["query_id"].astype("int64")),
+        "vec_id": pa.array(out["vec_id"].astype("int64")),
+    })

@@ -273,5 +273,10 @@ def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0
                          "cosine": pa.array(sim[a, b], pa.float64())})
 
     pairs = ds.groupby("lsh_bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]).pipe(pa.Table.from_pandas,
-                                                                      preserve_index=False)
+    df = pairs.to_pandas()
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                        ("cosine", pa.float64())])
+    if df.empty:
+        return schema.empty_table()
+    return pa.Table.from_pandas(df.drop_duplicates(["doc_a", "doc_b"]),
+                                preserve_index=False).cast(schema)

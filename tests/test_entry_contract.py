@@ -1,0 +1,98 @@
+"""Driver-contract simulation: every oracle_sql() query must match its
+queries() twin on row count, column names, and order-insensitive values
+(the driver's CORRECTNESS gate); rows-only queries must run and return a
+stable schema.  Run at sf0.001 for speed (the driver uses sf0.01)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            df[c] = df[c].astype("int64", errors="ignore")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_match(name, ray_df, sql_df):
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), \
+        f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} != {len(sql_df)}"
+    a, b = _canon(ray_df), _canon(sql_df)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
+                                  rtol=1e-9, atol=1e-9, obj=name)
+
+
+def test_sql_checked_queries_match_oracle(entrymod, duck):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    for name, sql in oracles.items():
+        ray_df = _to_df(qs[name](SF))
+        sql_df = duck.execute(sql).fetchdf()
+        _assert_match(name, ray_df, sql_df)
+
+
+def test_rows_only_queries_run(entrymod):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    rows_only = [n for n in qs if n not in oracles and not n.startswith("crawl_")]
+    for name in rows_only:
+        df = _to_df(qs[name](SF))
+        assert df is not None and len(df.columns) > 0, name
+        assert len(df) >= 0
+
+
+def test_crawl_queries_run(entrymod):
+    qs = entrymod.queries()
+    for name in ["crawl_latest_articles", "crawl_pushes", "crawl_seen",
+                 "crawl_board_report", "crawl_users", "crawl_watermarks"]:
+        df = _to_df(qs[name](SF))
+        assert len(df) > 0, name
+
+
+def test_entry_smoke(entrymod):
+    ds = entrymod.entry()
+    df = _to_df(ds)
+    assert len(df) > 100
+    assert {"url", "board", "content", "n_messages"} <= set(df.columns)
