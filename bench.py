@@ -1,0 +1,144 @@
+"""Benchmark harness.
+
+Headline: the crawl pipeline (frontier shards → fetch-lookup → parse →
+sinks) over the bench-scale synthetic web corpus (~60k articles, 6 boards,
+Zipf-hot 'gossiping' board split 8 ways across shards) — the
+frontier-throughput metric from BASELINE.json — plus a set of
+representative query pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl_urls_per_sec": ...}
+
+``--scaling`` runs the headline crawl in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the SAME corpus (page cache warmed) and prints
+throughput at both plus scaling efficiency — the in-sandbox stand-in for
+the N→4N-node cluster criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+
+def run_crawl_bench(num_cpus: int, scale: str = "bench") -> dict:
+    from pttcrawler_ray.fixtures import corpus_for_scale
+    from pttcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    corpus = corpus_for_scale(scale)
+    out = "/tmp/ptt_bench/crawl_out"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CrawlConfig(
+        num_shards=8,
+        round_seconds=1e6,              # bench mode: budget >> depth (compute-bound)
+        strict_order=False,
+        split={"www.ptt.cc/gossiping": 8},  # hot-site skew splitting
+        seen_capacity=2_000_000,
+        # parse (process stage) dominates; pools autoscale from 1 so the
+        # executor balances without starving task stages
+        fetch_concurrency=max(2, num_cpus // 4),
+        process_concurrency=max(2, (2 * num_cpus) // 3),
+        batch_size=512,
+        engine="rayds",
+    )
+    t0 = time.monotonic()
+    summary = run_crawl(corpus, out, cfg)
+    elapsed = time.monotonic() - t0
+    return {"sec": elapsed, "popped": summary["popped"],
+            "urls_per_sec": summary["popped"] / elapsed}
+
+
+def run_queries_bench(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    names = ["lineitem_summary", "latest_event_per_user", "events_hourly",
+             "top_orders", "orders_denorm", "exact_dedup_docs",
+             "token_counts_docs", "minhash_pairs_docs", "knn_top1"]
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        # consume (Datasets are lazy)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        # N → 4N parallelism on the same input, fresh ray.init per level.
+        # This host exposes 32 logical cpus but is cgroup-throttled to ~8-9
+        # cores of real compute (calibration in BASELINE.md), so the honest
+        # two-level pair within physical capacity is N=2 → 4N=8; 32 is also
+        # reported to document the host cap.
+        from pttcrawler_ray.fixtures import corpus_for_scale
+
+        corpus_for_scale("scaling")  # warm corpus + page cache, untimed
+        results = {}
+        for n in (2, 8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                       GRAFT_SF_DIR=sf_dir, GRAFT_BENCH_CRAWL_ONLY="1",
+                       GRAFT_BENCH_SCALE="scaling")
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 capture_output=True, text=True, check=True,
+                                 env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+            results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        thr = {n: results[n]["crawl_urls_per_sec"] for n in results}
+        eff = (thr[8] / thr[2]) / (8 / 2)
+        print(json.dumps({
+            "metric": "crawl scaling efficiency (N=2 → 4N=8 cpus, same corpus)",
+            "urls_per_sec_2": round(thr[2], 1),
+            "urls_per_sec_8": round(thr[8], 1),
+            "urls_per_sec_32_host_capped": round(thr[32], 1),
+            "sec_2": results[2]["value"],
+            "sec_8": results[8]["value"],
+            "sec_32": results[32]["value"],
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
+
+    _init_ray(num_cpus)
+    crawl = run_crawl_bench(num_cpus, os.environ.get("GRAFT_BENCH_SCALE", "bench"))
+    queries = ({} if os.environ.get("GRAFT_BENCH_CRAWL_ONLY")
+               else run_queries_bench(sf_dir))
+    import ray
+
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "crawl fetch+parse wall time (bench corpus, ~75k urls) + query suite",
+        "value": round(crawl["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "crawl_urls_per_sec": round(crawl["urls_per_sec"], 1),
+        "crawl_urls": crawl["popped"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -353,6 +353,9 @@ _SCALE_PRESETS = {
     "t1": dict(total_articles=600),
     "t2": dict(total_articles=6000),
     "bench": dict(total_articles=60000, n_boards=6, n_buckets=32),
+    # scaling evidence runs: big enough that fixed per-run overheads
+    # (index build, seed, round boundaries) are noise vs the parallel work
+    "scaling": dict(total_articles=150000, n_boards=8, n_buckets=32),
 }
 
 

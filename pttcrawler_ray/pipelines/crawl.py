@@ -45,7 +45,7 @@ import ray.data as rd
 from .. import schemas
 from ..parsing.article import parse_articles_batch
 from ..parsing.index import get_last_page, parse_index_batch
-from ..sources.pages import FetchPages, PagesStore
+from ..sources.pages import FetchPages, PagesStore, build_shared_index
 from ..state.frontier import FrontierShard, lane_of, shard_of
 
 PTT_URL = "https://www.ptt.cc"
@@ -140,23 +140,28 @@ class CrawlWorker:
     the pages bucket index is built once per worker (SURVEY.md §7.4 —
     raw actors only where per-round Dataset overhead would dominate)."""
 
-    def __init__(self, corpus_dir: str, shard_handles: list, num_shards: int, split: dict):
-        self.fetch = FetchPages(corpus_dir)
+    def __init__(self, corpus_dir: str, shard_handles: list, num_shards: int,
+                 split: dict, index: dict | None = None):
+        self.fetch = FetchPages(corpus_dir=None if index else corpus_dir, index=index)
         self.process = ProcessPages(shard_handles, num_shards, split)
 
     def run(self, batch: pa.Table) -> pa.Table:
         return self.process(self.fetch(batch))
 
 
-def _seed_rows(store: PagesStore, boards: list[str]) -> pa.Table:
+def _seed_rows(shared_index: dict, boards: list[str]) -> pa.Table:
+    """Last-page probe against the shared pages index (no bucket loads)."""
+    fetch = FetchPages(index=shared_index)
+    probe = pa.table({"url": pa.array(
+        [f"{PTT_URL}/bbs/{b}/index.html" for b in boards], pa.string())})
+    res = fetch(probe)
+    last_by_board = {}
+    for u, html in zip(res["url"].to_pylist(), res["html"].to_pylist()):
+        board = u.split("/bbs/")[1].split("/")[0]
+        last_by_board[board] = get_last_page(html.decode("utf-8")) if html else 1
     urls, bs, kinds, idxs = [], [], [], []
     for board in boards:
-        probe_url = f"{PTT_URL}/bbs/{board}/index.html"
-        handles = store.lookup_newest([probe_url])
-        page = store.take(handles)
-        html = page["html"][0].as_py()
-        last = get_last_page(html.decode("utf-8")) if html is not None else 1
-        for n in range(last, 0, -1):  # newest first — reference crawl order O1
+        for n in range(last_by_board.get(board, 1), 0, -1):  # newest first (O1)
             urls.append(f"{PTT_URL}/bbs/{board}/index{n}.html")
             bs.append(board); kinds.append("index"); idxs.append(n)
     return pa.table({"url": pa.array(urls, pa.string()),
@@ -184,7 +189,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
     cfg = cfg or CrawlConfig()
     t0 = time.monotonic()
 
-    store = PagesStore(corpus_dir)
+    shared_index = build_shared_index(corpus_dir)  # one copy, zero-copy shared
     import pyarrow.parquet as pq
 
     seed_tbl = pq.read_table(os.path.join(corpus_dir, "seed_boards.parquet"))
@@ -192,9 +197,11 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
     delays = seed_tbl["politeness_delay_s"].to_pylist()
     site_delays = {f"www.ptt.cc/{b}": d for b, d in zip(boards, delays)}
 
+    # num_cpus=0: shards are bursty state holders (heap/bloom); reserving
+    # cores for them starves the fetch/process pools on small machines
     ShardActor = ray.remote(FrontierShard)
     shards = [
-        ShardActor.options(num_cpus=0.25).remote(
+        ShardActor.options(num_cpus=0).remote(
             shard_id=s, num_shards=cfg.num_shards,
             round_seconds=cfg.round_seconds, default_delay_s=cfg.default_delay_s,
             site_delays=site_delays, split=cfg.split,
@@ -228,7 +235,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             sp = os.path.join(out_dir, sub)
             if os.path.isdir(sp):
                 shutil.rmtree(sp)
-        seeds = _seed_rows(store, boards)
+        seeds = _seed_rows(shared_index, boards)
         _route_add(shards, seeds, cfg.num_shards, cfg.split)
 
     engine = cfg.engine
@@ -241,12 +248,9 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         workers = [
             WorkerActor.options(num_cpus=1).remote(
                 corpus_dir=corpus_dir, shard_handles=shards,
-                num_shards=cfg.num_shards, split=cfg.split)
+                num_shards=cfg.num_shards, split=cfg.split, index=shared_index)
             for _ in range(n_workers)
         ]
-
-    from ..util.canonical import canonicalize_url
-    from ..util.hashing import hash_u64_many
 
     round_no = start_round
     total_popped = 0
@@ -283,12 +287,17 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
                 pq.write_table(pa.concat_tables(parts),
                                os.path.join(tmp_dir, "part-0.parquet"))
         else:
-            ds = rd.from_arrow(batch)
+            # split into >=concurrency blocks so the actor pools fill
+            # (from_arrow of one table yields one block → one busy actor)
+            n_blocks = max(cfg.fetch_concurrency, cfg.process_concurrency) * 4
+            step = max(1, -(-batch.num_rows // n_blocks))
+            slices = [batch.slice(off, step) for off in range(0, batch.num_rows, step)]
+            ds = rd.from_arrow(slices)
             ds = ds.map_batches(
                 FetchPages,
-                fn_constructor_kwargs={"corpus_dir": corpus_dir},
+                fn_constructor_kwargs={"index": shared_index},
                 batch_format="pyarrow", batch_size=cfg.batch_size,
-                concurrency=cfg.fetch_concurrency, num_cpus=1,
+                concurrency=(1, cfg.fetch_concurrency), num_cpus=1,
             )
             ds = ds.map_batches(
                 ProcessPages,
@@ -296,7 +305,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
                                        "num_shards": cfg.num_shards,
                                        "split": cfg.split},
                 batch_format="pyarrow", batch_size=cfg.batch_size,
-                concurrency=cfg.process_concurrency, num_cpus=1,
+                concurrency=(1, cfg.process_concurrency), num_cpus=1,
             )
             os.makedirs(tmp_dir, exist_ok=True)
             ds.write_parquet(tmp_dir)
@@ -306,13 +315,10 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
 
         seen_dir = os.path.join(out_dir, "seen", f"round={round_no}")
         os.makedirs(seen_dir, exist_ok=True)
-        seen_tbl = pa.table({
-            "url": batch["url"],
-            "url_hash": pa.array(
-                hash_u64_many([canonicalize_url(u) for u in batch["url"].to_pylist()]),
-                pa.uint64()),
-        })
-        pq.write_table(seen_tbl, os.path.join(seen_dir, "part-0.parquet"))
+        # url_hash computed once at enqueue and carried through the pop —
+        # no driver-side re-hash (serial work shrinks with Amdahl at scale)
+        pq.write_table(batch.select(["url", "url_hash"]),
+                       os.path.join(seen_dir, "part-0.parquet"))
 
         stats = ray.get([s.get_stats.remote() for s in shards])
         rounds_log.append({

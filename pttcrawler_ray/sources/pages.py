@@ -23,6 +23,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..util.hashing import hash_u64
@@ -89,30 +90,112 @@ class PagesStore:
         )
 
 
+def build_shared_index(corpus_dir: str):
+    """Build the url→newest-snapshot index ONCE and share it zero-copy.
+
+    Returns object refs {table, hashes, rows}: the full pages Arrow table
+    plus a sorted uint64 url-hash array and parallel row-id array pointing
+    at the newest snapshot per url.  Every fetch actor ``ray.get``s these
+    in ``__init__`` — Arrow tables and numpy arrays are served zero-copy
+    from the local object store, so N actors share ONE copy instead of
+    each parsing the bucket files (which made the pool slower at higher
+    concurrency).  On a multi-node cluster this per-node shared index is
+    the node's bucket shard; frontier batches route by the same hash.
+    """
+    import ray
+
+    files = sorted(glob.glob(os.path.join(corpus_dir, "pages", "bucket=*", "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no pages buckets under {os.path.join(corpus_dir, 'pages')}")
+    table = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+    urls = table["url"].to_pylist()
+    hashes = np.fromiter((hash_u64(u) for u in urls), dtype=np.uint64, count=len(urls))
+    ts = table["warc_ts"].to_numpy(zero_copy_only=False)
+    ts_i = ts.astype("datetime64[us]").astype(np.int64)
+    order = np.lexsort((ts_i, hashes))  # by hash, then warc_ts ascending
+    h_sorted = hashes[order]
+    # keep the LAST row of each hash run = newest snapshot for that url
+    last_of_run = np.ones(len(h_sorted), dtype=bool)
+    last_of_run[:-1] = h_sorted[1:] != h_sorted[:-1]
+    uniq_hashes = h_sorted[last_of_run]
+    uniq_rows = order[last_of_run].astype(np.int64)
+    return {
+        "table": ray.put(table),
+        "hashes": ray.put(uniq_hashes),
+        "rows": ray.put(uniq_rows),
+    }
+
+
 class FetchPages:
     """map_batches actor: frontier rows in → page snapshots out.
 
     Input batch needs a ``url`` column; all input columns pass through.
-    Output adds (warc_ts, html, text, lang) and a ``fetch_ok`` bool.
-    Setup (bucket index build, gate state) happens once per actor in
-    ``__init__`` — the actor-pool pattern for stateful stages.
+    Output adds (warc_ts, html, text, lang) and a ``fetch_ok`` bool; rows
+    may be reordered within the batch (hits first, then 404s) — downstream
+    stages are order-free, crawl ordering is recorded at pop time.
+
+    Construct with ``index=`` (shared zero-copy index refs from
+    :func:`build_shared_index`, the fast path) or ``corpus_dir=`` (each
+    actor builds its own bucket index — kept for standalone use).
     """
 
-    def __init__(self, corpus_dir: str):
-        self.store = PagesStore(corpus_dir)
+    def __init__(self, corpus_dir: str | None = None, index: dict | None = None):
+        import ray
+
+        if index is not None:
+            self.table: pa.Table = ray.get(index["table"])
+            self.hashes: np.ndarray = ray.get(index["hashes"])
+            self.rows: np.ndarray = ray.get(index["rows"])
+            self.store = None
+        else:
+            self.store = PagesStore(corpus_dir)
         self._gated_hosts: set[str] = set()  # over18/robots verdict cache (T1)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _lookup_shared(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
+        h = np.fromiter((hash_u64(u) for u in urls), dtype=np.uint64, count=len(urls))
+        pos = np.searchsorted(self.hashes, h)
+        pos_c = np.minimum(pos, len(self.hashes) - 1)
+        found = (self.hashes[pos_c] == h) if len(self.hashes) else np.zeros(len(h), bool)
+        rowids = self.rows[pos_c[found]]
+
+        hit_rows = self.table.take(pa.array(rowids, pa.int64()))
+        # verify against hash collisions (different url, same 64-bit hash)
+        req = pa.array([u for u, f in zip(urls, found) if f], pa.string())
+        ok_mask = pc.equal(hit_rows["url"], req).to_numpy(zero_copy_only=False)
+
+        hit_idx = np.flatnonzero(found)[ok_mask]
+        miss_idx = np.setdiff1d(np.arange(len(urls)), hit_idx, assume_unique=False)
+
+        hits = batch.take(pa.array(hit_idx, pa.int64()))
+        taken = self.table.take(pa.array(self.rows[pos_c[hit_idx]], pa.int64()))
+        for name in _EMPTY_COLS:
+            hits = hits.append_column(name, taken[name])
+        hits = hits.append_column("fetch_ok", pa.array(np.ones(len(hit_idx), bool)))
+
+        misses = batch.take(pa.array(miss_idx, pa.int64()))
+        misses = misses.append_column("warc_ts", pa.nulls(len(miss_idx), pa.timestamp("us")))
+        misses = misses.append_column("html", pa.nulls(len(miss_idx), pa.binary()))
+        misses = misses.append_column("text", pa.nulls(len(miss_idx), pa.string()))
+        misses = misses.append_column("lang", pa.nulls(len(miss_idx), pa.string()))
+        misses = misses.append_column("fetch_ok", pa.array(np.zeros(len(miss_idx), bool)))
+        return pa.concat_tables([hits, misses])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         # per-host gate: the reference sends over18=1 + carries cookies per
         # request (crawler/article.py:42-44,272-273); here the verdict is
         # computed once per host per actor.
-        for u in urls:
+        for u in batch["url"].to_pylist():
             host = u.split("/", 3)[2] if "//" in u else ""
             self._gated_hosts.add(host)
 
         if "warc_ts" in batch.column_names:
             batch = batch.drop_columns(["warc_ts"])
+
+        if self.store is None:
+            return self._lookup_shared(batch)
+
+        urls = batch["url"].to_pylist()
         handles = self.store.lookup_newest(urls)
         fetched = self.store.take(handles)
         ok = pa.array([h[1] is not None for h in handles], pa.bool_())

@@ -138,7 +138,7 @@ class FrontierShard:
                 key = (-int(idx), _KIND_RANK.get(kind, 1), self.seq)
                 heapq.heappush(
                     self.heaps.setdefault(lane, []),
-                    (key, (url, board, kind, int(idx), lane)),
+                    (key, (url, board, kind, int(idx), lane, int(hashes[i]))),
                 )
                 self.seq += 1
                 self.stats["enqueued"] += 1
@@ -159,7 +159,7 @@ class FrontierShard:
         """Release ≤ politeness-budget urls per lane, in priority order.
         In strict mode a lane stops at (and blocks on) an index page."""
         self.round_no += 1
-        urls, boards, kinds, idxs, lanes = [], [], [], [], []
+        urls, boards, kinds, idxs, lanes, uhashes = [], [], [], [], [], []
         for lane in sorted(self.heaps):  # deterministic lane order
             if lane in self.blocked:
                 continue
@@ -167,9 +167,9 @@ class FrontierShard:
             budget = self._lane_budget(lane)
             released = 0
             while heap and released < budget:
-                _, (url, board, kind, idx, ln) = heapq.heappop(heap)
+                _, (url, board, kind, idx, ln, uh) = heapq.heappop(heap)
                 urls.append(url); boards.append(board); kinds.append(kind)
-                idxs.append(idx); lanes.append(ln)
+                idxs.append(idx); lanes.append(ln); uhashes.append(uh)
                 released += 1
                 if self.record_order:
                     self.order_log.append((ln, self.stats["popped"] + released, url))
@@ -188,6 +188,7 @@ class FrontierShard:
                 "kind": pa.array(kinds, pa.string()),
                 "index_no": pa.array(idxs, pa.int32()),
                 "lane": pa.array(lanes, pa.string()),
+                "url_hash": pa.array(np.array(uhashes, dtype=np.uint64), pa.uint64()),
             }
         )
 
@@ -221,14 +222,16 @@ class FrontierShard:
         os.makedirs(ckpt_dir, exist_ok=True)
         rows = []
         for lane, heap in self.heaps.items():
-            for key, (url, board, kind, idx, ln) in heap:
+            for key, (url, board, kind, idx, ln, uh) in heap:
                 rows.append({"url": url, "board": board, "kind": kind,
-                             "index_no": idx, "lane": ln, "seq": key[2]})
+                             "index_no": idx, "lane": ln, "seq": key[2],
+                             "url_hash": uh})
         pending = pa.Table.from_pylist(
             rows,
             schema=pa.schema([("url", pa.string()), ("board", pa.string()),
                               ("kind", pa.string()), ("index_no", pa.int32()),
-                              ("lane", pa.string()), ("seq", pa.int64())]),
+                              ("lane", pa.string()), ("seq", pa.int64()),
+                              ("url_hash", pa.uint64())]),
         )
         pq.write_table(pending, os.path.join(ckpt_dir, f"pending_{self.shard_id}.parquet"))
         with open(os.path.join(ckpt_dir, f"seen_{self.shard_id}.pickle"), "wb") as f:
@@ -267,5 +270,6 @@ class FrontierShard:
             key = (-row["index_no"], _KIND_RANK.get(row["kind"], 1), row["seq"])
             heapq.heappush(
                 self.heaps.setdefault(row["lane"], []),
-                (key, (row["url"], row["board"], row["kind"], row["index_no"], row["lane"])),
+                (key, (row["url"], row["board"], row["kind"], row["index_no"],
+                       row["lane"], row["url_hash"])),
             )
