@@ -32,10 +32,18 @@ def build_web(pages_table) -> dict[str, tuple[object, str]]:
     return web
 
 
-def sequential_crawl(pages_table, seed_boards: list[str]) -> dict:
+def sequential_crawl(pages_table, seed_boards: list[str], start_date=None) -> dict:
     """Returns {'visit_order': [(site, url)], 'per_site_order': {site: [url]},
     'seen': set[url], 'articles': {url: parsed dict + warc_ts},
-    'errors': {url: reason}}."""
+    'errors': {url: reason}}.
+
+    ``start_date`` replicates the reference's date-filter mode
+    (crawler/article.py:486-503): a page's articles are all fetched, then
+    only valid-date articles >= start_date are kept (unparsable dates are
+    dropped without consequence); if any valid-date article fell below the
+    threshold, older index pages are not visited."""
+    from datetime import datetime
+
     web = build_web(pages_table)
     visit_order: list[tuple[str, str]] = []
     per_site: dict[str, list[str]] = {}
@@ -53,12 +61,16 @@ def sequential_crawl(pages_table, seed_boards: list[str]) -> dict:
         probe = web.get(f"{PTT_URL}/bbs/{board}/index.html")
         last = ref_get_last_page(probe[1]) if probe else 1
         seen_ids: set[str] = set()
+        stop_below = 0
         for page_no in range(last, 0, -1):
+            if page_no < stop_below:
+                break
             index_url = f"{PTT_URL}/bbs/{board}/index{page_no}.html"
             visit(site, index_url)
             page = web.get(index_url)
             if page is None:
                 continue  # 404 index → raise_for_status in the reference; skip here
+            page_articles: list[tuple[str, dict]] = []
             for article_id, link, _ in ref_parse_index(page[1], page_no):
                 if article_id in seen_ids:
                     continue
@@ -74,6 +86,22 @@ def sequential_crawl(pages_table, seed_boards: list[str]) -> dict:
                     errors[link] = f"parse: {exc}"
                     continue
                 parsed["warc_ts"] = art[0]
+                page_articles.append((link, parsed))
+
+            if start_date is not None:
+                kept, n_valid = [], len(page_articles)
+                for link, parsed in page_articles:
+                    try:
+                        dt = datetime.strptime(parsed["date"], "%a %b %d %H:%M:%S %Y")
+                    except (TypeError, ValueError):
+                        n_valid -= 1  # undated: dropped, no cutoff (:494-499)
+                        continue
+                    if dt >= start_date:
+                        kept.append((link, parsed))
+                if len(kept) < n_valid:
+                    stop_below = page_no  # stop before older pages (:501-502)
+                page_articles = kept
+            for link, parsed in page_articles:
                 articles[link] = parsed
 
     return {

@@ -186,13 +186,21 @@ def split_article_url(url: str) -> tuple[str, str]:
 
 
 def parse_articles_batch(batch: pa.Table) -> pa.Table:
-    """Stateless map_batches fn: pages-schema batch in → ARTICLES-schema out."""
+    """Stateless map_batches fn: pages-schema batch in → ARTICLES-schema out.
+
+    ``index_no`` / ``page_pos`` input columns (the board page an article
+    url was discovered on, and its 1-based DOM position there) pass
+    through when present — they key the per-page JSON sink (K1) and the
+    date-filter crawl cutoff (M8)."""
     urls = batch["url"].to_pylist()
     htmls = batch["html"].to_pylist()
     ts = batch["warc_ts"].to_pylist()
+    names = batch.column_names
+    idxs = batch["index_no"].to_pylist() if "index_no" in names else [None] * len(urls)
+    poss = batch["page_pos"].to_pylist() if "page_pos" in names else [None] * len(urls)
 
     rows = []
-    for url, html, warc_ts in zip(urls, htmls, ts):
+    for url, html, warc_ts, idx, pos in zip(urls, htmls, ts, idxs, poss):
         board, article_id = split_article_url(url)
         base = {
             "url": url,
@@ -207,6 +215,8 @@ def parse_articles_batch(batch: pa.Table) -> pa.Table:
             "messages": None,
             "warc_ts": warc_ts,
             "error": None,
+            "index_no": idx,
+            "page_pos": pos,
         }
         if html is None:
             base["error"] = "invalid url"  # the reference's 404 record
@@ -218,8 +228,8 @@ def parse_articles_batch(batch: pa.Table) -> pa.Table:
             base["error"] = f"parse: {exc}"
             rows.append(base)
             continue
-        parsed["warc_ts"] = warc_ts
-        parsed["error"] = None
+        parsed.update({"warc_ts": warc_ts, "error": None,
+                       "index_no": idx, "page_pos": pos})
         rows.append(parsed)
 
     return pa.Table.from_pylist(rows, schema=schemas.ARTICLES)

@@ -68,19 +68,21 @@ def parse_index_batch(batch: pa.Table) -> pa.Table:
     urls = batch["url"].to_pylist()
     htmls = batch["html"].to_pylist()
 
-    web_ids, links, boards, index_nos, src_urls = [], [], [], [], []
+    web_ids, links, boards, index_nos, src_urls, poss = [], [], [], [], [], []
     for url, html in zip(urls, htmls):
         if html is None:
             continue
         m = re.search(r"/bbs/([^/]+)/", url)
         board = m.group(1) if m else ""
         idx = index_no_of(url)
-        for web_id, link, _ in extract_index_links(html.decode("utf-8"), idx):
+        for pos, (web_id, link, _) in enumerate(
+                extract_index_links(html.decode("utf-8"), idx), start=1):
             web_ids.append(web_id)
             links.append(link)
             boards.append(board)
             index_nos.append(idx)
             src_urls.append(url)
+            poss.append(pos)  # 1-based DOM position on the page
 
     return pa.Table.from_pydict(
         {
@@ -89,5 +91,6 @@ def parse_index_batch(batch: pa.Table) -> pa.Table:
             "board": pa.array(boards, pa.string()),
             "index_no": pa.array(index_nos, pa.int32()),
             "src_url": pa.array(src_urls, pa.string()),
+            "page_pos": pa.array(poss, pa.int32()),
         }
     )

@@ -72,6 +72,24 @@ class CrawlConfig:
     # for the fine-grained rounds strict ordering implies).  'auto' picks
     # 'actors' when strict_order else 'rayds'.
     engine: str = "auto"
+    # M8 date-filter mode (reference crawler/article.py:486-503): keep only
+    # articles with a parseable date >= start_date; a page yielding a
+    # too-old article cuts that board's older index pages from the
+    # frontier.  The cutoff is exact in strict-order mode (pages issue
+    # serially per lane); in throughput mode older pages may already be in
+    # flight and only the row filter applies.
+    start_date: "object" = None  # datetime | None
+    # upgrade / re-crawl mode (reference --upgrade, crawler/article.py:55):
+    # bypass the seen-set so already-crawled urls are fetched again
+    upgrade: bool = False
+    # fetch time-travel: serve the newest snapshot with warc_ts <= asof_ts
+    # (None = newest).  Distinct asof runs produce distinct versions.
+    asof_ts: "object" = None
+    # 'full' | 'before' | 'after' — index seeding range (reference
+    # article_index.py --before/--after watermark modes, :37-54):
+    # before = [1, prior min watermark], after = [prior max, live last]
+    seed_mode: str = "full"
+    prior_watermarks: dict | None = None  # board -> [min_index, max_index]
 
 
 class ProcessPages:
@@ -83,10 +101,13 @@ class ProcessPages:
     rows for 404s and parse failures.
     """
 
-    def __init__(self, shard_handles: list, num_shards: int, split: dict):
+    def __init__(self, shard_handles: list, num_shards: int, split: dict,
+                 start_date=None, force: bool = False):
         self.shards = shard_handles
         self.num_shards = num_shards
         self.split = split
+        self.start_date = start_date
+        self.force = force  # upgrade mode: enqueue past the seen-set
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         is_index = pc.equal(batch["kind"], "index")
@@ -101,11 +122,14 @@ class ProcessPages:
                 url = links["url"][i].as_py()
                 board = links["board"][i].as_py()
                 idx = links["index_no"][i].as_py()
+                pos = links["page_pos"][i].as_py()
                 lane = lane_of(url, board, self.split)
                 s = shard_of(lane, self.num_shards)
-                d = adds.setdefault(s, {"url": [], "board": [], "kind": [], "index_no": []})
+                d = adds.setdefault(s, {"url": [], "board": [], "kind": [],
+                                        "index_no": [], "page_pos": []})
                 d["url"].append(url); d["board"].append(board)
                 d["kind"].append("article"); d["index_no"].append(idx)
+                d["page_pos"].append(pos)
 
             acks: dict[int, list[str]] = {}
             for i in range(index_rows.num_rows):
@@ -113,25 +137,58 @@ class ProcessPages:
                 acks.setdefault(shard_of(lane, self.num_shards), []).append(lane)
 
             for s in set(adds) | set(acks):
-                d = adds.get(s)
-                tbl = (pa.table({"url": pa.array(d["url"], pa.string()),
-                                 "board": pa.array(d["board"], pa.string()),
-                                 "kind": pa.array(d["kind"], pa.string()),
-                                 "index_no": pa.array(d["index_no"], pa.int32())})
-                       if d else pa.table({"url": pa.array([], pa.string()),
-                                           "board": pa.array([], pa.string()),
-                                           "kind": pa.array([], pa.string()),
-                                           "index_no": pa.array([], pa.int32())}))
-                pending.append(self.shards[s].add.remote(tbl, acks=acks.get(s, [])))
+                d = adds.get(s) or {"url": [], "board": [], "kind": [],
+                                    "index_no": [], "page_pos": []}
+                tbl = pa.table({"url": pa.array(d["url"], pa.string()),
+                                "board": pa.array(d["board"], pa.string()),
+                                "kind": pa.array(d["kind"], pa.string()),
+                                "index_no": pa.array(d["index_no"], pa.int32()),
+                                "page_pos": pa.array(d["page_pos"], pa.int32())})
+                pending.append(self.shards[s].add.remote(tbl, acks=acks.get(s, []),
+                                                         force=self.force))
 
         if article_rows.num_rows:
             out = parse_articles_batch(article_rows)
+            if self.start_date is not None:
+                out, cuts = self._apply_date_filter(out)
+                for board, idx in cuts.items():
+                    # broadcast: any shard may own one of the board's lanes
+                    pending.extend(s.cut_below.remote(board, idx) for s in self.shards)
         else:
             out = pa.Table.from_pylist([], schema=schemas.ARTICLES)
 
         if pending:
             ray.get(pending)  # links + acks delivered before the batch completes
         return out
+
+    def _apply_date_filter(self, out: pa.Table):
+        """Reference date-filter semantics (crawler/article.py:486-503):
+        keep valid-date articles >= start_date; unparsable dates are
+        dropped without triggering the cutoff; a too-old valid date cuts
+        the board's older index pages."""
+        from ..parsing.scalars import parse_article_date
+
+        keep, cuts = [], {}
+        dates = out["date"].to_pylist()
+        errors = out["error"].to_pylist()
+        boards = out["board"].to_pylist()
+        idxs = out["index_no"].to_pylist()
+        for i in range(out.num_rows):
+            if errors[i] is not None:
+                keep.append(True)  # typed error rows always surface
+                continue
+            dt = parse_article_date(dates[i])
+            if dt is None:
+                keep.append(False)  # undated: dropped, no cutoff
+                continue
+            if dt >= self.start_date:
+                keep.append(True)
+            else:
+                keep.append(False)
+                b, n = boards[i], idxs[i]
+                if n is not None:
+                    cuts[b] = max(cuts.get(b, -1), n)
+        return out.filter(pa.array(keep)), cuts
 
 
 class CrawlWorker:
@@ -141,17 +198,24 @@ class CrawlWorker:
     raw actors only where per-round Dataset overhead would dominate)."""
 
     def __init__(self, corpus_dir: str, shard_handles: list, num_shards: int,
-                 split: dict, index: dict | None = None):
-        self.fetch = FetchPages(corpus_dir=None if index else corpus_dir, index=index)
-        self.process = ProcessPages(shard_handles, num_shards, split)
+                 split: dict, index: dict | None = None, asof_ts=None,
+                 start_date=None, force: bool = False):
+        self.fetch = FetchPages(corpus_dir=None if index else corpus_dir,
+                                index=index, asof_ts=asof_ts)
+        self.process = ProcessPages(shard_handles, num_shards, split,
+                                    start_date=start_date, force=force)
 
     def run(self, batch: pa.Table) -> pa.Table:
         return self.process(self.fetch(batch))
 
 
-def _seed_rows(shared_index: dict, boards: list[str]) -> pa.Table:
-    """Last-page probe against the shared pages index (no bucket loads)."""
-    fetch = FetchPages(index=shared_index)
+def _seed_rows(shared_index: dict, boards: list[str], seed_mode: str = "full",
+               prior_watermarks: dict | None = None, asof_ts=None) -> pa.Table:
+    """Index-page seeds: last-page probe against the shared pages index,
+    ranged by seed_mode (reference article_index.py --before/--after
+    watermark modes, :37-54): full = [1, live last], after = [prior max
+    watermark, live last], before = [1, prior min watermark]."""
+    fetch = FetchPages(index=shared_index, asof_ts=asof_ts)
     probe = pa.table({"url": pa.array(
         [f"{PTT_URL}/bbs/{b}/index.html" for b in boards], pa.string())})
     res = fetch(probe)
@@ -159,15 +223,41 @@ def _seed_rows(shared_index: dict, boards: list[str]) -> pa.Table:
     for u, html in zip(res["url"].to_pylist(), res["html"].to_pylist()):
         board = u.split("/bbs/")[1].split("/")[0]
         last_by_board[board] = get_last_page(html.decode("utf-8")) if html else 1
+
+    wm = prior_watermarks or {}
     urls, bs, kinds, idxs = [], [], [], []
     for board in boards:
-        for n in range(last_by_board.get(board, 1), 0, -1):  # newest first (O1)
+        live_last = last_by_board.get(board, 1)
+        if seed_mode == "after":
+            lo = wm.get(board, [1, 1])[1]
+            hi = live_last
+        elif seed_mode == "before":
+            lo = 1
+            hi = wm.get(board, [live_last, live_last])[0]
+        else:
+            lo, hi = 1, live_last
+        for n in range(hi, lo - 1, -1):  # newest first (O1)
             urls.append(f"{PTT_URL}/bbs/{board}/index{n}.html")
             bs.append(board); kinds.append("index"); idxs.append(n)
     return pa.table({"url": pa.array(urls, pa.string()),
                      "board": pa.array(bs, pa.string()),
                      "kind": pa.array(kinds, pa.string()),
                      "index_no": pa.array(idxs, pa.int32())})
+
+
+def load_watermarks(out_dir: str) -> dict:
+    """Board watermarks from a prior run's frontier checkpoint (A2)."""
+    import glob as _glob
+
+    wm: dict[str, list] = {}
+    for path in _glob.glob(os.path.join(out_dir, "checkpoint", "shard_*.json")):
+        with open(path) as f:
+            meta = json.load(f)
+        for board, (lo, hi) in meta.get("watermarks", {}).items():
+            cur = wm.setdefault(board, [lo, hi])
+            cur[0] = min(cur[0], lo)
+            cur[1] = max(cur[1], hi)
+    return wm
 
 
 def _route_add(shards, table: pa.Table, num_shards: int, split: dict, force=False):
@@ -207,6 +297,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             site_delays=site_delays, split=cfg.split,
             seen_capacity=cfg.seen_capacity, use_cuckoo=cfg.use_cuckoo,
             strict_order=cfg.strict_order, record_order=cfg.record_order,
+            index_round_barrier=(cfg.strict_order and cfg.start_date is not None),
         )
         for s in range(cfg.num_shards)
     ]
@@ -235,8 +326,9 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             sp = os.path.join(out_dir, sub)
             if os.path.isdir(sp):
                 shutil.rmtree(sp)
-        seeds = _seed_rows(shared_index, boards)
-        _route_add(shards, seeds, cfg.num_shards, cfg.split)
+        seeds = _seed_rows(shared_index, boards, cfg.seed_mode,
+                           cfg.prior_watermarks, cfg.asof_ts)
+        _route_add(shards, seeds, cfg.num_shards, cfg.split, force=cfg.upgrade)
 
     engine = cfg.engine
     if engine == "auto":
@@ -248,7 +340,8 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         workers = [
             WorkerActor.options(num_cpus=1).remote(
                 corpus_dir=corpus_dir, shard_handles=shards,
-                num_shards=cfg.num_shards, split=cfg.split, index=shared_index)
+                num_shards=cfg.num_shards, split=cfg.split, index=shared_index,
+                asof_ts=cfg.asof_ts, start_date=cfg.start_date, force=cfg.upgrade)
             for _ in range(n_workers)
         ]
 
@@ -295,7 +388,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             ds = rd.from_arrow(slices)
             ds = ds.map_batches(
                 FetchPages,
-                fn_constructor_kwargs={"index": shared_index},
+                fn_constructor_kwargs={"index": shared_index, "asof_ts": cfg.asof_ts},
                 batch_format="pyarrow", batch_size=cfg.batch_size,
                 concurrency=(1, cfg.fetch_concurrency), num_cpus=1,
             )
@@ -303,7 +396,9 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
                 ProcessPages,
                 fn_constructor_kwargs={"shard_handles": shards,
                                        "num_shards": cfg.num_shards,
-                                       "split": cfg.split},
+                                       "split": cfg.split,
+                                       "start_date": cfg.start_date,
+                                       "force": cfg.upgrade},
                 batch_format="pyarrow", batch_size=cfg.batch_size,
                 concurrency=(1, cfg.process_concurrency), num_cpus=1,
             )

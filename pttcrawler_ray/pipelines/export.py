@@ -147,6 +147,45 @@ def export_users(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "
     ])
 
 
+def write_page_json(out_dir: str, dest: str, prefix: str = "") -> int:
+    """The per-index-page JSON sink (K1, reference ``_output_json`` at
+    crawler/article.py:91-100): one file ``{prefix}{board}_{index}.json``
+    per crawled index page, containing that page's article dicts in DOM
+    order, dumped with the reference's exact formatting (sort_keys,
+    indent=4, ensure_ascii=False) — byte-stable vs the reference layout.
+
+    Runs as a distributed ``groupby(board, index_no).map_groups`` where
+    each group writes its own file; returns the number of files written.
+    """
+    import json as _json
+
+    os.makedirs(dest, exist_ok=True)
+    ds = latest_articles(out_dir)
+
+    def dump_page(group: pa.Table) -> pa.Table:
+        rows = group.sort_by("page_pos").to_pylist()
+        board = rows[0]["board"]
+        index = rows[0]["index_no"]
+        page = []
+        for r in rows:
+            page.append({
+                "url": r["url"], "board": r["board"], "article_id": r["article_id"],
+                "article_title": r["article_title"], "author": r["author"],
+                "date": r["date"], "content": r["content"], "ip": r["ip"],
+                "message_count": r["message_count"], "messages": r["messages"],
+            })
+        path = os.path.join(dest, f"{prefix}{board}_{index}.json")
+        with open(path, "w", encoding="utf-8") as f:
+            _json.dump(page, f, sort_keys=True, indent=4, ensure_ascii=False)
+        return pa.table({"board": pa.array([board], pa.string()),
+                         "index_no": pa.array([index], pa.int32()),
+                         "n_articles": pa.array([len(rows)], pa.int64())})
+
+    written = ds.groupby(["board", "index_no"]).map_groups(
+        dump_page, batch_format="pyarrow")
+    return written.count()
+
+
 def export_run(out_dir: str, corpus_dir: str, dest: str, fmt: str = "csv") -> dict:
     """Write all three sheets; returns row counts (K4 sink)."""
     ip_asn = build_ip_asn_map(out_dir, corpus_dir)

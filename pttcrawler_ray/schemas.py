@@ -66,6 +66,8 @@ ARTICLES = pa.schema(
         ("messages", pa.list_(MESSAGE)),
         ("warc_ts", pa.timestamp("us")),  # version key (ArticleHistory analog)
         ("error", pa.string()),  # non-200 → 'invalid url' (crawler/article.py:274-276)
+        ("index_no", pa.int32()),   # board index page the url was found on
+        ("page_pos", pa.int32()),   # 1-based DOM position within that page
     ]
 )
 

@@ -123,6 +123,11 @@ def build_shared_index(corpus_dir: str):
         "table": ray.put(table),
         "hashes": ray.put(uniq_hashes),
         "rows": ray.put(uniq_rows),
+        # full (hash, ts)-sorted arrays for as-of fetches (upgrade/re-crawl:
+        # serve the newest snapshot with warc_ts <= asof)
+        "hashes_full": ray.put(h_sorted),
+        "ts_full": ray.put(ts_i[order]),
+        "rows_full": ray.put(order.astype(np.int64)),
     }
 
 
@@ -139,25 +144,55 @@ class FetchPages:
     actor builds its own bucket index — kept for standalone use).
     """
 
-    def __init__(self, corpus_dir: str | None = None, index: dict | None = None):
+    def __init__(self, corpus_dir: str | None = None, index: dict | None = None,
+                 asof_ts=None):
         import ray
 
+        self.asof_i64 = (None if asof_ts is None
+                         else np.datetime64(asof_ts, "us").astype(np.int64))
         if index is not None:
             self.table: pa.Table = ray.get(index["table"])
             self.hashes: np.ndarray = ray.get(index["hashes"])
             self.rows: np.ndarray = ray.get(index["rows"])
+            if self.asof_i64 is not None:
+                self.hashes_full: np.ndarray = ray.get(index["hashes_full"])
+                self.ts_full: np.ndarray = ray.get(index["ts_full"])
+                self.rows_full: np.ndarray = ray.get(index["rows_full"])
             self.store = None
         else:
+            if asof_ts is not None:
+                raise ValueError("asof fetches need the shared index")
             self.store = PagesStore(corpus_dir)
         self._gated_hosts: set[str] = set()  # over18/robots verdict cache (T1)
+
+    def _resolve_rows(self, h: np.ndarray) -> np.ndarray:
+        """Row id of the snapshot to serve per hash, -1 for miss."""
+        if self.asof_i64 is None:
+            pos = np.searchsorted(self.hashes, h)
+            pos_c = np.minimum(pos, max(len(self.hashes) - 1, 0))
+            found = (self.hashes[pos_c] == h) if len(self.hashes) else np.zeros(len(h), bool)
+            out = np.full(len(h), -1, dtype=np.int64)
+            out[found] = self.rows[pos_c[found]]
+            return out
+        # as-of: newest snapshot with warc_ts <= asof (404 if none yet)
+        lo = np.searchsorted(self.hashes_full, h, side="left")
+        hi = np.searchsorted(self.hashes_full, h, side="right")
+        out = np.full(len(h), -1, dtype=np.int64)
+        for i in range(len(h)):
+            if lo[i] == hi[i]:
+                continue
+            sub = self.ts_full[lo[i]:hi[i]]
+            j = int(np.searchsorted(sub, self.asof_i64, side="right")) - 1
+            if j >= 0:
+                out[i] = self.rows_full[lo[i] + j]
+        return out
 
     def _lookup_shared(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         h = np.fromiter((hash_u64(u) for u in urls), dtype=np.uint64, count=len(urls))
-        pos = np.searchsorted(self.hashes, h)
-        pos_c = np.minimum(pos, len(self.hashes) - 1)
-        found = (self.hashes[pos_c] == h) if len(self.hashes) else np.zeros(len(h), bool)
-        rowids = self.rows[pos_c[found]]
+        resolved = self._resolve_rows(h)
+        found = resolved >= 0
+        rowids = resolved[found]
 
         hit_rows = self.table.take(pa.array(rowids, pa.int64()))
         # verify against hash collisions (different url, same 64-bit hash)
@@ -168,7 +203,7 @@ class FetchPages:
         miss_idx = np.setdiff1d(np.arange(len(urls)), hit_idx, assume_unique=False)
 
         hits = batch.take(pa.array(hit_idx, pa.int64()))
-        taken = self.table.take(pa.array(self.rows[pos_c[hit_idx]], pa.int64()))
+        taken = self.table.take(pa.array(resolved[hit_idx], pa.int64()))
         for name in _EMPTY_COLS:
             hits = hits.append_column(name, taken[name])
         hits = hits.append_column("fetch_ok", pa.array(np.ones(len(hit_idx), bool)))

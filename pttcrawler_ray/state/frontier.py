@@ -79,6 +79,7 @@ class FrontierShard:
         use_cuckoo: bool = False,
         strict_order: bool = True,
         record_order: bool = False,
+        index_round_barrier: bool = False,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -88,6 +89,10 @@ class FrontierShard:
         self.split = split or {}
         self.strict_order = strict_order
         self.record_order = record_order
+        # date-filter mode: an index page never pops in the same round as
+        # articles, so a cut_below issued while page N's articles process
+        # lands before index N-1 is released (exact reference cutoff M8)
+        self.index_round_barrier = index_round_barrier
 
         self.seen = (CuckooFilter(seen_capacity) if use_cuckoo
                      else BloomFilter(seen_capacity))
@@ -122,6 +127,8 @@ class FrontierShard:
             boards = batch["board"].to_pylist()
             kinds = batch["kind"].to_pylist()
             index_nos = batch["index_no"].to_pylist()
+            poss = (batch["page_pos"].to_pylist() if "page_pos" in batch.column_names
+                    else [0] * n_in)
 
             hashes = hash_u64_many([canonicalize_url(u) for u in urls])
             if force:
@@ -138,7 +145,8 @@ class FrontierShard:
                 key = (-int(idx), _KIND_RANK.get(kind, 1), self.seq)
                 heapq.heappush(
                     self.heaps.setdefault(lane, []),
-                    (key, (url, board, kind, int(idx), lane, int(hashes[i]))),
+                    (key, (url, board, kind, int(idx), lane, int(hashes[i]),
+                           int(poss[i] or 0))),
                 )
                 self.seq += 1
                 self.stats["enqueued"] += 1
@@ -159,7 +167,7 @@ class FrontierShard:
         """Release ≤ politeness-budget urls per lane, in priority order.
         In strict mode a lane stops at (and blocks on) an index page."""
         self.round_no += 1
-        urls, boards, kinds, idxs, lanes, uhashes = [], [], [], [], [], []
+        urls, boards, kinds, idxs, lanes, uhashes, poss = [], [], [], [], [], [], []
         for lane in sorted(self.heaps):  # deterministic lane order
             if lane in self.blocked:
                 continue
@@ -167,9 +175,13 @@ class FrontierShard:
             budget = self._lane_budget(lane)
             released = 0
             while heap and released < budget:
-                _, (url, board, kind, idx, ln, uh) = heapq.heappop(heap)
+                if (self.index_round_barrier and released > 0
+                        and heap[0][1][2] == "index"):
+                    break  # defer the next index page to the next round
+                _, (url, board, kind, idx, ln, uh, pos) = heapq.heappop(heap)
                 urls.append(url); boards.append(board); kinds.append(kind)
                 idxs.append(idx); lanes.append(ln); uhashes.append(uh)
+                poss.append(pos)
                 released += 1
                 if self.record_order:
                     self.order_log.append((ln, self.stats["popped"] + released, url))
@@ -189,8 +201,30 @@ class FrontierShard:
                 "index_no": pa.array(idxs, pa.int32()),
                 "lane": pa.array(lanes, pa.string()),
                 "url_hash": pa.array(np.array(uhashes, dtype=np.uint64), pa.uint64()),
+                "page_pos": pa.array(poss, pa.int32()),
             }
         )
+
+    def cut_below(self, board: str, index_no: int) -> int:
+        """Date-filter crawl cutoff (M8, reference crawler/article.py:501-502):
+        once a page yields a too-old article, stop issuing that board's
+        OLDER index pages.  Removes queued index entries with
+        index_no < ``index_no``; returns the number removed."""
+        removed = 0
+        for lane, heap in list(self.heaps.items()):
+            site_board = lane.rsplit("#", 1)[0].rsplit("/", 1)[-1]
+            if site_board != board:
+                continue
+            kept = [item for item in heap
+                    if not (item[1][2] == "index" and item[1][3] < index_no)]
+            removed += len(heap) - len(kept)
+            if kept:
+                heapq.heapify(kept)
+                self.heaps[lane] = kept
+            else:
+                del self.heaps[lane]
+        self.stats["cut"] = self.stats.get("cut", 0) + removed
+        return removed
 
     # ------------------------------------------------------------ inspection
     def depth(self) -> int:
@@ -222,16 +256,16 @@ class FrontierShard:
         os.makedirs(ckpt_dir, exist_ok=True)
         rows = []
         for lane, heap in self.heaps.items():
-            for key, (url, board, kind, idx, ln, uh) in heap:
+            for key, (url, board, kind, idx, ln, uh, pos) in heap:
                 rows.append({"url": url, "board": board, "kind": kind,
                              "index_no": idx, "lane": ln, "seq": key[2],
-                             "url_hash": uh})
+                             "url_hash": uh, "page_pos": pos})
         pending = pa.Table.from_pylist(
             rows,
             schema=pa.schema([("url", pa.string()), ("board", pa.string()),
                               ("kind", pa.string()), ("index_no", pa.int32()),
                               ("lane", pa.string()), ("seq", pa.int64()),
-                              ("url_hash", pa.uint64())]),
+                              ("url_hash", pa.uint64()), ("page_pos", pa.int32())]),
         )
         pq.write_table(pending, os.path.join(ckpt_dir, f"pending_{self.shard_id}.parquet"))
         with open(os.path.join(ckpt_dir, f"seen_{self.shard_id}.pickle"), "wb") as f:
@@ -271,5 +305,5 @@ class FrontierShard:
             heapq.heappush(
                 self.heaps.setdefault(row["lane"], []),
                 (key, (row["url"], row["board"], row["kind"], row["index_no"],
-                       row["lane"], row["url_hash"])),
+                       row["lane"], row["url_hash"], row["page_pos"])),
             )
