@@ -191,6 +191,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return minhash_lsh_pairs(docs, threshold=0.5)
 
+    def ngram_jaccard_docs(sf_dir):
+        import ray.data as rd
+        from pttcrawler_ray.textops.dedup import ngram_jaccard_pairs
+
+        _ctx()
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        return ngram_jaccard_pairs(docs, threshold=0.5)
+
     def simhash_pairs_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import simhash_pairs
@@ -268,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": langid_docs,
         "fingerprint_docs": fingerprint_docs,
         "minhash_pairs_docs": minhash_pairs_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "embedding_neardup": embedding_neardup,
         "knn_ivf": knn_ivf_q,

@@ -1,0 +1,173 @@
+"""CLI — the engine's counterpart to the reference's module registry
+(reference ``crawler/__main__.py:57-76`` dispatching CrawlerModule members,
+plus the standalone export.py / query.py entry points).
+
+Subcommands::
+
+    python -m pttcrawler_ray gen      --out DIR [--articles N] [--boards N]
+    python -m pttcrawler_ray crawl    --corpus DIR --out DIR [--strict]
+        [--start-date YYYY-MM-DD] [--upgrade] [--resume]
+        [--seed-mode full|before|after] [--shards N] [--num-cpus N]
+    python -m pttcrawler_ray export   --corpus DIR --crawl DIR --dest DIR
+        [--format csv|json]
+    python -m pttcrawler_ray pagejson --crawl DIR --dest DIR [--prefix P]
+    python -m pttcrawler_ray query    --corpus DIR --crawl DIR --board-name B
+        [--date-range START END]
+    python -m pttcrawler_ray users    --corpus DIR
+    python -m pttcrawler_ray asn      --corpus DIR --crawl DIR
+
+The CLI owns its Ray session (``ray.init(address='local')``); library code
+never initialises Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime
+
+
+def _valid_date(s: str) -> datetime:
+    try:
+        return datetime.strptime(s, "%Y-%m-%d")
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f'Given date ({s}) not valid! Expected format "YYYY-MM-DD"!')
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    kwargs = dict(address="local", include_dashboard=False,
+                  ignore_reinit_error=True, logging_level="ERROR")
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    if not ray.is_initialized():
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="pttcrawler_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a synthetic pages corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--articles", type=int, default=600)
+    g.add_argument("--boards", type=int, default=3)
+    g.add_argument("--seed", type=int, default=42)
+
+    c = sub.add_parser("crawl", help="run the frontier crawl")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--strict", action="store_true",
+                   help="exact reference per-site ordering (default: throughput mode)")
+    c.add_argument("--start-date", type=_valid_date, default=None)
+    c.add_argument("--upgrade", action="store_true")
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--seed-mode", choices=["full", "before", "after"], default="full")
+    c.add_argument("--shards", type=int, default=4)
+    c.add_argument("--num-cpus", type=int, default=None)
+
+    e = sub.add_parser("export", help="denormalized Article/Push/User sheets")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--crawl", required=True)
+    e.add_argument("--dest", required=True)
+    e.add_argument("--format", choices=["csv", "json"], default="csv")
+
+    pj = sub.add_parser("pagejson", help="per-index-page JSON files (reference layout)")
+    pj.add_argument("--crawl", required=True)
+    pj.add_argument("--dest", required=True)
+    pj.add_argument("--prefix", default="")
+
+    q = sub.add_parser("query", help="TW vs non-TW ip report for a board")
+    q.add_argument("--corpus", required=True)
+    q.add_argument("--crawl", required=True)
+    q.add_argument("--board-name", required=True, type=str.lower)
+    q.add_argument("--date-range", nargs=2, type=_valid_date, metavar=("START", "END"))
+
+    u = sub.add_parser("users", help="user-screen extraction table")
+    u.add_argument("--corpus", required=True)
+
+    a = sub.add_parser("asn", help="enrich crawled ips against the asn db")
+    a.add_argument("--corpus", required=True)
+    a.add_argument("--crawl", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .fixtures import generate_corpus
+
+        manifest = generate_corpus(args.out, seed=args.seed,
+                                   total_articles=args.articles,
+                                   n_boards=args.boards)
+        print(json.dumps({"boards": manifest["boards"],
+                          "pages": manifest["n_pages_rows"]}))
+        return 0
+
+    _init_ray(getattr(args, "num_cpus", None))
+    import ray
+
+    try:
+        if args.cmd == "crawl":
+            from .pipelines.crawl import CrawlConfig, load_watermarks, run_crawl
+
+            wm = (load_watermarks(args.out)
+                  if args.seed_mode in ("before", "after") else None)
+            cfg = CrawlConfig(num_shards=args.shards, strict_order=args.strict,
+                              round_seconds=(30.0 if args.strict else 3600.0),
+                              start_date=args.start_date, upgrade=args.upgrade,
+                              seed_mode=args.seed_mode, prior_watermarks=wm,
+                              fetch_concurrency=4, process_concurrency=4)
+            s = run_crawl(args.corpus, args.out, cfg, resume=args.resume)
+            print(json.dumps({k: s[k] for k in ("rounds", "popped", "elapsed_s",
+                                                "urls_per_sec")}))
+        elif args.cmd == "export":
+            from .pipelines.export import export_run
+
+            print(json.dumps(export_run(args.crawl, args.corpus, args.dest,
+                                        fmt=args.format)))
+        elif args.cmd == "pagejson":
+            from .pipelines.export import write_page_json
+
+            n = write_page_json(args.crawl, args.dest, prefix=args.prefix)
+            print(json.dumps({"files": n}))
+        elif args.cmd == "query":
+            from .pipelines.query import board_ip_report
+
+            tbl = board_ip_report(args.crawl, args.corpus, args.board_name,
+                                  date_range=tuple(args.date_range) if args.date_range else None)
+            df = tbl.to_pandas()
+            print(df.to_string(index=False))
+        elif args.cmd == "users":
+            from .pipelines.users import users_dataset
+
+            df = users_dataset(args.corpus).to_pandas()
+            print(df.to_string(index=False, max_rows=50))
+        elif args.cmd == "asn":
+            import os
+
+            from .pipelines.asn import distinct_ips, enrich_ips
+            from .pipelines.crawl import latest_articles
+            from .stages.normalize import explode_pushes_batch
+
+            latest = latest_articles(args.crawl)
+            pushes = latest.map_batches(explode_pushes_batch, batch_format="pyarrow")
+            dim = enrich_ips(distinct_ips(latest, pushes),
+                             os.path.join(args.corpus, "asn_db.parquet"))
+            df = dim.to_pandas()
+            print(df.to_string(index=False, max_rows=30))
+            print(json.dumps({"ips": len(df),
+                              "resolved": int(df["asn"].notna().sum())}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,6 +112,26 @@ def test_minhash_lsh(ray_session):
     assert len(kept) == 31
 
 
+def test_ngram_jaccard(ray_session):
+    from pttcrawler_ray.textops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    base = [f"tok{i}" for i in range(60)]
+    near = list(base)
+    near[7] = "swapped"
+    rows = [{"doc_id": 1, "text": " ".join(base)},
+            {"doc_id": 2, "text": " ".join(near)}]
+    for i in range(10, 40):
+        rng = np.random.default_rng(i)
+        rows.append({"doc_id": i, "text": " ".join(f"q{i}_{j}" for j in range(60))})
+    ds = rd.from_items(rows)
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(1, 2)}
+    # exact jaccard value: 58 shingles each (k=3), sharing all but 3+3 windows
+    j = pairs["jaccard"].iloc[0]
+    mh = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert j == mh[ (mh["doc_a"]==1) & (mh["doc_b"]==2) ]["jaccard"].iloc[0]
+
+
 def test_simhash(ray_session):
     from pttcrawler_ray.textops.dedup import simhash_pairs
 
