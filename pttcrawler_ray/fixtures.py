@@ -355,7 +355,7 @@ _SCALE_PRESETS = {
     "bench": dict(total_articles=60000, n_boards=6, n_buckets=32),
     # scaling evidence runs: big enough that fixed per-run overheads
     # (index build, seed, round boundaries) are noise vs the parallel work
-    "scaling": dict(total_articles=150000, n_boards=8, n_buckets=32),
+    "scaling": dict(total_articles=400000, n_boards=8, n_buckets=32),
 }
 
 

@@ -57,6 +57,102 @@ def _first_meta_value_string(metaline: Node):
 
 
 def parse_article_html(html_text: str, article_id: str, board: str, link: str) -> dict:
+    """Hot-path parse: single-pass scanner (see fastscan.py), no DOM build.
+    Byte-identical to :func:`parse_article_html_dom` and the vendored
+    oracle (triple-checked in tests/test_parse_golden.py)."""
+    from .fastscan import META, META_RIGHT, PUSH, scan_article
+
+    texts, metaline_values, push_recs, found_main = scan_article(html_text)
+    if not found_main:
+        raise ParseError("no main-content")
+
+    author = ""
+    title = ""
+    date = ""
+    if metaline_values:
+        if len(metaline_values) < 3:
+            raise ParseError("missing metalines")
+
+        def val(x):
+            if x is ...:  # reference select(...)[0] would raise IndexError
+                raise ParseError("missing article-meta-value span")
+            return x.string
+
+        author = val(metaline_values[0])
+        title = val(metaline_values[1])
+        date = val(metaline_values[2])
+        excluded = (META, META_RIGHT, PUSH)
+    else:
+        transcription = next((t for _, t in texts if _TRANSCRIBER.search(t)), None)
+        if transcription is None:
+            raise ParseError("此文章被編輯過，解析出現問題。")  # PostException path
+        m = _TRANSCRIBER_DETAIL.search(transcription)
+        if m:
+            author = m.group(1)
+            date = datetime.strptime(m.group(2), "%m/%d/%Y %H:%M:%S").strftime(
+                "%a %b %d %H:%M:%S %Y"
+            )
+        excluded = (PUSH,)
+
+    remaining = [t for r, t in texts if r not in excluded]
+
+    ip = None
+    ip_line = next((t for t in remaining if _POST_HOST.search(t)), None)
+    if ip_line is not None:
+        m = _IPV4.search(ip_line)
+        if m:
+            ip = m.group()
+
+    kept = []
+    for t in remaining:
+        s = t.strip()
+        if not s or s[0] in "※◆" or s[:2] == "--":
+            continue
+        s = _WHITELIST.sub("", s)
+        if s and article_id not in s:
+            kept.append(s)
+    content = _WS_RUN.sub(" ", " ".join(kept))
+
+    p = b = n = 0
+    messages = []
+    for rec in push_recs:
+        tag_rec = rec.get("push-tag")
+        if tag_rec is None:
+            continue
+        push_tag = (tag_rec.string or "").strip(" \t\n\r")
+        push_userid = (rec["push-userid"].string or "").strip(" \t\n\r")
+        push_content = " ".join(rec["push-content"].texts)[1:].strip(" \t\n\r")
+        push_ipdatetime = (rec["push-ipdatetime"].string or "").strip(" \t\n\r")
+        messages.append(
+            {
+                "push_tag": push_tag,
+                "push_userid": push_userid,
+                "push_content": push_content,
+                "push_ipdatetime": push_ipdatetime,
+            }
+        )
+        if push_tag == "推":
+            p += 1
+        elif push_tag == "噓":
+            b += 1
+        else:
+            n += 1
+
+    return {
+        "url": link,
+        "board": board,
+        "article_id": article_id,
+        "article_title": title,
+        "author": author,
+        "date": date,
+        "content": content,
+        "ip": ip,
+        "message_count": {"all": p + b + n, "count": p - b, "push": p, "boo": b, "neutral": n},
+        "messages": messages,
+    }
+
+
+def parse_article_html_dom(html_text: str, article_id: str, board: str, link: str) -> dict:
     root = parse_html(html_text)
     main = root.find(id="main-content")
     if main is None:

