@@ -37,6 +37,18 @@ def _ctx():
 # --------------------------------------------------------------------------
 _SCALE_BY_SF = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "t2"}
 _CRAWL_CACHE: dict[str, str] = {}
+_IP_ASN_CACHE: dict[str, dict] = {}
+
+
+def _ip_asn_for(scale: str) -> dict:
+    """The IpAsn broadcast dim, built once per crawl scale."""
+    if scale not in _IP_ASN_CACHE:
+        from pttcrawler_ray.fixtures import corpus_for_scale
+        from pttcrawler_ray.pipelines.export import build_ip_asn_map
+
+        _IP_ASN_CACHE[scale] = build_ip_asn_map(_crawl_out(scale),
+                                                corpus_for_scale(scale))
+    return _IP_ASN_CACHE[scale]
 
 
 def _scale_of(sf_dir: str) -> str:
@@ -58,6 +70,9 @@ def _crawl_out(scale: str) -> str:
                           fetch_concurrency=4, process_concurrency=4,
                           engine="actors", seen_capacity=1_000_000)
         run_crawl(corpus, out, cfg)
+    from pttcrawler_ray.pipelines.crawl import materialize_latest
+
+    materialize_latest(out)  # the dedupe view is read by several queries
     _CRAWL_CACHE[scale] = out
     return out
 
@@ -116,14 +131,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.pipelines.export import export_articles
 
         scale = _scale_of(sf_dir)
-        return export_articles(_crawl_out(scale), corpus_for_scale(scale))
+        return export_articles(_crawl_out(scale), corpus_for_scale(scale),
+                               ip_asn=_ip_asn_for(scale))
 
     def crawl_report(sf_dir):
         from pttcrawler_ray.fixtures import corpus_for_scale
         from pttcrawler_ray.pipelines.query import board_ip_report
 
         scale = _scale_of(sf_dir)
-        return board_ip_report(_crawl_out(scale), corpus_for_scale(scale), "gossiping")
+        return board_ip_report(_crawl_out(scale), corpus_for_scale(scale),
+                               "gossiping", ip_asn=_ip_asn_for(scale))
 
     def crawl_users(sf_dir):
         from pttcrawler_ray.fixtures import corpus_for_scale

@@ -328,6 +328,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         ray.get([shards[s].restore.remote(ckpt_dir) for s in range(cfg.num_shards)])
         start_round = run_meta["completed_rounds"]
         rounds_log = run_meta.get("rounds_log", [])
+        shutil.rmtree(os.path.join(out_dir, "latest"), ignore_errors=True)
         # discard partitions past the checkpoint (they will be re-crawled)
         for sub in ("articles", "seen"):
             base = os.path.join(out_dir, sub)
@@ -339,7 +340,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
                         shutil.rmtree(os.path.join(base, name))
     else:
         os.makedirs(out_dir, exist_ok=True)
-        for sub in ("articles", "seen"):
+        for sub in ("articles", "seen", "latest"):
             sp = os.path.join(out_dir, sub)
             if os.path.isdir(sp):
                 shutil.rmtree(sp)
@@ -486,12 +487,28 @@ def articles_dataset(out_dir: str) -> "rd.Dataset":
     return rd.read_parquet(os.path.join(out_dir, "articles"))
 
 
+def materialize_latest(out_dir: str) -> str:
+    """Materialize the latest view once (consumers like export/report read
+    it repeatedly); invalidated by any new crawl round (run_crawl wipes
+    it).  Returns the path."""
+    dest = os.path.join(out_dir, "latest")
+    if not os.path.isdir(dest):
+        tmp = os.path.join(out_dir, ".tmp-latest")
+        shutil.rmtree(tmp, ignore_errors=True)
+        latest_articles(out_dir).write_parquet(tmp)
+        os.replace(tmp, dest)
+    return dest
+
+
 def latest_articles(out_dir: str) -> "rd.Dataset":
     """Dedupe: one row per url, newest warc_ts wins (SURVEY.md D2/O2).
 
     groupby(url) is the one shuffle of the sink path; groups stay Arrow
     end-to-end (nested messages/message_count columns never round-trip
-    through pandas)."""
+    through pandas).  Reads the materialized view when present."""
+    dest = os.path.join(out_dir, "latest")
+    if os.path.isdir(dest):
+        return rd.read_parquet(dest)
     ds = articles_dataset(out_dir)
     ds = ds.map_batches(lambda t: t.filter(pc.is_null(t["error"])),
                         batch_format="pyarrow")
