@@ -246,6 +246,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = np.stack(qdf["embedding"])
         return knn_ivf(embs, q, k=5, n_clusters=8, nprobe=4)
 
+    def curate_docs(sf_dir):
+        """Composed training-data curation: quality-score → langid →
+        quality/lang filter → near-dup removal; the end-to-end pipeline a
+        100TB curation job would run (rows-only check)."""
+        import ray.data as rd
+        from pttcrawler_ray.textops.analysis import LangId, quality_score_batch
+        from pttcrawler_ray.textops.dedup import minhash_dedup
+
+        _ctx()
+        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs = docs.map_batches(quality_score_batch, batch_format="pyarrow")
+        docs = docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+        docs = docs.map_batches(
+            lambda t: t.filter(pc.and_(pc.greater(t["quality"], 0.3),
+                                       pc.greater(t["stop_ratio"], 0.0))),
+            batch_format="pyarrow")
+        kept = minhash_dedup(docs.select_columns(["doc_id", "text", "quality",
+                                                  "pred_lang"]), threshold=0.8)
+        return kept
+
     def multimodal_decode(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.multimodal import decode_media, make_fake_blob
@@ -281,6 +301,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": exact_dedup_docs,
         "token_counts_docs": token_counts_docs,
         "doc_stats_by_lang": lambda sf: _doc_stats_by_lang(sf),
+        "lineitem_order_join": R.lineitem_order_join,
+        "events_asof_orders": R.events_asof_orders,
+        "user_sessions": R.user_sessions,
         # --- crawl engine (synthetic pages corpus; rows-only check) -------
         "crawl_latest_articles": crawl_latest,
         "crawl_pushes": crawl_pushes,
@@ -299,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": embedding_neardup,
         "knn_ivf": knn_ivf_q,
         "multimodal_decode": multimodal_decode,
+        "curate_docs": curate_docs,
     }
 
 
@@ -405,5 +429,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "lineitem_order_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "events_asof_orders": """
+            SELECT event_id, o_orderkey FROM (
+              SELECT e.event_id, o.o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e
+              JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+            ) t WHERE rn = 1
+        """,
+        "user_sessions": """
+            SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CAST(sum(CASE WHEN gap THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (
+                SELECT *, (ts - lag(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id))
+                  > INTERVAL 60 MINUTE AS gap
+                FROM events) g
+            ) s GROUP BY user_id, session_id
         """,
     }

@@ -228,7 +228,132 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
             Count(alias_name="n_events"), Max("value", alias_name="max_value"))
 
 
-# ---------------------------------------------------------- knn (oracle-able)
+# ------------------------------------------- big-big partitioned hash join
+def lineitem_order_join(sf_dir: str, n_buckets: int = 16) -> "rd.Dataset":
+    """Both sides large → explicit bucketed hash join (the guide's portable
+    pattern): add ``bucket = key % B`` to both sides, tag the side, union,
+    groupby(bucket), and hash-join each bucket pairwise inside map_groups.
+    Skewed keys would be salted into sub-buckets the same way the frontier
+    splits hot sites.  Output: one row per lineitem with its order's
+    totalprice."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["l_orderkey"], n_buckets - 1), pa.int32())
+        return pa.table({"bucket": b, "side": pa.array(["l"] * len(t)),
+                         "key": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "l_quantity": t["l_quantity"],
+                         "o_totalprice": pa.nulls(len(t), pa.float64())})
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(t["o_orderkey"], n_buckets - 1), pa.int32())
+        return pa.table({"bucket": b, "side": pa.array(["o"] * len(t)),
+                         "key": t["o_orderkey"],
+                         "l_linenumber": pa.nulls(len(t), pa.int32()),
+                         "l_quantity": pa.nulls(len(t), pa.float64()),
+                         "o_totalprice": t["o_totalprice"]})
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        orders.map_batches(tag_o, batch_format="pyarrow"))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        left = df[df["side"] == "l"][["key", "l_linenumber", "l_quantity"]]
+        right = df[df["side"] == "o"][["key", "o_totalprice"]]
+        out = left.merge(right, on="key", how="inner")
+        return pa.table({
+            "l_orderkey": pa.array(out["key"], pa.int64()),
+            "l_linenumber": pa.array(out["l_linenumber"], pa.int32()),
+            "l_quantity": pa.array(out["l_quantity"], pa.float64()),
+            "o_totalprice": pa.array(out["o_totalprice"], pa.float64()),
+        })
+
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ as-of join (events)
+def events_asof_orders(sf_dir: str) -> "rd.Dataset":
+    """As-of join (SURVEY.md §2.4 'none in the reference' → engine
+    extension per the guide): for each event, the most recent order of the
+    same key with o_orderdate <= ts.  Pattern: bucket by key, sort within
+    group, ``pd.merge_asof`` per bucket inside map_groups."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_e(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["user_id"], "side": pa.array(["e"] * len(t)),
+                         "event_id": t["event_id"], "ts": t["ts"],
+                         "o_orderkey": pa.nulls(len(t), pa.int64()),
+                         "o_orderdate": pa.nulls(len(t), pa.timestamp("us"))})
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_custkey"], "side": pa.array(["o"] * len(t)),
+                         "event_id": pa.nulls(len(t), pa.int64()),
+                         "ts": pa.nulls(len(t), pa.timestamp("us")),
+                         "o_orderkey": t["o_orderkey"],
+                         "o_orderdate": t["o_orderdate"]})
+
+    both = ev.map_batches(tag_e, batch_format="pyarrow").union(
+        orders.map_batches(lambda t: tag_o(t), batch_format="pyarrow"))
+
+    def asof_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.to_pandas()
+        left = (df[df["side"] == "e"][["key", "event_id", "ts"]]
+                .sort_values(["ts", "event_id"]))
+        right = (df[df["side"] == "o"][["key", "o_orderkey", "o_orderdate"]]
+                 .sort_values(["o_orderdate", "o_orderkey"]))
+        if left.empty:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "o_orderkey": pa.array([], pa.int64())})
+        # ties on o_orderdate: keep max o_orderkey (deterministic, matches
+        # the oracle's row_number ordering)
+        out = pd.merge_asof(left, right, left_on="ts", right_on="o_orderdate",
+                            direction="backward")
+        out = out[out["o_orderkey"].notna()]  # events before any order drop out
+        return pa.table({
+            "event_id": pa.array(out["event_id"].astype("int64"), pa.int64()),
+            "o_orderkey": pa.array(out["o_orderkey"].astype("int64"), pa.int64()),
+        })
+
+    return both.groupby("key").map_groups(asof_bucket, batch_format="pyarrow")
+
+
+# ------------------------------------------------- gap-based sessionization
+def user_sessions(sf_dir: str, gap_minutes: int = 60) -> "rd.Dataset":
+    """Stateful-streaming-shaped op: gap-based sessions per user (new
+    session when the inter-event gap exceeds ``gap_minutes``); windowing
+    runs inside map_groups over ts-sorted groups (the guide's pattern for
+    stream-shaped work).  Output: one row per session with count + span."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def sessions(g: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        df = g.to_pandas().sort_values(["ts", "event_id"])
+        gaps = df["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        df["session_id"] = gaps.cumsum().astype(np.int64)
+        agg = df.groupby("session_id").agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "count"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        ).reset_index()
+        return pa.table({
+            "user_id": pa.array(agg["user_id"], pa.int64()),
+            "session_id": pa.array(agg["session_id"], pa.int64()),
+            "n_events": pa.array(agg["n_events"], pa.int64()),
+            "session_start": pa.array(agg["session_start"], pa.timestamp("us")),
+            "session_end": pa.array(agg["session_end"], pa.timestamp("us")),
+        })
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 def knn_top1(sf_dir: str, n_queries: int = 3) -> pa.Table:
     """Top-1 non-self cosine neighbor for the first n vec_ids (ints only —
     float-free result columns so the hash compare is exact)."""
