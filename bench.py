@@ -78,6 +78,47 @@ def run_crawl_bench(num_cpus: int, scale: str = "bench") -> dict:
             "urls_per_sec": summary["popped"] / elapsed}
 
 
+def parse_conformance_rate(corpus_dir: str, sample: int = 500) -> float:
+    """Byte-identical-text pass rate vs the vendored reference parser over
+    a deterministic sample of article pages (the BASELINE.json metric)."""
+    import glob
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pttcrawler_ray.oracle.refparse import PostException, ref_parse_article
+    from pttcrawler_ray.parsing.article import parse_article_html, split_article_url
+
+    files = sorted(glob.glob(os.path.join(corpus_dir, "pages", "bucket=*", "*.parquet")))
+    table = pa.concat_tables([pq.read_table(f, columns=["url", "html"]) for f in files])
+    art = re.compile(r"/M\.\d+\.A\.[0-9A-F]+\.html$")
+    urls = table["url"].to_pylist()
+    htmls = table["html"].to_pylist()
+    pairs = [(u, h) for u, h in zip(urls, htmls) if art.search(u)]
+    pairs = pairs[:: max(1, len(pairs) // sample)][:sample]
+
+    ok = 0
+    for url, html in pairs:
+        board, article_id = split_article_url(url)
+        text = html.decode("utf-8")
+        try:
+            golden = ref_parse_article(text, article_id, board, url)
+        except PostException:
+            try:
+                parse_article_html(text, article_id, board, url)
+            except Exception:
+                ok += 1  # failure parity counts as conformant
+            continue
+        try:
+            mine = parse_article_html(text, article_id, board, url)
+        except Exception:
+            continue
+        if mine["content"] == golden["content"]:
+            ok += 1
+    return ok / max(1, len(pairs))
+
+
 def run_queries_bench(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
@@ -142,13 +183,16 @@ def main():
         return
 
     _init_ray(num_cpus)
-    crawl = run_crawl_bench(num_cpus, os.environ.get("GRAFT_BENCH_SCALE", "bench"))
-    queries = ({} if os.environ.get("GRAFT_BENCH_CRAWL_ONLY")
-               else run_queries_bench(sf_dir))
+    scale = os.environ.get("GRAFT_BENCH_SCALE", "bench")
+    crawl = run_crawl_bench(num_cpus, scale)
+    crawl_only = bool(os.environ.get("GRAFT_BENCH_CRAWL_ONLY"))
+    queries = {} if crawl_only else run_queries_bench(sf_dir)
+    conformance = (None if crawl_only else round(parse_conformance_rate(
+        os.path.join("/tmp/ptt_corpus", scale)), 4))
     import ray
 
     ray.shutdown()
-    print(json.dumps({
+    out = {
         "metric": "crawl fetch+parse wall time (bench corpus, ~75k urls) + query suite",
         "value": round(crawl["sec"], 3),
         "unit": "sec",
@@ -157,7 +201,10 @@ def main():
         "num_cpus": num_cpus,
         "crawl_urls_per_sec": round(crawl["urls_per_sec"], 1),
         "crawl_urls": crawl["popped"],
-    }))
+    }
+    if conformance is not None:
+        out["byte_identical_text_pass_rate"] = conformance
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
