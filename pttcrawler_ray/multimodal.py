@@ -104,3 +104,98 @@ def decode_media(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 
     return ds.map_batches(
         DecodeMedia, fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+class ResizeMedia:
+    """map_batches actor: payload → payload resized to (w, h).
+
+    Real path = codec resample (unavailable here → stub); fake path
+    deterministically rewrites the header and nearest-neighbor-samples the
+    byte grid, so output blobs are themselves decodable."""
+
+    def __init__(self, width: int, height: int, fake: bool = False):
+        if not fake:
+            raise NotImplementedError(
+                "media codecs are not available; use ResizeMedia(..., fake=True)")
+        self.w = width
+        self.h = height
+
+    def _resize_one(self, blob: bytes):
+        if blob[:4] != _MAGIC:
+            return None
+        kind_i, w, h, c = struct.unpack("<BHHB", blob[4:10])
+        grid = np.frombuffer(blob[10:10 + w * h * c], dtype=np.uint8)
+        if len(grid) < w * h * c:
+            return None
+        grid = grid.reshape(h, w, c)
+        ys = (np.arange(self.h) * h // self.h)
+        xs = (np.arange(self.w) * w // self.w)
+        out = grid[ys][:, xs].tobytes()
+        return _MAGIC + struct.pack("<BHHB", kind_i, self.w, self.h, c) + out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, errors = [], []
+        for blob in batch["payload"].to_pylist():
+            res = self._resize_one(blob) if blob else None
+            payloads.append(res)
+            errors.append(None if res is not None else "resize failed")
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("payload", pa.array(payloads, pa.binary()))
+        return out.append_column("error", pa.array(errors, pa.string()))
+
+
+class FrameSample:
+    """map_batches fn-object: video payload → n frame rows (flat_map shape).
+
+    Fake frame extraction slices the byte grid into ``n_frames`` horizontal
+    bands, each emitted as its own image blob row (media_id, frame_no,
+    payload) — the plumbing a real ffmpeg-based sampler would use."""
+
+    def __init__(self, n_frames: int, fake: bool = False):
+        if not fake:
+            raise NotImplementedError(
+                "video codecs are not available; use FrameSample(..., fake=True)")
+        self.n = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, payloads = [], [], []
+        for mid, blob in zip(batch["media_id"].to_pylist(),
+                             batch["payload"].to_pylist()):
+            if not blob or blob[:4] != _MAGIC:
+                continue
+            kind_i, w, h, c = struct.unpack("<BHHB", blob[4:10])
+            if _KINDS[kind_i] != "video":
+                continue
+            grid = np.frombuffer(blob[10:10 + w * h * c], dtype=np.uint8)
+            if len(grid) < w * h * c:
+                continue
+            grid = grid.reshape(h, w, c)
+            band = max(1, h // self.n)
+            for f in range(min(self.n, h)):
+                sub = grid[f * band:(f + 1) * band]
+                if sub.size == 0:
+                    break
+                ids.append(mid)
+                frames.append(f)
+                payloads.append(_MAGIC + struct.pack("<BHHB", _KINDS.index("image"),
+                                                     w, sub.shape[0], c) + sub.tobytes())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_no": pa.array(frames, pa.int32()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+
+def resize_media(ds, width: int, height: int, fake: bool = True,
+                 concurrency: int = 2, batch_size: int = 64):
+    return ds.map_batches(
+        ResizeMedia, fn_constructor_kwargs={"width": width, "height": height, "fake": fake},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+def frame_sample(ds, n_frames: int, fake: bool = True,
+                 concurrency: int = 2, batch_size: int = 32):
+    """Small batches: video rows are the widest payloads in the pipeline."""
+    return ds.map_batches(
+        FrameSample, fn_constructor_kwargs={"n_frames": n_frames, "fake": fake},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
