@@ -71,6 +71,11 @@ def main(argv=None):
     c.add_argument("--upgrade", action="store_true")
     c.add_argument("--resume", action="store_true")
     c.add_argument("--seed-mode", choices=["full", "before", "after"], default="full")
+    c.add_argument("--index", nargs=2, type=int, metavar=("START", "END"),
+                   help="explicit index-page range (reference --index)")
+    c.add_argument("--index-only", action="store_true",
+                   help="grow the frontier without fetching articles "
+                        "(reference article_index module); fetch later with --resume")
     c.add_argument("--shards", type=int, default=4)
     c.add_argument("--num-cpus", type=int, default=None)
 
@@ -123,6 +128,8 @@ def main(argv=None):
                               round_seconds=(30.0 if args.strict else 3600.0),
                               start_date=args.start_date, upgrade=args.upgrade,
                               seed_mode=args.seed_mode, prior_watermarks=wm,
+                              index_range=tuple(args.index) if args.index else None,
+                              index_only=args.index_only,
                               fetch_concurrency=4, process_concurrency=4)
             s = run_crawl(args.corpus, args.out, cfg, resume=args.resume)
             print(json.dumps({k: s[k] for k in ("rounds", "popped", "elapsed_s",

@@ -90,6 +90,15 @@ class CrawlConfig:
     # before = [1, prior min watermark], after = [prior max, live last]
     seed_mode: str = "full"
     prior_watermarks: dict | None = None  # board -> [min_index, max_index]
+    # explicit index range (reference `article --index START END`): seed
+    # only pages [lo, hi] per board, overriding seed_mode
+    index_range: tuple | None = None
+    # discovery-only mode (the reference article_index module): crawl
+    # index pages, record discovered article urls as deferred frontier
+    # rows in the checkpoint, fetch nothing else.  A later
+    # run_crawl(resume=True) without index_only crawls them — the
+    # reference's `article --database` fetch mode (S4).
+    index_only: bool = False
 
 
 class ProcessPages:
@@ -214,7 +223,8 @@ class CrawlWorker:
 
 
 def _seed_rows(shared_index: dict, boards: list[str], seed_mode: str = "full",
-               prior_watermarks: dict | None = None, asof_ts=None) -> pa.Table:
+               prior_watermarks: dict | None = None, asof_ts=None,
+               index_range: tuple | None = None) -> pa.Table:
     """Index-page seeds: last-page probe against the shared pages index,
     ranged by seed_mode (reference article_index.py --before/--after
     watermark modes, :37-54): full = [1, live last], after = [prior max
@@ -232,7 +242,9 @@ def _seed_rows(shared_index: dict, boards: list[str], seed_mode: str = "full",
     urls, bs, kinds, idxs = [], [], [], []
     for board in boards:
         live_last = last_by_board.get(board, 1)
-        if seed_mode == "after":
+        if index_range is not None:
+            lo, hi = index_range
+        elif seed_mode == "after":
             lo = wm.get(board, [1, 1])[1]
             hi = live_last
         elif seed_mode == "before":
@@ -315,6 +327,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             seen_capacity=cfg.seen_capacity, use_cuckoo=cfg.use_cuckoo,
             strict_order=cfg.strict_order, record_order=cfg.record_order,
             index_round_barrier=(cfg.strict_order and cfg.start_date is not None),
+            index_only=cfg.index_only,
         )
         for s in range(cfg.num_shards)
     ]
@@ -345,7 +358,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             if os.path.isdir(sp):
                 shutil.rmtree(sp)
         seeds = _seed_rows(shared_index, boards, cfg.seed_mode,
-                           cfg.prior_watermarks, cfg.asof_ts)
+                           cfg.prior_watermarks, cfg.asof_ts, cfg.index_range)
         _route_add(shards, seeds, cfg.num_shards, cfg.split, force=cfg.upgrade)
 
     engine = cfg.engine
@@ -480,6 +493,15 @@ def _checkpoint(shards, ckpt_dir, round_no, rounds_log):
     with open(tmp, "w") as f:
         json.dump({"completed_rounds": round_no, "rounds_log": rounds_log}, f)
     os.replace(tmp, os.path.join(ckpt_dir, "run.json"))
+
+
+def frontier_table(out_dir: str) -> "rd.Dataset":
+    """The persisted frontier (the reference's ArticleIndex table): pending
+    + deferred rows from the latest checkpoint."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "checkpoint", "pending_*.parquet")))
+    return rd.read_parquet(files)
 
 
 def articles_dataset(out_dir: str) -> "rd.Dataset":

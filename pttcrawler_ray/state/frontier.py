@@ -80,6 +80,7 @@ class FrontierShard:
         strict_order: bool = True,
         record_order: bool = False,
         index_round_barrier: bool = False,
+        index_only: bool = False,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -93,6 +94,12 @@ class FrontierShard:
         # articles, so a cut_below issued while page N's articles process
         # lands before index N-1 is released (exact reference cutoff M8)
         self.index_round_barrier = index_round_barrier
+        # discovery-only mode (the reference's article_index module,
+        # article_index.py:112-174): article urls are recorded as deferred
+        # frontier rows (the ArticleIndex table) but never released; a
+        # later resumed crawl enqueues them (the --database fetch mode S4)
+        self.index_only = index_only
+        self.deferred: list[tuple] = []
 
         self.seen = (CuckooFilter(seen_capacity) if use_cuckoo
                      else BloomFilter(seen_capacity))
@@ -143,11 +150,12 @@ class FrontierShard:
                 url, board, kind, idx = urls[i], boards[i], kinds[i], index_nos[i]
                 lane = lane_of(url, board, self.split)
                 key = (-int(idx), _KIND_RANK.get(kind, 1), self.seq)
-                heapq.heappush(
-                    self.heaps.setdefault(lane, []),
-                    (key, (url, board, kind, int(idx), lane, int(hashes[i]),
-                           int(poss[i] or 0))),
-                )
+                item = (key, (url, board, kind, int(idx), lane, int(hashes[i]),
+                              int(poss[i] or 0)))
+                if self.index_only and kind != "index":
+                    self.deferred.append(item)  # recorded, not released
+                else:
+                    heapq.heappush(self.heaps.setdefault(lane, []), item)
                 self.seq += 1
                 self.stats["enqueued"] += 1
                 if kind == "index":
@@ -239,6 +247,7 @@ class FrontierShard:
             "shard_id": self.shard_id,
             "round_no": self.round_no,
             "depth": self.depth(),
+            "deferred": len(self.deferred),
             "blocked_lanes": sorted(self.blocked),
             "watermarks": {b: list(w) for b, w in self.watermarks.items()},
         }
@@ -255,6 +264,10 @@ class FrontierShard:
         filter bytes, counters + watermarks as json."""
         os.makedirs(ckpt_dir, exist_ok=True)
         rows = []
+        for key, (url, board, kind, idx, ln, uh, pos) in self.deferred:
+            rows.append({"url": url, "board": board, "kind": kind,
+                         "index_no": idx, "lane": ln, "seq": key[2],
+                         "url_hash": uh, "page_pos": pos})
         for lane, heap in self.heaps.items():
             for key, (url, board, kind, idx, ln, uh, pos) in heap:
                 rows.append({"url": url, "board": board, "kind": kind,

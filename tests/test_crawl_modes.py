@@ -119,6 +119,48 @@ def test_seed_modes(corpus, tmp_path):
                           for b in boards for n in (1, 2, 3)}
 
 
+def test_index_only_then_fetch(corpus, tmp_path):
+    """The reference two-phase workflow: article_index (discovery only,
+    S3/A2) grows the frontier; article --database (S4) fetches from it."""
+    from pttcrawler_ray.pipelines.crawl import frontier_table
+
+    d, pages, boards = corpus
+    golden = sequential_crawl(pages, boards)
+    out = str(tmp_path / "twophase")
+
+    # phase 1: discovery only
+    s1 = run_crawl(d, out, _cfg(strict_order=False, round_seconds=3600.0,
+                                index_only=True))
+    idx_urls = {u for u in golden["seen"] if "/index" in u}
+    art_urls = golden["seen"] - idx_urls
+    assert s1["popped"] == len(idx_urls)  # only index pages fetched
+    frontier = frontier_table(out).to_pandas()
+    assert set(frontier["url"]) == art_urls  # the ArticleIndex analog
+    assert (frontier["kind"] == "article").all()
+
+    # phase 2: fetch from the recorded frontier
+    s2 = run_crawl(d, out, _cfg(strict_order=False, round_seconds=3600.0),
+                   resume=True)
+    assert s2["popped"] == len(art_urls)  # phase 2 fetches exactly the frontier
+    assert set(_read_seen(out)) == golden["seen"]  # both phases together
+    latest = latest_articles(out).to_pandas()
+    assert set(latest["url"]) == set(golden["articles"])
+    by_url = dict(zip(latest["url"], latest["content"]))
+    for url, g in list(golden["articles"].items())[:50]:
+        assert by_url[url] == g["content"], url
+
+
+def test_index_range_seeding(corpus, tmp_path):
+    """Reference `article --index START END`: crawl only those pages."""
+    d, pages, boards = corpus
+    out = str(tmp_path / "range")
+    run_crawl(d, out, _cfg(strict_order=False, round_seconds=3600.0,
+                           index_range=(2, 4)))
+    idx = {u for u in _read_seen(out) if "/index" in u}
+    assert idx == {f"https://www.ptt.cc/bbs/{b}/index{n}.html"
+                   for b in boards for n in (2, 3, 4)}
+
+
 def test_page_json_golden(corpus, tmp_path):
     from pttcrawler_ray.oracle.refparse import ref_parse_index
     from pttcrawler_ray.pipelines.export import write_page_json
