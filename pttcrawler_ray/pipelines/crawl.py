@@ -99,6 +99,12 @@ class CrawlConfig:
     # run_crawl(resume=True) without index_only crawls them — the
     # reference's `article --database` fetch mode (S4).
     index_only: bool = False
+    # realtime politeness: pace rounds to wall-clock (each round takes at
+    # least round_seconds), so the host actually receives ≤ budget
+    # requests per lane per round_seconds — the live-crawl deployment
+    # mode.  Off for benchmarks/tests (simulated epochs).  The scheduler
+    # sleeps, workers never do (unlike the reference's time.sleep).
+    realtime: bool = False
 
 
 class ProcessPages:
@@ -395,6 +401,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         stalls = 0
         round_no += 1
         total_popped += n
+        round_t0 = time.monotonic()
         batch = pa.concat_tables(popped)
 
         art_dir = os.path.join(out_dir, "articles", f"round={round_no}")
@@ -459,6 +466,10 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         })
         if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
             _checkpoint(shards, ckpt_dir, round_no, rounds_log)
+        if cfg.realtime:
+            remaining = cfg.round_seconds - (time.monotonic() - round_t0)
+            if remaining > 0:
+                time.sleep(remaining)
 
     if seen_write_refs:
         ray.get(seen_write_refs)

@@ -161,6 +161,26 @@ def test_index_range_seeding(corpus, tmp_path):
                    for b in boards for n in (2, 3, 4)}
 
 
+def test_realtime_pacing(corpus, tmp_path):
+    """realtime mode: wall time >= rounds x round_seconds (politeness is
+    enforced in real time by the scheduler, never by sleeping workers)."""
+    import time
+
+    d, _, _ = corpus
+    out = str(tmp_path / "rt")
+    t0 = time.monotonic()
+    # seed delays are 2.0s → budget 1 url/lane/round at round_seconds=1.0
+    s = run_crawl(d, out, _cfg(strict_order=False, round_seconds=1.0,
+                               realtime=True, max_rounds=4,
+                               index_range=(1, 1)))
+    wall = time.monotonic() - t0
+    assert s["rounds"] == 4
+    assert wall >= 4.0  # each politeness epoch took its full wall time
+    for log in s["politeness_logs"]:
+        for _, _, released in log:
+            assert released <= 1  # 1 url per 2s-delay lane per 1s epoch
+
+
 def test_page_json_golden(corpus, tmp_path):
     from pttcrawler_ray.oracle.refparse import ref_parse_index
     from pttcrawler_ray.pipelines.export import write_page_json
