@@ -25,8 +25,8 @@ import re
 from html import unescape
 
 _TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>")
-_ATTR = re.compile(r"([a-zA-Z-]+)\s*=\s*\"([^\"]*)\"")
-_AMP = re.compile(r"&")
+_ATTR = re.compile(r"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)')")
+_COMMENT = re.compile(r"<!--.*?-->", re.S)
 
 VOID_TAGS = frozenset(
     {"br", "img", "hr", "input", "meta", "link", "area", "base", "col",
@@ -64,6 +64,11 @@ def scan_article(html_text: str):
     marker ``...`` when that span is absent — matching the reference's
     ``select(...)[0]`` raising).
     """
+    if "<!--" in html_text:
+        # html.parser merges text across comments in our DOM (no
+        # handle_comment flush); stripping pre-scan reproduces that
+        html_text = _COMMENT.sub("", html_text)
+
     texts: list[tuple[int, str]] = []
     metaline_values: list = []
     pushes: list[dict] = []
@@ -102,6 +107,7 @@ def scan_article(html_text: str):
         emit_text(html_text[pos:m.start()])
         pos = m.end()
         closing, tag, rawattrs, selfclose = m.groups()
+        tag = tag.lower()  # html.parser lowercases tag names
 
         if closing:
             # pop to the most recent matching open tag (htmlmini semantics)
@@ -136,7 +142,11 @@ def scan_article(html_text: str):
                     rec.first_is_text = False
                 rec.n_direct += 1
 
-        attrs = dict(_ATTR.findall(rawattrs)) if rawattrs else {}
+        attrs = {}
+        if rawattrs:
+            for am in _ATTR.finditer(rawattrs):
+                attrs[am.group(1).lower()] = (am.group(2) if am.group(2) is not None
+                                              else am.group(3))
         classes = attrs.get("class", "").split() if "class" in attrs else ()
 
         is_void = selfclose or tag in VOID_TAGS
@@ -171,4 +181,12 @@ def scan_article(html_text: str):
                         break
 
     emit_text(html_text[pos:n])
+    # finalize regions left open at EOF (truncated snapshots): the DOM
+    # parser still sees their subtrees, so must we
+    if region == META:
+        metaline_values.append(
+            cur_meta_value[-1] if cur_meta_value and cur_meta_value[-1] is not None
+            else ...)
+    elif region == PUSH and cur_push is not None:
+        pushes.append(cur_push)
     return texts, metaline_values, pushes, found_main

@@ -25,10 +25,16 @@ _INDEX_NO = re.compile(r"/index(\d+)\.html")
 _HTML_EXT = re.compile(r"\.html")
 
 
-_SCAN_TAG = re.compile(r"<(/?)(div|a)\b((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)/?>")
-_ATTR_CLASS = re.compile(r'class\s*=\s*"([^"]*)"')
-_ATTR_HREF = re.compile(r'href\s*=\s*"([^"]*)"')
+_SCAN_TAG = re.compile(r"<(/?)(div|a)\b((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)/?>",
+                       re.IGNORECASE)
+_ATTR_CLASS = re.compile(r"class\s*=\s*(?:\"([^\"]*)\"|'([^']*)')", re.IGNORECASE)
+_ATTR_HREF = re.compile(r"href\s*=\s*(?:\"([^\"]*)\"|'([^']*)')", re.IGNORECASE)
+_COMMENT = re.compile(r"<!--.*?-->", re.S)
 _CONTAINER_CLASS = "r-list-container action-bar-margin bbs-screen"
+
+
+def _attr(m) -> str:
+    return m.group(1) if m.group(1) is not None else m.group(2)
 
 
 def extract_index_links(html_text: str, index_no: int) -> list[tuple[str, str, int]]:
@@ -40,6 +46,8 @@ def extract_index_links(html_text: str, index_no: int) -> list[tuple[str, str, i
     oracle): direct container children, stop at r-list-sep, first anchor
     per r-ent, skip anchor-less (deleted) entries.
     """
+    if "<!--" in html_text:
+        html_text = _COMMENT.sub("", html_text)
     out: list[tuple[str, str, int]] = []
     depth = 0                 # div depth relative to document
     container_depth = -1      # depth of the container div; -1 = not inside
@@ -49,7 +57,7 @@ def extract_index_links(html_text: str, index_no: int) -> list[tuple[str, str, i
 
     for m in _SCAN_TAG.finditer(html_text):
         closing, tag, rawattrs = m.groups()
-        if tag == "div":
+        if tag.lower() == "div":
             if closing:
                 depth -= 1
                 if container_depth >= 0 and depth < container_depth:
@@ -59,7 +67,7 @@ def extract_index_links(html_text: str, index_no: int) -> list[tuple[str, str, i
             else:
                 depth += 1
                 cm = _ATTR_CLASS.search(rawattrs) if rawattrs else None
-                cls = cm.group(1) if cm else ""
+                cls = _attr(cm) if cm else ""
                 if container_depth < 0:
                     if cls == _CONTAINER_CLASS:
                         container_depth = depth
@@ -77,7 +85,7 @@ def extract_index_links(html_text: str, index_no: int) -> list[tuple[str, str, i
             anchor_taken = True
             hm = _ATTR_HREF.search(rawattrs) if rawattrs else None
             if hm:
-                href = hm.group(1)
+                href = _attr(hm)
                 web_id = _HTML_EXT.sub("", href.split("/")[-1])
                 out.append((web_id, PTT_URL + href, index_no))
     return out

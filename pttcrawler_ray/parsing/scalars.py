@@ -26,12 +26,21 @@ def parse_author(author):
 
 
 def parse_push_ipdatetime(push_ipdatetime):
-    """(push_ip, push_datetime|None) — reference crawler/article.py:119-132."""
+    """(push_ip, push_datetime|None) — reference crawler/article.py:119-132.
+
+    Dates invalid in year 1900 (e.g. '02/29 …' — strptime's default year
+    is not a leap year) raise inside the reference and make it drop the
+    whole article record (its per-record except at crawler/article.py:262);
+    the engine keeps the push with a null datetime instead of crashing the
+    batch (documented divergence: typed nulls over silent record loss)."""
     if push_ipdatetime:
         m = _PUSH_IPDT.search(push_ipdatetime)
         if m:
             push_ip = m.group(1)
-            push_dt = datetime.strptime(m.group(2), "%m/%d %M:%S")
+            try:
+                push_dt = datetime.strptime(m.group(2), "%m/%d %M:%S")
+            except ValueError:
+                return push_ip or None, None
             return push_ip, push_dt
     return None, None
 

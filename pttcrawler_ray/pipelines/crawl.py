@@ -286,7 +286,9 @@ def load_watermarks(out_dir: str) -> dict:
 def _write_seen_task(table: pa.Table, path: str) -> None:
     import pyarrow.parquet as _pq
 
-    _pq.write_table(table, path)
+    tmp = path + ".tmp"
+    _pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic: no half-written partition survives
 
 
 def _route_add(shards, table: pa.Table, num_shards: int, split: dict, force=False):
@@ -344,6 +346,14 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
     if resume and os.path.exists(os.path.join(ckpt_dir, "run.json")):
         with open(os.path.join(ckpt_dir, "run.json")) as f:
             run_meta = json.load(f)
+        ckpt_shards = run_meta.get("num_shards", cfg.num_shards)
+        if ckpt_shards != cfg.num_shards:
+            # lane→shard routing is hash(lane) % num_shards; resuming with a
+            # different count would silently orphan pending frontier rows
+            # and consult the wrong per-shard seen filters
+            raise ValueError(
+                f"resume requires num_shards={ckpt_shards} (checkpoint) but "
+                f"config has {cfg.num_shards}")
         ray.get([shards[s].restore.remote(ckpt_dir) for s in range(cfg.num_shards)])
         start_round = run_meta["completed_rounds"]
         rounds_log = run_meta.get("rounds_log", [])
@@ -395,8 +405,13 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             if depth == 0:
                 break
             stalls += 1
-            if stalls > 5:  # blocked lanes whose acks never arrived
+            # zero-pop rounds are normal while politeness credit accrues
+            # (delay > round_seconds); a genuine ack-loss stall spins far
+            # past this threshold
+            if stalls > 50:
                 raise RuntimeError(f"frontier stalled with depth={depth}")
+            if cfg.realtime:
+                time.sleep(cfg.round_seconds)
             continue
         stalls = 0
         round_no += 1
@@ -465,7 +480,11 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             "dedup_hits": sum(s["dedup_hits"] for s in stats),
         })
         if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
-            _checkpoint(shards, ckpt_dir, round_no, rounds_log)
+            # seen partitions up to this round must be durable before the
+            # checkpoint claims the rounds complete
+            ray.get(seen_write_refs)
+            seen_write_refs.clear()
+            _checkpoint(shards, ckpt_dir, round_no, rounds_log, cfg.num_shards)
         if cfg.realtime:
             remaining = cfg.round_seconds - (time.monotonic() - round_t0)
             if remaining > 0:
@@ -473,7 +492,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
 
     if seen_write_refs:
         ray.get(seen_write_refs)
-    _checkpoint(shards, ckpt_dir, round_no, rounds_log)
+    _checkpoint(shards, ckpt_dir, round_no, rounds_log, cfg.num_shards)
     elapsed = time.monotonic() - t0
     final_stats = ray.get([s.get_stats.remote() for s in shards])
     order_logs = (ray.get([s.get_order_log.remote() for s in shards])
@@ -497,12 +516,13 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
     return summary
 
 
-def _checkpoint(shards, ckpt_dir, round_no, rounds_log):
+def _checkpoint(shards, ckpt_dir, round_no, rounds_log, num_shards):
     os.makedirs(ckpt_dir, exist_ok=True)
     ray.get([s.snapshot.remote(ckpt_dir) for s in shards])
     tmp = os.path.join(ckpt_dir, "run.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"completed_rounds": round_no, "rounds_log": rounds_log}, f)
+        json.dump({"completed_rounds": round_no, "rounds_log": rounds_log,
+                   "num_shards": num_shards}, f)
     os.replace(tmp, os.path.join(ckpt_dir, "run.json"))
 
 

@@ -195,6 +195,9 @@ def export_run(out_dir: str, corpus_dir: str, dest: str, fmt: str = "csv") -> di
         ("push", export_pushes(out_dir, corpus_dir, ip_asn)),
         ("user", export_users(out_dir, corpus_dir, ip_asn)),
     ):
+        # materialize once: write + count would otherwise each execute the
+        # full lazy pipeline (dedupe shuffle + lookups) from scratch
+        ds = ds.materialize()
         path = os.path.join(dest, name)
         if fmt == "csv":
             # csv cannot carry nested columns; sheets are already flat

@@ -33,6 +33,12 @@ def extract_users_batch(batch: pa.Table) -> pa.Table:
            "last_login_datetime": [], "last_login_ip": [], "error": []}
     for name, text in zip(names, texts):
         m = _SCREEN.match(text or "")
+        dt = None
+        if m:
+            try:
+                dt = datetime.strptime(m.group(3), "%m/%d/%Y %H:%M:%S %a")
+            except ValueError:  # regex-matching but malformed datetime
+                m = None
         if not m:
             out["username"].append(name)
             out["login_times"].append(None)
@@ -41,7 +47,6 @@ def extract_users_batch(batch: pa.Table) -> pa.Table:
             out["last_login_ip"].append(None)
             out["error"].append("screen parse failed")
             continue
-        dt = datetime.strptime(m.group(3), "%m/%d/%Y %H:%M:%S %a")
         out["username"].append(name)
         out["login_times"].append(int(m.group(1)))
         out["valid_article_count"].append(int(m.group(2)))

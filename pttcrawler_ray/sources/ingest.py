@@ -66,4 +66,10 @@ def ingest_pages(src, dest_corpus_dir: str, n_buckets: int = 32,
     pages_dir = os.path.join(dest_corpus_dir, "pages")
     os.makedirs(pages_dir, exist_ok=True)
     ds.write_parquet(pages_dir, partition_cols=["bucket"])
-    return ds.count()
+    # count from the written files' metadata — no second pipeline execution
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    return sum(_pq.read_metadata(f).num_rows
+               for f in _glob.glob(os.path.join(pages_dir, "bucket=*", "*.parquet")))

@@ -100,6 +100,10 @@ class FrontierShard:
         # later resumed crawl enqueues them (the --database fetch mode S4)
         self.index_only = index_only
         self.deferred: list[tuple] = []
+        # fractional politeness credit per lane (token bucket): lanes whose
+        # delay exceeds round_seconds accrue credit across rounds instead
+        # of being floored to 1/round (which would overshoot the budget)
+        self.credit: dict[str, float] = {}
 
         self.seen = (CuckooFilter(seen_capacity) if use_cuckoo
                      else BloomFilter(seen_capacity))
@@ -113,11 +117,19 @@ class FrontierShard:
         self.order_log: list[tuple[str, int, str]] = []       # (lane, seq, url)
 
     # ------------------------------------------------------------------ add
-    def _lane_budget(self, lane: str) -> int:
+    def _accrue_budget(self, lane: str) -> int:
+        """Token-bucket release count for this round: credit accrues at
+        round_seconds/delay/k per round, releases floor(credit).  Never
+        exceeds the configured rate even when delay > round_seconds."""
         site = lane.rsplit("#", 1)[0]
         delay = self.site_delays.get(site, self.default_delay_s)
-        k = self.split.get(site, 1)
-        return max(1, int(self.round_seconds / max(delay, 1e-9)) // max(k, 1))
+        k = max(self.split.get(site, 1), 1)
+        rate = self.round_seconds / max(delay, 1e-9) / k
+        # cap ≈ two rounds of credit so an idle lane can't burst past rate
+        credit = min(self.credit.get(lane, 0.0) + rate, 2 * rate + 1)
+        budget = int(credit)
+        self.credit[lane] = credit - budget
+        return budget
 
     def add(self, batch: pa.Table, acks: list[str] | None = None, force: bool = False) -> dict:
         """Enqueue frontier rows (url, board, kind, index_no); bloom-dedup
@@ -138,13 +150,17 @@ class FrontierShard:
                     else [0] * n_in)
 
             hashes = hash_u64_many([canonicalize_url(u) for u in urls])
+            present = self.seen.contains_many(hashes)
             if force:
-                fresh = np.ones(n_in, dtype=bool)
+                fresh = np.ones(n_in, dtype=bool)  # re-enqueue everything
             else:
-                fresh = ~self.seen.contains_many(hashes)
+                fresh = ~present
             n_fresh = int(fresh.sum())
             self.stats["dedup_hits"] += n_in - n_fresh
-            self.seen.add_many(hashes[fresh])
+            # never re-insert present hashes: a cuckoo filter stores one
+            # fingerprint copy per insert, so force-mode duplicates would
+            # accumulate until CuckooFilterFull and break unsee()
+            self.seen.add_many(hashes[fresh & ~present])
 
             for i in np.flatnonzero(fresh):
                 url, board, kind, idx = urls[i], boards[i], kinds[i], index_nos[i]
@@ -180,7 +196,7 @@ class FrontierShard:
             if lane in self.blocked:
                 continue
             heap = self.heaps[lane]
-            budget = self._lane_budget(lane)
+            budget = self._accrue_budget(lane)
             released = 0
             while heap and released < budget:
                 if (self.index_round_barrier and released > 0
@@ -310,13 +326,16 @@ class FrontierShard:
                      else BloomFilter.restore(seen["snap"]))
         pending = pq.read_table(os.path.join(ckpt_dir, f"pending_{self.shard_id}.parquet"))
         self.heaps = {}
+        self.deferred = []
         # re-add without dedup (already marked seen at first enqueue); the
         # original discovery seq is preserved so resumed pop order is
-        # identical to an uninterrupted run
+        # identical to an uninterrupted run.  In index-only mode restored
+        # article rows stay deferred (recorded, not released).
         for row in pending.to_pylist():
             key = (-row["index_no"], _KIND_RANK.get(row["kind"], 1), row["seq"])
-            heapq.heappush(
-                self.heaps.setdefault(row["lane"], []),
-                (key, (row["url"], row["board"], row["kind"], row["index_no"],
-                       row["lane"], row["url_hash"], row["page_pos"])),
-            )
+            item = (key, (row["url"], row["board"], row["kind"], row["index_no"],
+                          row["lane"], row["url_hash"], row["page_pos"]))
+            if self.index_only and row["kind"] != "index":
+                self.deferred.append(item)
+            else:
+                heapq.heappush(self.heaps.setdefault(row["lane"], []), item)

@@ -176,17 +176,8 @@ def ngram_jaccard_pairs(docs: "rd.Dataset", threshold: float = 0.5,
     """
     anchors = docs.map_batches(_AnchorShingles(shingle_k, anchors_m),
                                batch_format="pyarrow")
-
-    def group_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i]); b.append(ids[j])
-        return pa.table({"doc_a": pa.array(a, pa.int64()),
-                         "doc_b": pa.array(b, pa.int64())})
-
-    cand = anchors.groupby("anchor").map_groups(group_pairs, batch_format="pyarrow")
+    cand = anchors.groupby("anchor").map_groups(_pairs_from_groups,
+                                                batch_format="pyarrow")
     cand_df = cand.to_pandas().drop_duplicates()
     return _verify_jaccard(cand_df, docs, shingle_k, threshold)
 
