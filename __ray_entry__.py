@@ -300,7 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top1": R.knn_top1,
         "exact_dedup_docs": exact_dedup_docs,
         "token_counts_docs": token_counts_docs,
-        "doc_stats_by_lang": lambda sf: _doc_stats_by_lang(sf),
+        "doc_stats_by_lang": _doc_stats_by_lang,
         "lineitem_order_join": R.lineitem_order_join,
         "events_asof_orders": R.events_asof_orders,
         "user_sessions": R.user_sessions,

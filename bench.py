@@ -29,14 +29,17 @@ import time
 
 
 def _init_ray(num_cpus: int):
+    # honest N-cpu emulation: BLAS reads OMP_NUM_THREADS at library load,
+    # so set it BEFORE importing pyarrow/ray (which import numpy).  bench.py
+    # itself imports only stdlib at module top to keep this effective.
+    os.environ.setdefault("OMP_NUM_THREADS", str(num_cpus))
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", str(num_cpus))
+
     import pyarrow as pa
     import ray
 
-    # honest N-cpu emulation: Arrow/BLAS thread pools must not exceed the
-    # advertised parallelism level (they default to all host cores)
     pa.set_cpu_count(num_cpus)
     pa.set_io_thread_count(max(2, num_cpus))
-    os.environ.setdefault("OMP_NUM_THREADS", str(num_cpus))
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -91,12 +94,20 @@ def parse_conformance_rate(corpus_dir: str, sample: int = 500) -> float:
     from pttcrawler_ray.parsing.article import parse_article_html, split_article_url
 
     files = sorted(glob.glob(os.path.join(corpus_dir, "pages", "bucket=*", "*.parquet")))
-    table = pa.concat_tables([pq.read_table(f, columns=["url", "html"]) for f in files])
     art = re.compile(r"/M\.\d+\.A\.[0-9A-F]+\.html$")
-    urls = table["url"].to_pylist()
-    htmls = table["html"].to_pylist()
-    pairs = [(u, h) for u, h in zip(urls, htmls) if art.search(u)]
-    pairs = pairs[:: max(1, len(pairs) // sample)][:sample]
+    # bound driver memory to the sample: read a few bucket files, not all
+    pairs = []
+    per_file = max(1, sample // max(1, min(4, len(files))))
+    for f in files[:4]:
+        t = pq.read_table(f, columns=["url", "html"])
+        got = 0
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if art.search(u):
+                pairs.append((u, h))
+                got += 1
+                if got >= per_file:
+                    break
+    pairs = pairs[:sample]
 
     ok = 0
     for url, html in pairs:
@@ -160,7 +171,8 @@ def main():
             for _ in range(repeats):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                            GRAFT_SF_DIR=sf_dir, GRAFT_BENCH_CRAWL_ONLY="1",
-                           GRAFT_BENCH_SCALE="scaling")
+                           GRAFT_BENCH_SCALE="scaling",
+                           OMP_NUM_THREADS=str(n), OPENBLAS_NUM_THREADS=str(n))
                 out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                      capture_output=True, text=True, check=True,
                                      env=env, cwd=os.path.dirname(os.path.abspath(__file__)))

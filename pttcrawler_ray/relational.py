@@ -59,6 +59,20 @@ def topk_events_per_user(sf_dir: str, k: int = 3) -> "rd.Dataset":
     return ds.groupby("user_id").map_groups(topk, batch_format="pyarrow")
 
 
+class _KeySetFilter:
+    """Broadcast semi/anti filter: keep rows whose ``col`` is (or is not)
+    in the broadcast key set — the shared shape of J1/J4."""
+
+    def __init__(self, key_ref, col: str, keep_members: bool):
+        self.keys = ray.get(key_ref)
+        self.col = col
+        self.keep = keep_members
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mask = [(k in self.keys) == self.keep for k in t[self.col].to_pylist()]
+        return t.filter(pa.array(mask))
+
+
 # ------------------------------------------------------------- J1: anti-join
 def customers_without_orders(sf_dir: str, min_total: float = 400_000.0) -> "rd.Dataset":
     """Broadcast anti-join: customers with no order above ``min_total``.
@@ -74,17 +88,10 @@ def customers_without_orders(sf_dir: str, min_total: float = 400_000.0) -> "rd.D
         keys.update(b["o_custkey"].to_pylist())
     ref = ray.put(frozenset(keys))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-
-    class AntiFilter:
-        def __init__(self, key_ref):
-            self.keys = ray.get(key_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
-            return t.filter(pa.array(mask))
-
-    return cust.map_batches(AntiFilter, fn_constructor_kwargs={"key_ref": ref},
-                            batch_format="pyarrow", concurrency=(1, 2))
+    return cust.map_batches(
+        _KeySetFilter,
+        fn_constructor_kwargs={"key_ref": ref, "col": "c_custkey", "keep_members": False},
+        batch_format="pyarrow", concurrency=(1, 2))
 
 
 # ------------------------------------------------------------- J4: semi-join
@@ -96,17 +103,10 @@ def orders_of_segment(sf_dir: str, segment: str = "BUILDING") -> "rd.Dataset":
         if s == segment)
     ref = ray.put(seg_keys)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-
-    class SemiFilter:
-        def __init__(self, key_ref):
-            self.keys = ray.get(key_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k in self.keys for k in t["o_custkey"].to_pylist()]
-            return t.filter(pa.array(mask))
-
-    return orders.map_batches(SemiFilter, fn_constructor_kwargs={"key_ref": ref},
-                              batch_format="pyarrow", concurrency=(1, 2))
+    return orders.map_batches(
+        _KeySetFilter,
+        fn_constructor_kwargs={"key_ref": ref, "col": "o_custkey", "keep_members": True},
+        batch_format="pyarrow", concurrency=(1, 2))
 
 
 # -------------------------------------------------------- A4: grouped count
@@ -235,7 +235,8 @@ def lineitem_order_join(sf_dir: str, n_buckets: int = 16) -> "rd.Dataset":
     groupby(bucket), and hash-join each bucket pairwise inside map_groups.
     Skewed keys would be salted into sub-buckets the same way the frontier
     splits hot sites.  Output: one row per lineitem with its order's
-    totalprice."""
+    totalprice.  ``n_buckets`` must be a power of two (bit-mask bucketing)."""
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
@@ -298,7 +299,7 @@ def events_asof_orders(sf_dir: str) -> "rd.Dataset":
                          "o_orderdate": t["o_orderdate"]})
 
     both = ev.map_batches(tag_e, batch_format="pyarrow").union(
-        orders.map_batches(lambda t: tag_o(t), batch_format="pyarrow"))
+        orders.map_batches(tag_o, batch_format="pyarrow"))
 
     def asof_bucket(g: pa.Table) -> pa.Table:
         import pandas as pd
@@ -360,7 +361,11 @@ def knn_top1(sf_dir: str, n_queries: int = 3) -> pa.Table:
     from .textops.similarity import knn_brute
 
     embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = embs.to_pandas().set_index("vec_id").sort_index()
+    # pushed-down read of ONLY the query rows — never materialize the table
+    qds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"],
+                          filter=(pc.field("vec_id") < n_queries))
+    qdf = qds.to_pandas().set_index("vec_id").sort_index()
     q = np.stack(qdf.loc[range(n_queries), "embedding"])
     out = knn_brute(embs, q, k=2).to_pandas()
     out = out[out["vec_id"] != out["query_id"]]

@@ -206,6 +206,9 @@ def minhash_lsh_pairs(docs: "rd.Dataset", threshold: float = 0.7,
 def minhash_dedup(docs: "rd.Dataset", threshold: float = 0.7, **kw) -> "rd.Dataset":
     """Drop near-duplicates: connected components over verified pairs,
     min doc_id kept per component (union-find on the small pair set)."""
+    # pin the upstream pipeline once: it is otherwise executed three times
+    # (bands pass, jaccard-verify scan, final keep filter)
+    docs = docs.materialize()
     pairs = minhash_lsh_pairs(docs, threshold=threshold, **kw)
     parent: dict[int, int] = {}
 
@@ -258,6 +261,8 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
     ds = docs.map_batches(SimHash(), batch_format="pyarrow")
     ds = ds.select_columns([id_col, "simhash", "sim_band0", "sim_band1",
                             "sim_band2", "sim_band3"])
+    # signatures are consumed 5x (4 band groupbys + the sims scan): compute once
+    ds = ds.materialize()
     sims: dict[int, int] = {}
     cand: set[tuple[int, int]] = set()
     for band in range(4):

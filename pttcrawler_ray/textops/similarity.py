@@ -34,12 +34,14 @@ class _BatchTopK:
         m = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
         sim = self.q @ m.T  # (nq, nb)
         k = min(self.k, sim.shape[1])
-        top = np.argpartition(-sim, k - 1, axis=1)[:, :k]
         rows_q, rows_id, rows_s = [], [], []
         for qi in range(sim.shape[0]):
+            # deterministic tie-break (cosine desc, vec_id asc) — matches
+            # the SQL oracle's ordering even for duplicate embeddings
+            order = np.lexsort((ids, -sim[qi]))[:k]
             rows_q.extend([qi] * k)
-            rows_id.extend(ids[top[qi]])
-            rows_s.extend(sim[qi, top[qi]])
+            rows_id.extend(ids[order])
+            rows_s.extend(sim[qi, order])
         return pa.table({"query_id": pa.array(rows_q, pa.int64()),
                          "vec_id": pa.array(rows_id, pa.int64()),
                          "cosine": pa.array(rows_s, pa.float64())})
@@ -127,5 +129,8 @@ def knn_ivf(emb_ds: "rd.Dataset", queries: np.ndarray, k: int = 5,
     parts = sub.map_batches(
         _BatchTopK, fn_constructor_kwargs={"queries_ref": qref, "k": k},
         batch_format="pyarrow", concurrency=(1, concurrency)).to_pandas()
-    # keep only (query, vec) hits whose cluster is probed by that query
+    # note: filtering uses the UNION of all queries' probed clusters (a
+    # query may rank vectors from another query's probes — extra recall,
+    # same probe-limited read cost); a per-query cluster mask would
+    # restrict further at the price of per-query partitions
     return _merge_topk(parts, k)
