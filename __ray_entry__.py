@@ -15,9 +15,17 @@ here calls ``ray.init`` / ``ray.shutdown``.
 
 from __future__ import annotations
 
+import json
 import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the package lives next to this file; make the import robust to the
+# driver's working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 import numpy as np
 import pyarrow as pa
@@ -65,11 +73,25 @@ def _crawl_out(scale: str) -> str:
 
     corpus = corpus_for_scale(scale)
     out = f"/tmp/ptt_crawl/{scale}"
-    if not os.path.exists(os.path.join(out, "summary.json")):
+    # cache validity: the crawl must match the corpus it was built from
+    # (fixtures changes regenerate the corpus with new manifest params)
+    with open(os.path.join(corpus, "manifest.json")) as f:
+        corpus_params = json.load(f)["params"]
+    marker = os.path.join(out, "corpus_params.json")
+    stale = True
+    if os.path.exists(os.path.join(out, "summary.json")) and os.path.exists(marker):
+        with open(marker) as f:
+            stale = json.load(f) != corpus_params
+    if stale:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         cfg = CrawlConfig(num_shards=4, strict_order=False, round_seconds=3600.0,
                           fetch_concurrency=4, process_concurrency=4,
                           engine="actors", seen_capacity=1_000_000)
         run_crawl(corpus, out, cfg)
+        with open(marker, "w") as f:
+            json.dump(corpus_params, f)
     from pttcrawler_ray.pipelines.crawl import materialize_latest
 
     materialize_latest(out)  # the dedupe view is read by several queries

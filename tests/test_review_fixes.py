@@ -134,6 +134,30 @@ def test_resume_shard_count_mismatch_raises(ray_session, tmp_path):
                                       round_seconds=3600.0), resume=True)
 
 
+def test_resume_cleans_stale_tmp_partitions(ray_session, tmp_path):
+    """A crash mid-round leaves a .tmp-round dir; resume must discard it."""
+    import os
+
+    from pttcrawler_ray.fixtures import corpus_for_scale
+    from pttcrawler_ray.pipelines.crawl import CrawlConfig, latest_articles, run_crawl
+
+    d = corpus_for_scale("t1")
+    out = str(tmp_path / "crash")
+    cfg = CrawlConfig(num_shards=2, strict_order=False, round_seconds=3600.0,
+                      checkpoint_every=1)
+    run_crawl(d, out, cfg)
+    n = latest_articles(out).count()
+
+    # simulate a crashed partial round write + an uncommitted extra round
+    os.makedirs(os.path.join(out, "articles", ".tmp-round=99"))
+    os.makedirs(os.path.join(out, "articles", "round=99"))
+    resumed = run_crawl(d, out, cfg, resume=True)
+    assert resumed["popped"] == 0  # nothing left to crawl
+    assert not os.path.exists(os.path.join(out, "articles", ".tmp-round=99"))
+    assert not os.path.exists(os.path.join(out, "articles", "round=99"))
+    assert latest_articles(out).count() == n
+
+
 def test_index_only_resume_stays_deferred():
     f = FrontierShard(shard_id=0, num_shards=1, index_only=True,
                       strict_order=False, seen_capacity=1000)
