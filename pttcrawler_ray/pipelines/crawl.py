@@ -369,10 +369,27 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
                         shutil.rmtree(os.path.join(base, name))
     else:
         os.makedirs(out_dir, exist_ok=True)
-        for sub in ("articles", "seen", "latest"):
-            sp = os.path.join(out_dir, sub)
-            if os.path.isdir(sp):
-                shutil.rmtree(sp)
+        incremental = (cfg.seed_mode in ("before", "after")
+                       and os.path.exists(os.path.join(ckpt_dir, "run.json")))
+        if incremental:
+            # incremental watermark crawl EXTENDS the prior data: keep the
+            # existing partitions, continue the round numbering, start new
+            # frontier state for the new range (dedupe-latest absorbs any
+            # boundary-page overlap)
+            with open(os.path.join(ckpt_dir, "run.json")) as f:
+                prior = json.load(f)
+            start_round = prior.get("completed_rounds", 0)
+            rounds_log = prior.get("rounds_log", [])
+            shutil.rmtree(os.path.join(out_dir, "latest"), ignore_errors=True)
+            shutil.rmtree(ckpt_dir, ignore_errors=True)  # rewritten at the end
+        else:
+            for sub in ("articles", "seen", "latest"):
+                sp = os.path.join(out_dir, sub)
+                if os.path.isdir(sp):
+                    shutil.rmtree(sp)
+            # a stale checkpoint from a prior run must not be resumable into
+            # this fresh run's partitions (mixed-run corruption)
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
         seeds = _seed_rows(shared_index, boards, cfg.seed_mode,
                            cfg.prior_watermarks, cfg.asof_ts, cfg.index_range)
         _route_add(shards, seeds, cfg.num_shards, cfg.split, force=cfg.upgrade)
@@ -406,9 +423,11 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
                 break
             stalls += 1
             # zero-pop rounds are normal while politeness credit accrues
-            # (delay > round_seconds); a genuine ack-loss stall spins far
-            # past this threshold
-            if stalls > 50:
+            # (delay > round_seconds); scale the watchdog to the slowest
+            # lane's accrual period so healthy slow lanes never trip it
+            max_delay = max([cfg.default_delay_s, *site_delays.values()])
+            stall_limit = max(50, int(3 * max_delay / max(cfg.round_seconds, 1e-9)) + 10)
+            if stalls > stall_limit:
                 raise RuntimeError(f"frontier stalled with depth={depth}")
             if cfg.realtime:
                 time.sleep(cfg.round_seconds)

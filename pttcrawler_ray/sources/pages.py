@@ -165,7 +165,20 @@ class FetchPages:
             if asof_ts is not None:
                 raise ValueError("asof fetches need the shared index")
             self.store = PagesStore(corpus_dir)
-        self._gated_hosts: set[str] = set()  # over18/robots verdict cache (T1)
+        # per-host gate verdicts (T1): the reference sends over18=1 and
+        # carries cookies per request (crawler/article.py:42-44,272-273);
+        # here a host's verdict is computed once per actor and CONSULTED —
+        # a False verdict 404s the host's urls.  All verdicts are True in
+        # the sandbox (no live robots.txt), but the gate is load-bearing.
+        self._host_gate: dict[str, bool] = {}
+
+    def _gate_verdict(self, host: str) -> bool:
+        verdict = self._host_gate.get(host)
+        if verdict is None:
+            # a live deployment would fetch robots.txt / set over18 here
+            verdict = True
+            self._host_gate[host] = verdict
+        return verdict
 
     def _resolve_rows(self, h: np.ndarray) -> np.ndarray:
         """Row id of the snapshot to serve per hash, -1 for miss."""
@@ -189,17 +202,20 @@ class FetchPages:
                 out[i] = self.rows_full[lo[i] + j]
         return out
 
-    def _lookup_shared(self, batch: pa.Table) -> pa.Table:
+    def _lookup_shared(self, batch: pa.Table, blocked: np.ndarray | None = None) -> pa.Table:
         urls = batch["url"].to_pylist()
         h = np.fromiter((hash_u64(u) for u in urls), dtype=np.uint64, count=len(urls))
         resolved = self._resolve_rows(h)
+        if blocked is not None and blocked.any():
+            resolved[blocked] = -1  # gate-blocked hosts read as 404
         found = resolved >= 0
         rowids = resolved[found]
 
-        hit_rows = self.table.take(pa.array(rowids, pa.int64()))
-        # verify against hash collisions (different url, same 64-bit hash)
+        # verify against hash collisions on the url column ONLY, then take
+        # the full (html-bearing) rows once for the verified subset
+        stored_urls = self.table.column("url").take(pa.array(rowids, pa.int64()))
         req = pa.array([u for u, f in zip(urls, found) if f], pa.string())
-        ok_mask = pc.equal(hit_rows["url"], req).to_numpy(zero_copy_only=False)
+        ok_mask = pc.equal(stored_urls, req).to_numpy(zero_copy_only=False)
 
         hit_idx = np.flatnonzero(found)[ok_mask]
         miss_idx = np.setdiff1d(np.arange(len(urls)), hit_idx, assume_unique=False)
@@ -219,21 +235,22 @@ class FetchPages:
         return pa.concat_tables([hits, misses])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # per-host gate: the reference sends over18=1 + carries cookies per
-        # request (crawler/article.py:42-44,272-273); here the verdict is
-        # computed once per host per actor.
-        for u in batch["url"].to_pylist():
-            host = u.split("/", 3)[2] if "//" in u else ""
-            self._gated_hosts.add(host)
+        # consult the per-host gate: a blocked host's urls become fetch
+        # misses (the error-row path — acks/lineage still flow downstream)
+        urls = batch["url"].to_pylist()
+        blocked = np.array(
+            [not self._gate_verdict(u.split("/", 3)[2] if "//" in u else "")
+             for u in urls], dtype=bool)
 
         if "warc_ts" in batch.column_names:
             batch = batch.drop_columns(["warc_ts"])
 
         if self.store is None:
-            return self._lookup_shared(batch)
+            return self._lookup_shared(batch, blocked)
 
-        urls = batch["url"].to_pylist()
         handles = self.store.lookup_newest(urls)
+        handles = [(k, None) if b else (k, r)
+                   for (k, r), b in zip(handles, blocked)]
         fetched = self.store.take(handles)
         ok = pa.array([h[1] is not None for h in handles], pa.bool_())
         out = batch

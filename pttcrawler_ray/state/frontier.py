@@ -115,6 +115,7 @@ class FrontierShard:
         self.stats = {"enqueued": 0, "popped": 0, "dedup_hits": 0, "acks": 0}
         self.politeness_log: list[tuple[int, str, int]] = []  # (round, lane, released)
         self.order_log: list[tuple[str, int, str]] = []       # (lane, seq, url)
+        self.order_seq = 0
 
     # ------------------------------------------------------------------ add
     def _accrue_budget(self, lane: str) -> int:
@@ -151,10 +152,14 @@ class FrontierShard:
 
             hashes = hash_u64_many([canonicalize_url(u) for u in urls])
             present = self.seen.contains_many(hashes)
+            # in-batch dedup: a url listed twice in one batch (overlapping
+            # index snapshots) must enqueue and insert once
+            first_seen = np.zeros(n_in, dtype=bool)
+            first_seen[np.unique(hashes, return_index=True)[1]] = True
             if force:
-                fresh = np.ones(n_in, dtype=bool)  # re-enqueue everything
+                fresh = first_seen.copy()  # re-enqueue everything once
             else:
-                fresh = ~present
+                fresh = ~present & first_seen
             n_fresh = int(fresh.sum())
             self.stats["dedup_hits"] += n_in - n_fresh
             # never re-insert present hashes: a cuckoo filter stores one
@@ -174,10 +179,6 @@ class FrontierShard:
                     heapq.heappush(self.heaps.setdefault(lane, []), item)
                 self.seq += 1
                 self.stats["enqueued"] += 1
-                if kind == "index":
-                    wm = self.watermarks.setdefault(board, [idx, idx])
-                    wm[0] = min(wm[0], idx)
-                    wm[1] = max(wm[1], idx)
         return {"fresh": n_fresh, "dedup_hits": self.stats["dedup_hits"]}
 
     def unsee(self, urls: list[str]) -> int:
@@ -207,8 +208,16 @@ class FrontierShard:
                 idxs.append(idx); lanes.append(ln); uhashes.append(uh)
                 poss.append(pos)
                 released += 1
+                if kind == "index":
+                    # watermark tracks CRAWLED index pages (the reference's
+                    # ArticleIndex min/max comes from fetched pages, not
+                    # queued ones — article_index.py:72-88)
+                    wm = self.watermarks.setdefault(board, [idx, idx])
+                    wm[0] = min(wm[0], idx)
+                    wm[1] = max(wm[1], idx)
                 if self.record_order:
-                    self.order_log.append((ln, self.stats["popped"] + released, url))
+                    self.order_seq += 1  # globally monotonic across lanes
+                    self.order_log.append((ln, self.order_seq, url))
                 if kind == "index" and self.strict_order:
                     self.blocked.add(lane)
                     break
@@ -216,6 +225,10 @@ class FrontierShard:
                 self.politeness_log.append((self.round_no, lane, released))
             if not heap:
                 del self.heaps[lane]
+        if len(self.politeness_log) > 150_000:
+            # bound actor memory on long realtime crawls (the audit keeps a
+            # large rolling window; snapshots persist the tail)
+            del self.politeness_log[:-100_000]
         self.stats["popped"] += len(urls)
         return pa.table(
             {
@@ -304,6 +317,8 @@ class FrontierShard:
             "stats": self.stats, "watermarks": self.watermarks,
             "blocked": sorted(self.blocked),
             "politeness_log": self.politeness_log[-1000:],
+            "credit": self.credit,
+            "order_seq": self.order_seq,
         }
         meta_path = os.path.join(ckpt_dir, f"shard_{self.shard_id}.json")
         tmp = meta_path + ".tmp"
@@ -320,6 +335,11 @@ class FrontierShard:
         self.stats = meta["stats"]
         self.watermarks = {b: list(w) for b, w in meta["watermarks"].items()}
         self.blocked = set(meta["blocked"])
+        # politeness audit tail + accrued token-bucket credit survive the
+        # resume so pacing continues where the interrupted run left off
+        self.politeness_log = [tuple(x) for x in meta.get("politeness_log", [])]
+        self.credit = dict(meta.get("credit", {}))
+        self.order_seq = meta.get("order_seq", 0)
         with open(os.path.join(ckpt_dir, f"seen_{self.shard_id}.pickle"), "rb") as f:
             seen = pickle.load(f)
         self.seen = (CuckooFilter.restore(seen["snap"]) if seen["type"] == "CuckooFilter"

@@ -109,6 +109,16 @@ def test_seed_modes(corpus, tmp_path):
     expected_idx = {f"https://www.ptt.cc/bbs/{b}/index{wm[b][1]}.html" for b in boards}
     assert idx_after == expected_idx
 
+    # incremental after-mode on the ORIGINAL out dir EXTENDS it (no wipe)
+    n_before = len(_read_seen(out_full))
+    run_crawl(d, out_full, _cfg(strict_order=False, round_seconds=3600.0,
+                                seed_mode="after", prior_watermarks=wm))
+    seen_inc = _read_seen(out_full)
+    assert len(seen_inc) == n_before  # prior data intact, overlap re-visited
+    from pttcrawler_ray.pipelines.crawl import latest_articles
+
+    assert latest_articles(out_full).count() > 0  # dedupe absorbs the overlap
+
     # before-mode with a fake floor watermark: only pages [1, floor]
     fake = {b: [3, wm[b][1]] for b in boards}
     out_before = str(tmp_path / "before")

@@ -80,13 +80,27 @@ def test_force_and_cuckoo_unsee():
     assert f.add(_tbl(rows))["fresh"] == 1
 
 
-def test_watermarks():
-    f = _mk(strict_order=False)
+def test_watermarks_track_crawled_pages():
+    """Watermarks advance when index pages are POPPED (fetched), not when
+    queued — an interrupted crawl's checkpoint must not claim uncrawled
+    pages (reference semantics: ArticleIndex rows exist only for fetched
+    pages, article_index.py:72-88)."""
+    f = _mk(strict_order=False, round_seconds=4.0)  # budget 2/round
     f.add(_tbl([(u("b", "index7"), "b", "index", 7),
                 (u("b", "index3"), "b", "index", 3),
                 (u("c", "index5"), "c", "index", 5)]))
+    assert f.get_stats()["watermarks"] == {}  # queued ≠ crawled
+    f.pop_round()  # pops b:7, b:3 (budget 2) + c:5 (own lane)
     wm = f.get_stats()["watermarks"]
     assert wm["b"] == [3, 7] and wm["c"] == [5, 5]
+
+
+def test_in_batch_duplicates_enqueue_once():
+    f = _mk(strict_order=False)
+    rows = [(u("b", "M.1.A.0"), "b", "article", 1)] * 3 + \
+           [(u("b", "M.2.A.0"), "b", "article", 1)]
+    out = f.add(_tbl(rows))
+    assert out["fresh"] == 2 and f.depth() == 2  # each url once
 
 
 def test_snapshot_restore_preserves_order(tmp_path):
