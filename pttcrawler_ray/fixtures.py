@@ -91,9 +91,16 @@ def _article_html(rng: random.Random, board: str, web_id: str, author: str,
 
     if flavor == "normal" or flavor == "baddate":
         date_str = "不明時間" if flavor == "baddate" else _fmt_date(post_dt)
+        # ~6%: meta-value with a single ELEMENT child — bs4 .string recurses
+        # through it (htmlmini Node.string), so author must still extract
+        author_text = f"{author} ({rng.choice(_NICKNAMES)})"
+        if rng.random() < 0.06:
+            author_html = f"<b>{author_text}</b>"
+        else:
+            author_html = author_text
         parts.append(
             '<div class="article-metaline"><span class="article-meta-tag">作者</span>'
-            f'<span class="article-meta-value">{author} ({rng.choice(_NICKNAMES)})</span></div>'
+            f'<span class="article-meta-value">{author_html}</span></div>'
             '<div class="article-metaline-right"><span class="article-meta-tag">看板</span>'
             f'<span class="article-meta-value">{board}</span></div>'
             '<div class="article-metaline"><span class="article-meta-tag">標題</span>'
@@ -291,6 +298,9 @@ def generate_corpus(out_dir: str, seed: int = 42, n_boards: int = 3,
         bdir = os.path.join(out_dir, "pages", f"bucket={k}")
         os.makedirs(bdir, exist_ok=True)
         pq.write_table(sub, os.path.join(bdir, "part-0.parquet"))
+    # persist the routing modulus (PagesStore reads this, not a dir count)
+    with open(os.path.join(out_dir, "pages", "_manifest.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
 
     # --- seed boards --------------------------------------------------------
     pq.write_table(

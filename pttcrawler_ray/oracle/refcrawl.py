@@ -38,10 +38,14 @@ def sequential_crawl(pages_table, seed_boards: list[str], start_date=None) -> di
     'errors': {url: reason}}.
 
     ``start_date`` replicates the reference's date-filter mode
-    (crawler/article.py:486-503): a page's articles are all fetched, then
-    only valid-date articles >= start_date are kept (unparsable dates are
-    dropped without consequence); if any valid-date article fell below the
-    threshold, older index pages are not visited."""
+    (crawler/article.py:486-506): a page's articles are all fetched, then
+    ``tmp_article_list`` collects valid-date articles >= start_date
+    (unparsable dates decrement the comparison denominator).  The
+    replacement ``article_list = tmp_article_list`` fires ONLY when
+    ``len(tmp) < len_article_list`` — i.e. when a valid-dated too-old
+    article exists on the page — and that also stops older index pages.
+    On pages with no too-old article the ORIGINAL list is output, undated
+    articles included."""
     from datetime import datetime
 
     web = build_web(pages_table)
@@ -94,13 +98,17 @@ def sequential_crawl(pages_table, seed_boards: list[str], start_date=None) -> di
                     try:
                         dt = datetime.strptime(parsed["date"], "%a %b %d %H:%M:%S %Y")
                     except (TypeError, ValueError):
-                        n_valid -= 1  # undated: dropped, no cutoff (:494-499)
+                        n_valid -= 1  # undated: excluded from the comparison (:494-499)
                         continue
                     if dt >= start_date:
                         kept.append((link, parsed))
                 if len(kept) < n_valid:
-                    stop_below = page_no  # stop before older pages (:501-502)
-                page_articles = kept
+                    # a valid-dated too-old article: swap in the filtered
+                    # list (undated rows dropped WITH it) and stop older
+                    # pages (:501-503).  Without the swap the original
+                    # list — undated rows included — is output.
+                    stop_below = page_no
+                    page_articles = kept
             for link, parsed in page_articles:
                 articles[link] = parsed
 

@@ -40,18 +40,27 @@ PLAIN, META, META_RIGHT, PUSH = 0, 1, 2, 3
 class _SpanRec:
     """Capture of one span subtree: .string / .strings equivalents."""
 
-    __slots__ = ("n_direct", "first_text", "first_is_text", "texts")
+    __slots__ = ("n_direct", "first_text", "first_is_text", "first_child",
+                 "texts")
 
     def __init__(self):
         self.n_direct = 0
         self.first_text = None
         self.first_is_text = False
+        self.first_child = None   # _SpanRec of a single ELEMENT child
         self.texts: list[str] = []
 
     @property
     def string(self):
-        if self.n_direct == 1 and self.first_is_text:
+        # bs4/htmlmini .string: exactly one child — a text node yields its
+        # text, an element recurses (<span><b>author</b></span> → 'author'),
+        # a void element (no capture rec) yields None
+        if self.n_direct != 1:
+            return None
+        if self.first_is_text:
             return self.first_text
+        if self.first_child is not None:
+            return self.first_child.string
         return None
 
 
@@ -135,12 +144,21 @@ def scan_article(html_text: str):
 
         # opening tag
         depth = len(stack)
-        # direct element child of a captured span?
+        is_void_pre = bool(selfclose) or tag in VOID_TAGS
+        # direct element child of a captured span?  A sole non-void element
+        # child gets its own nested capture so .string can recurse into it
+        # (htmlmini Node.string recursion — single element child).
+        nested: list[tuple[int, _SpanRec]] = []
         for start_depth, rec in open_spans:
             if depth == start_depth:
                 if rec.n_direct == 0:
                     rec.first_is_text = False
+                    if not is_void_pre:
+                        child = _SpanRec()
+                        rec.first_child = child
+                        nested.append((depth + 1, child))
                 rec.n_direct += 1
+        open_spans.extend(nested)
 
         attrs = {}
         if rawattrs:

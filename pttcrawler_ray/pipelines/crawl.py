@@ -105,6 +105,15 @@ class CrawlConfig:
     # mode.  Off for benchmarks/tests (simulated epochs).  The scheduler
     # sleeps, workers never do (unlike the reference's time.sleep).
     realtime: bool = False
+    # fetch source layout: 'routed' = bucket-routed PagesStore (the SCALE
+    # default — popped batches route to the worker owning url_hash %
+    # n_buckets, each worker lazily holds only its bucket subset; nothing
+    # materializes the whole pages table), 'shared' = one zero-copy
+    # full-corpus index in the object store (small-corpus fast path / the
+    # per-node bucket shard on a cluster).  'auto' = routed for the actors
+    # engine unless a prebuilt shared index was passed; shared for rayds
+    # (map_batches pools cannot route batches to specific actors).
+    fetch: str = "auto"
 
 
 class ProcessPages:
@@ -147,8 +156,19 @@ class ProcessPages:
                 d["page_pos"].append(pos)
 
             acks: dict[int, list[str]] = {}
-            for lane in index_rows["lane"].to_pylist():
-                acks.setdefault(shard_of(lane, self.num_shards), []).append(lane)
+            wms: dict[int, list[tuple[str, int]]] = {}
+            lanes_l = index_rows["lane"].to_pylist()
+            fetched_ok = pc.is_valid(index_rows["html"]).to_pylist()
+            i_boards = index_rows["board"].to_pylist()
+            i_idxs = index_rows["index_no"].to_pylist()
+            for lane, ok, b, n in zip(lanes_l, fetched_ok, i_boards, i_idxs):
+                s = shard_of(lane, self.num_shards)
+                acks.setdefault(s, []).append(lane)
+                if ok and n is not None:
+                    # watermark advances only for successfully FETCHED index
+                    # pages (reference article_index.py:72-88; a 404 page
+                    # must not shrink a later --before/--after seed range)
+                    wms.setdefault(s, []).append((b, int(n)))
 
             for s in set(adds) | set(acks):
                 d = adds.get(s) or {"url": [], "board": [], "kind": [],
@@ -159,15 +179,29 @@ class ProcessPages:
                                 "index_no": pa.array(d["index_no"], pa.int32()),
                                 "page_pos": pa.array(d["page_pos"], pa.int32())})
                 pending.append(self.shards[s].add.remote(tbl, acks=acks.get(s, []),
-                                                         force=self.force))
+                                                         force=self.force,
+                                                         watermarks=wms.get(s)))
 
         if article_rows.num_rows:
             out = parse_articles_batch(article_rows)
             if self.start_date is not None:
-                out, cuts = self._apply_date_filter(out)
+                out, cuts, cut_pages, undated = self._apply_date_filter(out)
                 for board, idx in cuts.items():
-                    # broadcast: any shard may own one of the board's lanes
-                    pending.extend(s.cut_below.remote(board, idx) for s in self.shards)
+                    # broadcast: any shard may own one of the board's lanes,
+                    # and every shard tracks the full cut-page set for the
+                    # end-of-crawl undated reconciliation
+                    pages = [p for p in cut_pages if p[0] == board]
+                    pending.extend(s.cut_below.remote(board, idx, pages=pages)
+                                   for s in self.shards)
+                if undated is not None and undated.num_rows:
+                    from ..util.hashing import hash_u64
+                    # held per board-hash shard; survivors emitted at the end
+                    by_shard: dict[int, list[int]] = {}
+                    for i, b in enumerate(undated["board"].to_pylist()):
+                        by_shard.setdefault(hash_u64(b) % self.num_shards, []).append(i)
+                    for s, rows in by_shard.items():
+                        pending.append(self.shards[s].hold_undated.remote(
+                            undated.take(pa.array(rows, pa.int64()))))
         else:
             out = pa.Table.from_pylist([], schema=schemas.ARTICLES)
 
@@ -177,12 +211,21 @@ class ProcessPages:
 
     def _apply_date_filter(self, out: pa.Table):
         """Reference date-filter semantics (crawler/article.py:486-503):
-        keep valid-date articles >= start_date; unparsable dates are
-        dropped without triggering the cutoff; a too-old valid date cuts
-        the board's older index pages."""
+        keep valid-date articles >= start_date; a valid-dated too-old
+        article cuts the board's older index pages AND triggers the page's
+        list replacement (``article_list = tmp_article_list`` fires only
+        when ``len(tmp) < len_article_list``, :501-503) — so a page's
+        UNDATED articles are dropped only when that page triggered the
+        replacement; on clean pages they are output.  Undated rows are held
+        in the frontier shards until end-of-crawl, when the full cut-page
+        set is known (a page's rows may span batches and rounds).
+
+        Returns (kept_table, cuts_by_board, cut_pages, undated_table)."""
         from ..parsing.scalars import parse_article_date
 
-        keep, cuts = [], {}
+        keep, undated_idx = [], []
+        cuts: dict[str, int] = {}
+        cut_pages: set[tuple[str, int]] = set()
         dates = out["date"].to_pylist()
         errors = out["error"].to_pylist()
         boards = out["board"].to_pylist()
@@ -193,7 +236,8 @@ class ProcessPages:
                 continue
             dt = parse_article_date(dates[i])
             if dt is None:
-                keep.append(False)  # undated: dropped, no cutoff
+                keep.append(False)
+                undated_idx.append(i)  # held: fate decided by its page
                 continue
             if dt >= self.start_date:
                 keep.append(True)
@@ -202,7 +246,16 @@ class ProcessPages:
                 b, n = boards[i], idxs[i]
                 if n is not None:
                     cuts[b] = max(cuts.get(b, -1), n)
-        return out.filter(pa.array(keep)), cuts
+                    cut_pages.add((b, int(n)))
+        undated = None
+        if undated_idx:
+            # drop rows whose page already triggered in THIS batch; the
+            # cross-batch case resolves at end-of-crawl via the shard's set
+            rows = [i for i in undated_idx
+                    if (boards[i], int(idxs[i] or -1)) not in cut_pages]
+            if rows:
+                undated = out.take(pa.array(rows, pa.int64()))
+        return out.filter(pa.array(keep)), cuts, cut_pages, undated
 
 
 class CrawlWorker:
@@ -222,20 +275,32 @@ class CrawlWorker:
     def run(self, batch: pa.Table) -> pa.Table:
         return self.process(self.fetch(batch))
 
+    def run_write(self, batch: pa.Table, path: str) -> int:
+        """Process a batch and write the parsed rows to ``path`` directly
+        from the worker — the driver never holds article tables (round-1
+        verdict: the actors engine funneled every parsed table through
+        driver memory).  Returns the row count written (0 ⇒ no file)."""
+        out = self.run(batch)
+        if out.num_rows:
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(out, path)
+        return out.num_rows
+
     # map_batches entry point: fusing fetch+process in ONE actor keeps the
     # fetched html in-process instead of shipping it between two pools
     # through the object store
     __call__ = run
 
 
-def _seed_rows(shared_index: dict, boards: list[str], seed_mode: str = "full",
-               prior_watermarks: dict | None = None, asof_ts=None,
+def _seed_rows(fetch: FetchPages, boards: list[str], seed_mode: str = "full",
+               prior_watermarks: dict | None = None,
                index_range: tuple | None = None) -> pa.Table:
-    """Index-page seeds: last-page probe against the shared pages index,
-    ranged by seed_mode (reference article_index.py --before/--after
-    watermark modes, :37-54): full = [1, live last], after = [prior max
-    watermark, live last], before = [1, prior min watermark]."""
-    fetch = FetchPages(index=shared_index, asof_ts=asof_ts)
+    """Index-page seeds: last-page probe against the pages source (shared
+    index or bucket store — only the probed urls' buckets load), ranged by
+    seed_mode (reference article_index.py --before/--after watermark
+    modes, :37-54): full = [1, live last], after = [prior max watermark,
+    live last], before = [1, prior min watermark]."""
     probe = pa.table({"url": pa.array(
         [f"{PTT_URL}/bbs/{b}/index.html" for b in boards], pa.string())})
     res = fetch(probe)
@@ -315,7 +380,17 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
     cfg = cfg or CrawlConfig()
     t0 = time.monotonic()
 
-    if shared_index is None:
+    engine = cfg.engine
+    if engine == "auto":
+        engine = "actors" if cfg.strict_order else "rayds"
+    fetch_mode = cfg.fetch
+    if fetch_mode == "auto":
+        # bucket-routed is the scale default; a prebuilt shared index (or
+        # the rayds engine, whose map_batches pool cannot route batches to
+        # specific actors) selects the shared-index fast path
+        fetch_mode = ("shared" if (shared_index is not None or engine == "rayds")
+                      else "routed")
+    if fetch_mode == "shared" and shared_index is None:
         shared_index = build_shared_index(corpus_dir)  # one copy, zero-copy shared
     import pyarrow.parquet as pq
 
@@ -390,21 +465,27 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             # a stale checkpoint from a prior run must not be resumable into
             # this fresh run's partitions (mixed-run corruption)
             shutil.rmtree(ckpt_dir, ignore_errors=True)
-        seeds = _seed_rows(shared_index, boards, cfg.seed_mode,
-                           cfg.prior_watermarks, cfg.asof_ts, cfg.index_range)
+        seed_fetch = (FetchPages(index=shared_index, asof_ts=cfg.asof_ts)
+                      if fetch_mode == "shared"
+                      else FetchPages(corpus_dir=corpus_dir, asof_ts=cfg.asof_ts))
+        seeds = _seed_rows(seed_fetch, boards, cfg.seed_mode,
+                           cfg.prior_watermarks, cfg.index_range)
         _route_add(shards, seeds, cfg.num_shards, cfg.split, force=cfg.upgrade)
 
-    engine = cfg.engine
-    if engine == "auto":
-        engine = "actors" if cfg.strict_order else "rayds"
     workers = []
+    n_buckets = None
     if engine == "actors":
         WorkerActor = ray.remote(CrawlWorker)
         n_workers = max(cfg.fetch_concurrency, cfg.process_concurrency)
+        if fetch_mode == "routed":
+            from ..sources.pages import _read_n_buckets
+
+            n_buckets = _read_n_buckets(os.path.join(corpus_dir, "pages"))
         workers = [
             WorkerActor.options(num_cpus=1).remote(
                 corpus_dir=corpus_dir, shard_handles=shards,
-                num_shards=cfg.num_shards, split=cfg.split, index=shared_index,
+                num_shards=cfg.num_shards, split=cfg.split,
+                index=(shared_index if fetch_mode == "shared" else None),
                 asof_ts=cfg.asof_ts, start_date=cfg.start_date, force=cfg.upgrade)
             for _ in range(n_workers)
         ]
@@ -443,15 +524,33 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         shutil.rmtree(tmp_dir, ignore_errors=True)
 
         if engine == "actors":
-            refs = []
-            for i, off in enumerate(range(0, batch.num_rows, cfg.batch_size)):
-                w = workers[i % len(workers)]
-                refs.append(w.run.remote(batch.slice(off, cfg.batch_size)))
-            parts = [t for t in ray.get(refs) if t.num_rows]
             os.makedirs(tmp_dir, exist_ok=True)
-            if parts:
-                pq.write_table(pa.concat_tables(parts),
-                               os.path.join(tmp_dir, "part-0.parquet"))
+            refs = []
+            if n_buckets is not None:
+                # bucket-routed: rows go to the worker owning their url
+                # bucket, so each worker's PagesStore only ever loads its
+                # stable bucket subset (per-actor memory ≈ corpus/workers)
+                from ..util.hashing import hash_u64_many
+                import numpy as np
+
+                h = hash_u64_many(batch["url"].to_pylist())
+                owner = (h % np.uint64(n_buckets)) % np.uint64(len(workers))
+                for w_i in np.unique(owner):
+                    sub = batch.take(pa.array(
+                        np.flatnonzero(owner == w_i), pa.int64()))
+                    for j, off in enumerate(range(0, sub.num_rows, cfg.batch_size)):
+                        refs.append(workers[int(w_i)].run_write.remote(
+                            sub.slice(off, cfg.batch_size),
+                            os.path.join(tmp_dir, f"part-{int(w_i)}-{j}.parquet")))
+            else:
+                for i, off in enumerate(range(0, batch.num_rows, cfg.batch_size)):
+                    w = workers[i % len(workers)]
+                    refs.append(w.run_write.remote(
+                        batch.slice(off, cfg.batch_size),
+                        os.path.join(tmp_dir, f"part-{i}.parquet")))
+            # workers wrote their own part files; the driver only gathers
+            # row counts and commits the directory rename
+            ray.get(refs)
         else:
             # split into >=concurrency blocks so the actor pool fills
             # (from_arrow of one table yields one block → one busy actor)
@@ -511,6 +610,25 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
 
     if seen_write_refs:
         ray.get(seen_write_refs)
+    if cfg.start_date is not None:
+        # date-filter reconciliation: held undated rows survive unless
+        # their page triggered the cutoff swap (reference
+        # crawler/article.py:501-503 — the tmp-list replacement is the
+        # only path that discards a page's undated articles)
+        survivors = [t for t in ray.get(
+            [s.undated_survivors.remote() for s in shards]) if t is not None]
+        if survivors:
+            tbl = pa.concat_tables(survivors)
+            round_no += 1
+            art_dir = os.path.join(out_dir, "articles", f"round={round_no}")
+            tmp_dir = os.path.join(out_dir, "articles", f".tmp-round={round_no}")
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            os.makedirs(tmp_dir, exist_ok=True)
+            pq.write_table(tbl, os.path.join(tmp_dir, "part-0.parquet"))
+            shutil.rmtree(art_dir, ignore_errors=True)
+            os.replace(tmp_dir, art_dir)
+            rounds_log.append({"round": round_no, "popped": 0,
+                               "undated_emitted": tbl.num_rows})
     _checkpoint(shards, ckpt_dir, round_no, rounds_log, cfg.num_shards)
     elapsed = time.monotonic() - t0
     final_stats = ray.get([s.get_stats.remote() for s in shards])

@@ -64,13 +64,15 @@ class _KeySetFilter:
     in the broadcast key set — the shared shape of J1/J4."""
 
     def __init__(self, key_ref, col: str, keep_members: bool):
-        self.keys = ray.get(key_ref)
+        # once per actor: the broadcast key set becomes an Arrow value_set
+        # so the membership test is a vectorized pc.is_in, not a row loop
+        self.value_set = pa.array(sorted(ray.get(key_ref)))
         self.col = col
         self.keep = keep_members
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        mask = [(k in self.keys) == self.keep for k in t[self.col].to_pylist()]
-        return t.filter(pa.array(mask))
+        mask = pc.is_in(t[self.col], value_set=self.value_set)
+        return t.filter(mask if self.keep else pc.invert(mask))
 
 
 # ------------------------------------------------------------- J1: anti-join

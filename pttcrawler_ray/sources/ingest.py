@@ -66,6 +66,13 @@ def ingest_pages(src, dest_corpus_dir: str, n_buckets: int = 32,
     pages_dir = os.path.join(dest_corpus_dir, "pages")
     os.makedirs(pages_dir, exist_ok=True)
     ds.write_parquet(pages_dir, partition_cols=["bucket"])
+    # partition_cols only creates directories for NON-empty buckets, but
+    # lookups route by hash % n_buckets — persist the configured count so
+    # PagesStore uses the write-time modulus, not a directory count
+    import json as _json
+
+    with open(os.path.join(pages_dir, "_manifest.json"), "w") as f:
+        _json.dump({"n_buckets": n_buckets}, f)
     # count from the written files' metadata — no second pipeline execution
     import glob as _glob
 

@@ -8,17 +8,24 @@ and a miss is the reference's non-200 path (``{"error": "invalid url"}``).
 
 Scale design: the pages table is hash-partitioned on ``url`` into
 ``bucket=<k>`` directories (written that way by the corpus generator /
-ingest job).  Fetch runs as a ``map_batches`` ACTOR pool: each actor lazily
-loads and caches the bucket tables its urls hash into, holding a
-url → newest-row index per bucket.  Frontier batches are routed by the same
-hash, so on a real cluster each actor touches a small, stable subset of
-buckets (O(pages/bucket) memory, no full-table load anywhere).  The per-host
-over18/robots gate is actor state, checked once per (host, actor).
+ingest job, with the bucket count persisted in ``pages/_manifest.json`` so
+the lookup modulus always equals the write-time modulus even when some
+buckets are empty).  The scale path is BUCKET-ROUTED fetch: the crawl
+driver routes each popped frontier batch to the worker owning
+``url_hash % n_buckets``, and each fetch actor lazily loads ONLY its own
+buckets (``PagesStore``) — per-actor memory is bounded by its bucket
+subset, and no stage ever materializes the whole pages table.  The
+``build_shared_index`` full-table zero-copy index remains as an explicit
+small-corpus fast path (one Arrow table in the object store shared by all
+actors on the node); on a multi-node cluster it would hold one node's
+bucket shard, never the global corpus.  The per-host over18/robots gate is
+actor state, checked once per (host, actor).
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 import numpy as np
@@ -31,76 +38,127 @@ from ..util.hashing import hash_u64
 _EMPTY_COLS = ("warc_ts", "html", "text", "lang")
 
 
+class _SnapshotIndex:
+    """Vectorized url-hash → snapshot-row index over one pages Arrow table.
+
+    Holds a hash-sorted view: ``hashes``/``rows`` pick the newest snapshot
+    per url; ``hashes_full``/``ts_full``/``rows_full`` support as-of
+    lookups (newest snapshot with warc_ts <= asof).  The same math backs
+    both the per-bucket store and the shared full-corpus index.
+    """
+
+    __slots__ = ("table", "hashes", "rows", "hashes_full", "ts_full", "rows_full")
+
+    def __init__(self, table: pa.Table, hashes: np.ndarray | None = None):
+        self.table = table
+        if hashes is None:
+            urls = table["url"].to_pylist()
+            hashes = np.fromiter((hash_u64(u) for u in urls),
+                                 dtype=np.uint64, count=len(urls))
+        ts = table["warc_ts"].to_numpy(zero_copy_only=False)
+        ts_i = ts.astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts_i, hashes))  # by hash, then warc_ts ascending
+        h_sorted = hashes[order]
+        # keep the LAST row of each hash run = newest snapshot for that url
+        last_of_run = np.ones(len(h_sorted), dtype=bool)
+        if len(h_sorted) > 1:
+            last_of_run[:-1] = h_sorted[1:] != h_sorted[:-1]
+        self.hashes = h_sorted[last_of_run]
+        self.rows = order[last_of_run].astype(np.int64)
+        self.hashes_full = h_sorted
+        self.ts_full = ts_i[order]
+        self.rows_full = order.astype(np.int64)
+
+    @classmethod
+    def _from_parts(cls, table, hashes, rows, hashes_full, ts_full, rows_full):
+        obj = cls.__new__(cls)
+        obj.table = table
+        obj.hashes = hashes
+        obj.rows = rows
+        obj.hashes_full = hashes_full
+        obj.ts_full = ts_full
+        obj.rows_full = rows_full
+        return obj
+
+    def resolve(self, h: np.ndarray, asof_i64: int | None = None) -> np.ndarray:
+        """Row id of the snapshot to serve per hash, -1 for miss."""
+        if asof_i64 is None:
+            pos = np.searchsorted(self.hashes, h)
+            pos_c = np.minimum(pos, max(len(self.hashes) - 1, 0))
+            found = (self.hashes[pos_c] == h) if len(self.hashes) else np.zeros(len(h), bool)
+            out = np.full(len(h), -1, dtype=np.int64)
+            out[found] = self.rows[pos_c[found]]
+            return out
+        # as-of: newest snapshot with warc_ts <= asof (404 if none yet)
+        lo = np.searchsorted(self.hashes_full, h, side="left")
+        hi = np.searchsorted(self.hashes_full, h, side="right")
+        out = np.full(len(h), -1, dtype=np.int64)
+        for i in range(len(h)):
+            if lo[i] == hi[i]:
+                continue
+            sub = self.ts_full[lo[i]:hi[i]]
+            j = int(np.searchsorted(sub, asof_i64, side="right")) - 1
+            if j >= 0:
+                out[i] = self.rows_full[lo[i] + j]
+        return out
+
+
+def _read_n_buckets(pages_dir: str) -> int:
+    """Bucket-count for hash routing: the write-time modulus from the
+    manifest when present, else a directory count (pre-manifest layouts,
+    where the generator wrote every bucket=k dir including empty ones)."""
+    manifest = os.path.join(pages_dir, "_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            return int(json.load(f)["n_buckets"])
+    bucket_dirs = glob.glob(os.path.join(pages_dir, "bucket=*"))
+    if not bucket_dirs:
+        raise FileNotFoundError(f"no pages buckets under {pages_dir}")
+    return len(bucket_dirs)
+
+
 class PagesStore:
-    """Lazy bucket-indexed view of a pages/ directory."""
+    """Lazy bucket-indexed view of a pages/ directory.
+
+    Each loaded bucket becomes a vectorized :class:`_SnapshotIndex`;
+    bucket-routed fetch actors only ever load the buckets their routed
+    urls hash into, so memory per actor ≈ corpus_size / n_workers.
+    """
 
     def __init__(self, corpus_dir: str):
         self.pages_dir = os.path.join(corpus_dir, "pages")
-        bucket_dirs = sorted(glob.glob(os.path.join(self.pages_dir, "bucket=*")))
-        if not bucket_dirs:
-            raise FileNotFoundError(f"no pages buckets under {self.pages_dir}")
-        self.n_buckets = len(bucket_dirs)
-        self._cache: dict[int, tuple[pa.Table, dict]] = {}
+        self.n_buckets = _read_n_buckets(self.pages_dir)
+        self._cache: dict[int, _SnapshotIndex | None] = {}
 
-    def _bucket(self, k: int) -> tuple[pa.Table, dict]:
-        hit = self._cache.get(k)
-        if hit is not None:
-            return hit
+    def bucket_index(self, k: int) -> _SnapshotIndex | None:
+        """The snapshot index for bucket k (None = empty bucket)."""
+        if k in self._cache:
+            return self._cache[k]
         files = sorted(glob.glob(os.path.join(self.pages_dir, f"bucket={k}", "*.parquet")))
-        table = pa.concat_tables([pq.read_table(f) for f in files])
-        # url → row index of the newest snapshot (max warc_ts wins)
-        urls = table["url"].to_pylist()
-        ts = table["warc_ts"].to_numpy(zero_copy_only=False)
-        index: dict[str, int] = {}
-        for i, u in enumerate(urls):
-            j = index.get(u)
-            if j is None or ts[i] > ts[j]:
-                index[u] = i
-        self._cache[k] = (table, index)
-        return self._cache[k]
-
-    def lookup_newest(self, urls: list[str]) -> list[int | None]:
-        """Row handles for the newest snapshot of each url; None ⇒ 404."""
-        out = []
-        for u in urls:
-            k = hash_u64(u) % self.n_buckets
-            _, index = self._bucket(k)
-            out.append((k, index.get(u)))
-        return out
-
-    def take(self, handles) -> pa.Table:
-        """Materialize (warc_ts, html, text, lang) rows for lookup handles;
-        missing handles produce null rows (the 404 record)."""
-        cols = {c: [] for c in _EMPTY_COLS}
-        for k, row in handles:
-            if row is None:
-                for c in _EMPTY_COLS:
-                    cols[c].append(None)
-            else:
-                table, _ = self._bucket(k)
-                for c in _EMPTY_COLS:
-                    cols[c].append(table[c][row].as_py())
-        return pa.table(
-            {
-                "warc_ts": pa.array(cols["warc_ts"], pa.timestamp("us")),
-                "html": pa.array(cols["html"], pa.binary()),
-                "text": pa.array(cols["text"], pa.string()),
-                "lang": pa.array(cols["lang"], pa.string()),
-            }
-        )
+        idx = None
+        if files:
+            table = pa.concat_tables([pq.read_table(f) for f in files])
+            if table.num_rows:
+                idx = _SnapshotIndex(table.combine_chunks())
+        self._cache[k] = idx
+        return idx
 
 
 def build_shared_index(corpus_dir: str):
     """Build the url→newest-snapshot index ONCE and share it zero-copy.
 
-    Returns object refs {table, hashes, rows}: the full pages Arrow table
-    plus a sorted uint64 url-hash array and parallel row-id array pointing
-    at the newest snapshot per url.  Every fetch actor ``ray.get``s these
-    in ``__init__`` — Arrow tables and numpy arrays are served zero-copy
-    from the local object store, so N actors share ONE copy instead of
-    each parsing the bucket files (which made the pool slower at higher
-    concurrency).  On a multi-node cluster this per-node shared index is
-    the node's bucket shard; frontier batches route by the same hash.
+    Returns object refs for the full pages Arrow table plus the sorted
+    hash/row arrays of :class:`_SnapshotIndex`.  Every fetch actor
+    ``ray.get``s these in ``__init__`` — Arrow tables and numpy arrays are
+    served zero-copy from the local object store, so N actors share ONE
+    copy instead of each parsing the bucket files.
+
+    SCALE NOTE: this materializes the whole corpus into one object-store
+    table, so it is the explicit SMALL-CORPUS fast path (and, on a real
+    multi-node cluster, would be built per node over that node's bucket
+    shard only).  The default crawl fetch path is bucket-routed
+    ``PagesStore`` (``CrawlConfig.fetch='routed'``), which never loads more
+    than one worker's bucket subset anywhere.
     """
     import ray
 
@@ -110,26 +168,14 @@ def build_shared_index(corpus_dir: str):
     import pyarrow.dataset as pads
 
     table = pads.dataset(files).to_table(use_threads=True).combine_chunks()
-    urls = table["url"].to_pylist()
-    hashes = np.fromiter((hash_u64(u) for u in urls), dtype=np.uint64, count=len(urls))
-    ts = table["warc_ts"].to_numpy(zero_copy_only=False)
-    ts_i = ts.astype("datetime64[us]").astype(np.int64)
-    order = np.lexsort((ts_i, hashes))  # by hash, then warc_ts ascending
-    h_sorted = hashes[order]
-    # keep the LAST row of each hash run = newest snapshot for that url
-    last_of_run = np.ones(len(h_sorted), dtype=bool)
-    last_of_run[:-1] = h_sorted[1:] != h_sorted[:-1]
-    uniq_hashes = h_sorted[last_of_run]
-    uniq_rows = order[last_of_run].astype(np.int64)
+    idx = _SnapshotIndex(table)
     return {
         "table": ray.put(table),
-        "hashes": ray.put(uniq_hashes),
-        "rows": ray.put(uniq_rows),
-        # full (hash, ts)-sorted arrays for as-of fetches (upgrade/re-crawl:
-        # serve the newest snapshot with warc_ts <= asof)
-        "hashes_full": ray.put(h_sorted),
-        "ts_full": ray.put(ts_i[order]),
-        "rows_full": ray.put(order.astype(np.int64)),
+        "hashes": ray.put(idx.hashes),
+        "rows": ray.put(idx.rows),
+        "hashes_full": ray.put(idx.hashes_full),
+        "ts_full": ray.put(idx.ts_full),
+        "rows_full": ray.put(idx.rows_full),
     }
 
 
@@ -141,9 +187,10 @@ class FetchPages:
     may be reordered within the batch (hits first, then 404s) — downstream
     stages are order-free, crawl ordering is recorded at pop time.
 
-    Construct with ``index=`` (shared zero-copy index refs from
-    :func:`build_shared_index`, the fast path) or ``corpus_dir=`` (each
-    actor builds its own bucket index — kept for standalone use).
+    Construct with ``corpus_dir=`` (bucket-routed ``PagesStore``, the scale
+    path — each actor lazily loads only the buckets its urls hash into) or
+    ``index=`` (shared zero-copy index refs from :func:`build_shared_index`,
+    the small-corpus fast path).
     """
 
     def __init__(self, corpus_dir: str | None = None, index: dict | None = None,
@@ -153,17 +200,13 @@ class FetchPages:
         self.asof_i64 = (None if asof_ts is None
                          else np.datetime64(asof_ts, "us").astype(np.int64))
         if index is not None:
-            self.table: pa.Table = ray.get(index["table"])
-            self.hashes: np.ndarray = ray.get(index["hashes"])
-            self.rows: np.ndarray = ray.get(index["rows"])
-            if self.asof_i64 is not None:
-                self.hashes_full: np.ndarray = ray.get(index["hashes_full"])
-                self.ts_full: np.ndarray = ray.get(index["ts_full"])
-                self.rows_full: np.ndarray = ray.get(index["rows_full"])
+            self.shared = _SnapshotIndex._from_parts(
+                ray.get(index["table"]), ray.get(index["hashes"]),
+                ray.get(index["rows"]), ray.get(index["hashes_full"]),
+                ray.get(index["ts_full"]), ray.get(index["rows_full"]))
             self.store = None
         else:
-            if asof_ts is not None:
-                raise ValueError("asof fetches need the shared index")
+            self.shared = None
             self.store = PagesStore(corpus_dir)
         # per-host gate verdicts (T1): the reference sends over18=1 and
         # carries cookies per request (crawler/article.py:42-44,272-273);
@@ -180,51 +223,53 @@ class FetchPages:
             self._host_gate[host] = verdict
         return verdict
 
-    def _resolve_rows(self, h: np.ndarray) -> np.ndarray:
-        """Row id of the snapshot to serve per hash, -1 for miss."""
-        if self.asof_i64 is None:
-            pos = np.searchsorted(self.hashes, h)
-            pos_c = np.minimum(pos, max(len(self.hashes) - 1, 0))
-            found = (self.hashes[pos_c] == h) if len(self.hashes) else np.zeros(len(h), bool)
-            out = np.full(len(h), -1, dtype=np.int64)
-            out[found] = self.rows[pos_c[found]]
-            return out
-        # as-of: newest snapshot with warc_ts <= asof (404 if none yet)
-        lo = np.searchsorted(self.hashes_full, h, side="left")
-        hi = np.searchsorted(self.hashes_full, h, side="right")
-        out = np.full(len(h), -1, dtype=np.int64)
-        for i in range(len(h)):
-            if lo[i] == hi[i]:
-                continue
-            sub = self.ts_full[lo[i]:hi[i]]
-            j = int(np.searchsorted(sub, self.asof_i64, side="right")) - 1
-            if j >= 0:
-                out[i] = self.rows_full[lo[i] + j]
-        return out
+    def _assemble(self, batch: pa.Table, urls: list[str],
+                  resolved: np.ndarray, source_tables: list,
+                  src_of: np.ndarray) -> pa.Table:
+        """Hits (collision-verified) + null-filled misses → output table.
 
-    def _lookup_shared(self, batch: pa.Table, blocked: np.ndarray | None = None) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        h = np.fromiter((hash_u64(u) for u in urls), dtype=np.uint64, count=len(urls))
-        resolved = self._resolve_rows(h)
-        if blocked is not None and blocked.any():
-            resolved[blocked] = -1  # gate-blocked hosts read as 404
+        ``resolved[i]`` is the row id within ``source_tables[src_of[i]]``
+        (-1 = miss); the shared path has one source table, the bucket path
+        one per touched bucket.
+        """
         found = resolved >= 0
-        rowids = resolved[found]
-
         # verify against hash collisions on the url column ONLY, then take
         # the full (html-bearing) rows once for the verified subset
-        stored_urls = self.table.column("url").take(pa.array(rowids, pa.int64()))
-        req = pa.array([u for u, f in zip(urls, found) if f], pa.string())
-        ok_mask = pc.equal(stored_urls, req).to_numpy(zero_copy_only=False)
+        ok = np.zeros(len(urls), dtype=bool)
+        fidx = np.flatnonzero(found)
+        for s, table in enumerate(source_tables):
+            sel = fidx[src_of[fidx] == s]
+            if not len(sel):
+                continue
+            stored = table.column("url").take(pa.array(resolved[sel], pa.int64()))
+            req = pa.array([urls[i] for i in sel], pa.string())
+            ok[sel] = pc.equal(stored, req).to_numpy(zero_copy_only=False)
 
-        hit_idx = np.flatnonzero(found)[ok_mask]
-        miss_idx = np.setdiff1d(np.arange(len(urls)), hit_idx, assume_unique=False)
+        hit_idx = np.flatnonzero(ok)
+        miss_idx = np.flatnonzero(~ok)
 
-        hits = batch.take(pa.array(hit_idx, pa.int64()))
-        taken = self.table.take(pa.array(resolved[hit_idx], pa.int64()))
-        for name in _EMPTY_COLS:
-            hits = hits.append_column(name, taken[name])
-        hits = hits.append_column("fetch_ok", pa.array(np.ones(len(hit_idx), bool)))
+        parts = []
+        if len(hit_idx):
+            # take per source table, preserving hit order within each source
+            col_arrays: dict[str, list] = {name: [] for name in _EMPTY_COLS}
+            order_parts = []
+            for s, table in enumerate(source_tables):
+                sel = hit_idx[src_of[hit_idx] == s]
+                if not len(sel):
+                    continue
+                order_parts.append(sel)
+                taken = table.take(pa.array(resolved[sel], pa.int64()))
+                for name in _EMPTY_COLS:
+                    col_arrays[name].extend(taken[name].chunks)
+            order = np.concatenate(order_parts)
+            hits = batch.take(pa.array(order, pa.int64()))
+            for name in _EMPTY_COLS:
+                hits = hits.append_column(
+                    name, pa.chunked_array(col_arrays[name],
+                                           type=taken[name].type))
+            hits = hits.append_column(
+                "fetch_ok", pa.array(np.ones(len(order), bool)))
+            parts.append(hits)
 
         misses = batch.take(pa.array(miss_idx, pa.int64()))
         misses = misses.append_column("warc_ts", pa.nulls(len(miss_idx), pa.timestamp("us")))
@@ -232,7 +277,8 @@ class FetchPages:
         misses = misses.append_column("text", pa.nulls(len(miss_idx), pa.string()))
         misses = misses.append_column("lang", pa.nulls(len(miss_idx), pa.string()))
         misses = misses.append_column("fetch_ok", pa.array(np.zeros(len(miss_idx), bool)))
-        return pa.concat_tables([hits, misses])
+        parts.append(misses)
+        return pa.concat_tables(parts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # consult the per-host gate: a blocked host's urls become fetch
@@ -245,15 +291,34 @@ class FetchPages:
         if "warc_ts" in batch.column_names:
             batch = batch.drop_columns(["warc_ts"])
 
-        if self.store is None:
-            return self._lookup_shared(batch, blocked)
+        h = np.fromiter((hash_u64(u) for u in urls), dtype=np.uint64, count=len(urls))
 
-        handles = self.store.lookup_newest(urls)
-        handles = [(k, None) if b else (k, r)
-                   for (k, r), b in zip(handles, blocked)]
-        fetched = self.store.take(handles)
-        ok = pa.array([h[1] is not None for h in handles], pa.bool_())
-        out = batch
-        for name in fetched.column_names:
-            out = out.append_column(name, fetched[name])
-        return out.append_column("fetch_ok", ok)
+        if self.shared is not None:
+            resolved = self.shared.resolve(h, self.asof_i64)
+            if blocked.any():
+                resolved[blocked] = -1  # gate-blocked hosts read as 404
+            return self._assemble(batch, urls, resolved,
+                                  [self.shared.table],
+                                  np.zeros(len(urls), dtype=np.int64))
+
+        # bucket-routed path: group by bucket, resolve per bucket index
+        b = (h % np.uint64(self.store.n_buckets)).astype(np.int64)
+        resolved = np.full(len(urls), -1, dtype=np.int64)
+        src_of = np.zeros(len(urls), dtype=np.int64)
+        tables = []
+        for k in np.unique(b):
+            sel = np.flatnonzero(b == k)
+            idx = self.store.bucket_index(int(k))
+            if idx is None:
+                continue
+            src_of[sel] = len(tables)
+            tables.append(idx.table)
+            resolved[sel] = idx.resolve(h[sel], self.asof_i64)
+        if not tables:
+            tables = [pa.table({"url": pa.array([], pa.string()),
+                                **{c: pa.array([], pa.timestamp("us") if c == "warc_ts"
+                                               else (pa.binary() if c == "html" else pa.string()))
+                                   for c in _EMPTY_COLS}})]
+        if blocked.any():
+            resolved[blocked] = -1
+        return self._assemble(batch, urls, resolved, tables, src_of)

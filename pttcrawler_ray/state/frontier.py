@@ -112,6 +112,14 @@ class FrontierShard:
         self.seq = 0
         self.round_no = 0
         self.watermarks: dict[str, list] = {}  # board -> [min_index, max_index]
+        # date-filter bookkeeping (M8): exact (board, index_no) pages whose
+        # cutoff replacement triggered (a valid-dated too-old article), and
+        # undated article rows held back until end-of-crawl — the reference
+        # keeps a page's undated articles UNLESS that page triggered the
+        # replacement (crawler/article.py:501-503 swaps in tmp_article_list
+        # only when len(tmp) < len_article_list)
+        self.cut_pages: set[tuple[str, int]] = set()
+        self.undated_parts: list[pa.Table] = []
         self.stats = {"enqueued": 0, "popped": 0, "dedup_hits": 0, "acks": 0}
         self.politeness_log: list[tuple[int, str, int]] = []  # (round, lane, released)
         self.order_log: list[tuple[str, int, str]] = []       # (lane, seq, url)
@@ -132,13 +140,22 @@ class FrontierShard:
         self.credit[lane] = credit - budget
         return budget
 
-    def add(self, batch: pa.Table, acks: list[str] | None = None, force: bool = False) -> dict:
+    def add(self, batch: pa.Table, acks: list[str] | None = None, force: bool = False,
+            watermarks: list[tuple[str, int]] | None = None) -> dict:
         """Enqueue frontier rows (url, board, kind, index_no); bloom-dedup
         unless ``force`` (the upgrade path).  ``acks`` unblocks lanes whose
-        index page produced these links."""
+        index page produced these links.  ``watermarks`` records (board,
+        index_no) of index pages that were successfully FETCHED this batch —
+        the reference's ArticleIndex min/max reflects recorded pages only
+        (article_index.py:72-88), so a 404ing index page must not advance
+        the resume range."""
         for lane in acks or []:
             self.blocked.discard(lane)
             self.stats["acks"] += 1
+        for board, idx in watermarks or []:
+            wm = self.watermarks.setdefault(board, [idx, idx])
+            wm[0] = min(wm[0], idx)
+            wm[1] = max(wm[1], idx)
 
         n_in = batch.num_rows
         n_fresh = 0
@@ -208,13 +225,9 @@ class FrontierShard:
                 idxs.append(idx); lanes.append(ln); uhashes.append(uh)
                 poss.append(pos)
                 released += 1
-                if kind == "index":
-                    # watermark tracks CRAWLED index pages (the reference's
-                    # ArticleIndex min/max comes from fetched pages, not
-                    # queued ones — article_index.py:72-88)
-                    wm = self.watermarks.setdefault(board, [idx, idx])
-                    wm[0] = min(wm[0], idx)
-                    wm[1] = max(wm[1], idx)
+                # watermarks are NOT advanced here: a popped index page may
+                # still 404 — the processing stage reports successfully
+                # fetched pages back via add(watermarks=...) with the ack
                 if self.record_order:
                     self.order_seq += 1  # globally monotonic across lanes
                     self.order_log.append((ln, self.order_seq, url))
@@ -242,11 +255,19 @@ class FrontierShard:
             }
         )
 
-    def cut_below(self, board: str, index_no: int) -> int:
+    def cut_below(self, board: str, index_no: int,
+                  pages: list[tuple[str, int]] | None = None) -> int:
         """Date-filter crawl cutoff (M8, reference crawler/article.py:501-502):
         once a page yields a too-old article, stop issuing that board's
         OLDER index pages.  Removes queued index entries with
-        index_no < ``index_no``; returns the number removed."""
+        index_no < ``index_no``; returns the number removed.
+
+        ``pages`` lists the exact (board, index_no) pages whose replacement
+        triggered — recorded so held undated rows from those pages are
+        dropped at the end of the crawl (reference semantics: the undated
+        articles of a page survive unless that page's tmp-list swap fired)."""
+        for p in pages or []:
+            self.cut_pages.add((p[0], int(p[1])))
         removed = 0
         for lane, heap in list(self.heaps.items()):
             site_board = lane.rsplit("#", 1)[0].rsplit("/", 1)[-1]
@@ -262,6 +283,28 @@ class FrontierShard:
                 del self.heaps[lane]
         self.stats["cut"] = self.stats.get("cut", 0) + removed
         return removed
+
+    # ------------------------------------------------------ undated holding
+    def hold_undated(self, tbl: pa.Table) -> int:
+        """Hold undated article rows (date unparsable) until end-of-crawl;
+        their fate depends on whether their page triggers a cutoff."""
+        if tbl.num_rows:
+            self.undated_parts.append(tbl)
+        return tbl.num_rows
+
+    def undated_survivors(self) -> pa.Table | None:
+        """Held undated rows whose page never triggered the cutoff swap
+        (these are output in the reference — ADVICE r1 medium finding)."""
+        if not self.undated_parts:
+            return None
+        tbl = pa.concat_tables(self.undated_parts)
+        if self.cut_pages:
+            boards = tbl["board"].to_pylist()
+            idxs = tbl["index_no"].to_pylist()
+            keep = [(b, int(i)) not in self.cut_pages
+                    for b, i in zip(boards, idxs)]
+            tbl = tbl.filter(pa.array(keep))
+        return tbl if tbl.num_rows else None
 
     # ------------------------------------------------------------ inspection
     def depth(self) -> int:
@@ -312,6 +355,11 @@ class FrontierShard:
         pq.write_table(pending, os.path.join(ckpt_dir, f"pending_{self.shard_id}.parquet"))
         with open(os.path.join(ckpt_dir, f"seen_{self.shard_id}.pickle"), "wb") as f:
             pickle.dump({"type": type(self.seen).__name__, "snap": self.seen.snapshot()}, f)
+        undated_path = os.path.join(ckpt_dir, f"undated_{self.shard_id}.parquet")
+        if self.undated_parts:
+            pq.write_table(pa.concat_tables(self.undated_parts), undated_path)
+        elif os.path.exists(undated_path):
+            os.remove(undated_path)
         meta = {
             "shard_id": self.shard_id, "seq": self.seq, "round_no": self.round_no,
             "stats": self.stats, "watermarks": self.watermarks,
@@ -319,6 +367,7 @@ class FrontierShard:
             "politeness_log": self.politeness_log[-1000:],
             "credit": self.credit,
             "order_seq": self.order_seq,
+            "cut_pages": sorted(list(p) for p in self.cut_pages),
         }
         meta_path = os.path.join(ckpt_dir, f"shard_{self.shard_id}.json")
         tmp = meta_path + ".tmp"
@@ -340,6 +389,10 @@ class FrontierShard:
         self.politeness_log = [tuple(x) for x in meta.get("politeness_log", [])]
         self.credit = dict(meta.get("credit", {}))
         self.order_seq = meta.get("order_seq", 0)
+        self.cut_pages = {(b, int(i)) for b, i in meta.get("cut_pages", [])}
+        undated_path = os.path.join(ckpt_dir, f"undated_{self.shard_id}.parquet")
+        self.undated_parts = ([pq.read_table(undated_path)]
+                              if os.path.exists(undated_path) else [])
         with open(os.path.join(ckpt_dir, f"seen_{self.shard_id}.pickle"), "rb") as f:
             seen = pickle.load(f)
         self.seen = (CuckooFilter.restore(seen["snap"]) if seen["type"] == "CuckooFilter"

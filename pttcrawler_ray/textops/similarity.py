@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -119,10 +120,9 @@ def knn_ivf(emb_ds: "rd.Dataset", queries: np.ndarray, k: int = 5,
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(q @ _normalize(centroids).T), axis=1)[:, :nprobe]
-    wanted = sorted({int(c) for row in probes for c in row})
+    wanted = pa.array(sorted({int(c) for row in probes for c in row}), pa.int64())
     sub = assigned.map_batches(
-        lambda t, w=frozenset(wanted): t.filter(
-            pa.array([c in w for c in t["ivf_cluster"].to_pylist()])),
+        lambda t, w=wanted: t.filter(pc.is_in(t["ivf_cluster"], value_set=w)),
         batch_format="pyarrow")
 
     qref = ray.put(q)

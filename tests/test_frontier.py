@@ -80,19 +80,22 @@ def test_force_and_cuckoo_unsee():
     assert f.add(_tbl(rows))["fresh"] == 1
 
 
-def test_watermarks_track_crawled_pages():
-    """Watermarks advance when index pages are POPPED (fetched), not when
-    queued — an interrupted crawl's checkpoint must not claim uncrawled
-    pages (reference semantics: ArticleIndex rows exist only for fetched
-    pages, article_index.py:72-88)."""
+def test_watermarks_track_fetched_pages():
+    """Watermarks advance only when an index page is successfully FETCHED
+    (reported back via add(watermarks=...)), not when queued or popped —
+    a 404ing index page must not advance the resume range (reference:
+    ArticleIndex min/max reflects recorded pages, article_index.py:72-88)."""
     f = _mk(strict_order=False, round_seconds=4.0)  # budget 2/round
     f.add(_tbl([(u("b", "index7"), "b", "index", 7),
                 (u("b", "index3"), "b", "index", 3),
                 (u("c", "index5"), "c", "index", 5)]))
     assert f.get_stats()["watermarks"] == {}  # queued ≠ crawled
     f.pop_round()  # pops b:7, b:3 (budget 2) + c:5 (own lane)
+    assert f.get_stats()["watermarks"] == {}  # popped ≠ fetched (may 404)
+    # processing stage reports b:7 and c:5 fetched OK; b:3 404'd → no update
+    f.add(_tbl([]), watermarks=[("b", 7), ("c", 5)])
     wm = f.get_stats()["watermarks"]
-    assert wm["b"] == [3, 7] and wm["c"] == [5, 5]
+    assert wm["b"] == [7, 7] and wm["c"] == [5, 5]
 
 
 def test_in_batch_duplicates_enqueue_once():

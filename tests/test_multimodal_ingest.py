@@ -69,8 +69,19 @@ def test_ingest_pages_jsonl(ray_session, tmp_path):
     assert n == src_tbl.num_rows
     assert len(glob.glob(os.path.join(dest, "pages", "bucket=*"))) >= 2
 
+    # the manifest pins the write-time modulus even if some buckets are empty
+    with open(os.path.join(dest, "pages", "_manifest.json")) as f:
+        assert json.load(f)["n_buckets"] == 4
     store = PagesStore(dest)
+    assert store.n_buckets == 4
+
+    from pttcrawler_ray.sources.pages import FetchPages
+
+    fetch = FetchPages(corpus_dir=dest)
     url = src_tbl["url"][0].as_py()
-    handles = store.lookup_newest([url])
-    got = store.take(handles)
-    assert got["html"][0].as_py() == src_tbl["html"][0].as_py()
+    got = fetch(pa.table({"url": pa.array([url, "https://nope.example/x"])}))
+    by_url = {u: (h, ok) for u, h, ok in zip(got["url"].to_pylist(),
+                                             got["html"].to_pylist(),
+                                             got["fetch_ok"].to_pylist())}
+    assert by_url[url] == (src_tbl["html"][0].as_py(), True)
+    assert by_url["https://nope.example/x"] == (None, False)  # 404 path

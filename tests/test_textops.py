@@ -215,3 +215,36 @@ def test_multimodal_stub(ray_session):
     assert list(f2[f2["media_id"] == 5]["feature"].iloc[0]) == list(f1)  # deterministic
     bad = out[out["media_id"] == 99]
     assert bad["error"].iloc[0] == "decode failed"
+
+
+def test_degenerate_bucket_capped(ray_session):
+    """Every LSH family must survive a degenerate class: identical/empty
+    docs share one signature, putting the whole class in ONE band bucket.
+    The MAX_BUCKET_DOCS cap bounds pair generation (O(cap²), not O(n²))
+    while real near-dup pairs are still found and verified."""
+    import random
+
+    from pttcrawler_ray.textops.dedup import (MAX_BUCKET_DOCS,
+                                              minhash_lsh_pairs,
+                                              simhash_pairs)
+
+    rng = random.Random(5)
+    words = [f"w{i:04d}" for i in range(600)]
+    base = " ".join(rng.choices(words, k=300))
+    near = base.rsplit(" ", 6)[0] + " zz yy xx"  # high-jaccard twin
+    rows = [{"doc_id": i, "text": ""} for i in range(2000)]  # degenerate class
+    rows += [{"doc_id": 5000, "text": base}, {"doc_id": 5001, "text": near}]
+    docs = rd.from_items(rows)
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    assert (5000, 5001) in got
+    # empty docs have no shingles → the verify stage rejects them all
+    assert got == {(5000, 5001)}
+
+    sp = simhash_pairs(docs, max_hamming=3)
+    sgot = set(zip(sp["doc_a"].to_pylist(), sp["doc_b"].to_pylist()))
+    assert (5000, 5001) in sgot
+    # identical (empty) docs ARE hamming-0 near-dups, but the cap bounds
+    # the per-bucket explosion to MAX_BUCKET_DOCS choose 2
+    assert len(sgot) <= MAX_BUCKET_DOCS * (MAX_BUCKET_DOCS - 1) // 2 + 1
