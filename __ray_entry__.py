@@ -46,6 +46,57 @@ def _ctx():
 _SCALE_BY_SF = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "t2"}
 _CRAWL_CACHE: dict[str, str] = {}
 _IP_ASN_CACHE: dict[str, dict] = {}
+_ORACLE_DONE: set[str] = set()
+
+# the driver compares at sf0.01; oracle parquet lives at fixed paths the
+# oracle_sql() strings reference via read_parquet
+_ORACLE_BASE = "/tmp/ptt_oracle"
+
+
+def _ensure_crawl_oracle(scale: str) -> str:
+    """Write the sequential-crawl oracle outputs for ``scale`` once
+    (cached on disk, keyed by corpus params like the crawl cache)."""
+    dest = os.path.join(_ORACLE_BASE, f"crawl_{scale}")
+    key = f"crawl_{scale}"
+    if key in _ORACLE_DONE:
+        return dest
+    from pttcrawler_ray.fixtures import corpus_for_scale
+    from pttcrawler_ray.oracle.queryoracle import (crawl_oracle_tables,
+                                                   write_oracle_parquet)
+
+    corpus = corpus_for_scale(scale)
+    with open(os.path.join(corpus, "manifest.json")) as f:
+        corpus_params = json.load(f)["params"]
+    marker = os.path.join(dest, "corpus_params.json")
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = json.load(f) != corpus_params
+    if stale:
+        write_oracle_parquet(crawl_oracle_tables(corpus), dest)
+        with open(marker, "w") as f:
+            json.dump(corpus_params, f)
+    _ORACLE_DONE.add(key)
+    return dest
+
+
+def _ensure_docs_oracle(sf_dir: str) -> str:
+    """Write the sequential document-op oracle outputs for ``sf_dir``."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    dest = os.path.join(_ORACLE_BASE, f"docs_{name}")
+    key = f"docs_{name}"
+    if key in _ORACLE_DONE:
+        return dest
+    from pttcrawler_ray.oracle.queryoracle import (docs_oracle_tables,
+                                                   write_oracle_parquet)
+
+    marker = os.path.join(dest, "done.json")
+    if not os.path.exists(marker):
+        write_oracle_parquet(docs_oracle_tables(sf_dir), dest)
+        with open(marker, "w") as f:
+            json.dump({"sf_dir": sf_dir}, f)
+    _ORACLE_DONE.add(key)
+    return dest
 
 
 def _ip_asn_for(scale: str) -> dict:
@@ -134,25 +185,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def crawl_latest(sf_dir):
         from pttcrawler_ray.pipelines.crawl import latest_articles
 
-        return _flatten_articles(latest_articles(_crawl_out(_scale_of(sf_dir))))
+        scale = _scale_of(sf_dir)
+        _ensure_crawl_oracle(scale)
+        return _flatten_articles(latest_articles(_crawl_out(scale)))
 
     def crawl_pushes(sf_dir):
         from pttcrawler_ray.pipelines.crawl import latest_articles
         from pttcrawler_ray.stages.normalize import explode_pushes_batch
 
-        ds = latest_articles(_crawl_out(_scale_of(sf_dir)))
+        scale = _scale_of(sf_dir)
+        _ensure_crawl_oracle(scale)
+        ds = latest_articles(_crawl_out(scale))
         return ds.map_batches(explode_pushes_batch, batch_format="pyarrow")
 
     def crawl_seen(sf_dir):
         import ray.data as rd
 
-        return rd.read_parquet(os.path.join(_crawl_out(_scale_of(sf_dir)), "seen"))
+        scale = _scale_of(sf_dir)
+        _ensure_crawl_oracle(scale)
+        ds = rd.read_parquet(os.path.join(_crawl_out(scale), "seen"))
+        return ds.select_columns(["url"])  # url_hash is engine-internal
 
     def crawl_export(sf_dir):
         from pttcrawler_ray.fixtures import corpus_for_scale
         from pttcrawler_ray.pipelines.export import export_articles
 
         scale = _scale_of(sf_dir)
+        _ensure_crawl_oracle(scale)
         return export_articles(_crawl_out(scale), corpus_for_scale(scale),
                                ip_asn=_ip_asn_for(scale))
 
@@ -161,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.pipelines.query import board_ip_report
 
         scale = _scale_of(sf_dir)
+        _ensure_crawl_oracle(scale)
         return board_ip_report(_crawl_out(scale), corpus_for_scale(scale),
                                "gossiping", ip_asn=_ip_asn_for(scale))
 
@@ -168,12 +228,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.fixtures import corpus_for_scale
         from pttcrawler_ray.pipelines.users import users_dataset
 
-        return users_dataset(corpus_for_scale(_scale_of(sf_dir)))
+        scale = _scale_of(sf_dir)
+        _ensure_crawl_oracle(scale)
+        return users_dataset(corpus_for_scale(scale))
 
     def crawl_watermarks(sf_dir):
         from pttcrawler_ray.pipelines.compact import board_watermarks
 
-        return board_watermarks(_crawl_out(_scale_of(sf_dir)))
+        scale = _scale_of(sf_dir)
+        _ensure_crawl_oracle(scale)
+        return board_watermarks(_crawl_out(scale))
+
+    def user_last_record(sf_dir):
+        """UserLastRecord argmax (reference models/user.py:35-61, O7)."""
+        from pttcrawler_ray.fixtures import corpus_for_scale
+        from pttcrawler_ray.pipelines.users import user_last_records
+
+        return user_last_records(corpus_for_scale(_scale_of(sf_dir)))
 
     def exact_dedup_docs(sf_dir):
         import ray.data as rd
@@ -193,14 +264,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs.map_batches(token_count_batch, batch_format="pyarrow") \
                    .select_columns(["doc_id", "n_tokens"])
 
+    def _ppm_col(arr) -> pa.Array:
+        """floor(x * 1e6) as int64 — float columns are quantized with the
+        SAME operation order as the SQL oracle so the comparison is exact
+        (int compare, no float-hash sensitivity)."""
+        return pa.array(np.floor(arr.to_numpy(zero_copy_only=False) * 1e6)
+                        .astype(np.int64), pa.int64())
+
     def quality_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.analysis import quality_score_batch
 
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+        def quantize(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "alpha_ppm": _ppm_col(t["alpha_ratio"]),
+                "stop_ppm": _ppm_col(t["stop_ratio"]),
+                "distinct_ppm": _ppm_col(t["distinct_ratio"]),
+                "quality_ppm": _ppm_col(t["quality"]),
+            })
+
         return docs.map_batches(quality_score_batch, batch_format="pyarrow") \
-                   .select_columns(["doc_id", "alpha_ratio", "stop_ratio",
-                                    "distinct_ratio", "quality"])
+                   .map_batches(quantize, batch_format="pyarrow")
 
     def langid_docs(sf_dir):
         import ray.data as rd
@@ -208,14 +295,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
+
+        def quantize(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t["doc_id"],
+                             "pred_lang": t["pred_lang"],
+                             "conf_ppm": _ppm_col(t["lang_confidence"])})
+
         return docs.map_batches(LangId, batch_format="pyarrow",
                                 concurrency=(1, 2)) \
-                   .select_columns(["doc_id", "pred_lang", "lang_confidence"])
+                   .map_batches(quantize, batch_format="pyarrow")
 
     def fingerprint_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.analysis import fingerprint_batch
 
+        _ensure_docs_oracle(sf_dir)
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
         return docs.map_batches(fingerprint_batch, batch_format="pyarrow") \
@@ -228,7 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ctx()
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-        return minhash_lsh_pairs(docs, threshold=0.5)
+        return minhash_lsh_pairs(docs, threshold=0.5).select(["doc_a", "doc_b"])
 
     def ngram_jaccard_docs(sf_dir):
         import ray.data as rd
@@ -237,46 +331,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ctx()
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-        return ngram_jaccard_pairs(docs, threshold=0.5)
+        return ngram_jaccard_pairs(docs, threshold=0.5).select(["doc_a", "doc_b"])
 
     def simhash_pairs_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import simhash_pairs
 
         _ctx()
+        _ensure_docs_oracle(sf_dir)
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
         return simhash_pairs(docs, max_hamming=3)
 
     def embedding_neardup(sf_dir):
+        """Near-dup pairs over embeddings AUGMENTED with deterministic
+        planted twins (vec_id+10000 copies of vec_id<5): the testdata
+        embeddings have no natural near-dups (max cosine ≈ 0.51), so the
+        planted twins make the oracle comparison non-vacuous.  The SQL
+        oracle plants identically and cross-joins exactly."""
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import embedding_neardup_pairs
 
         _ctx()
         embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
-        return embedding_neardup_pairs(embs, dim=64, threshold=0.95, bits=8)
+
+        def plant(t: pa.Table) -> pa.Table:
+            twins = t.filter(pc.less(t["vec_id"], 5))
+            if twins.num_rows:
+                twins = twins.set_column(
+                    twins.column_names.index("vec_id"), "vec_id",
+                    pc.add(twins["vec_id"], 10000))
+                return pa.concat_tables([t, twins])
+            return t
+
+        planted = embs.map_batches(plant, batch_format="pyarrow")
+        return embedding_neardup_pairs(planted, dim=64, threshold=0.95,
+                                       bits=8, tables=4).select(["doc_a", "doc_b"])
 
     def knn_ivf_q(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.similarity import knn_ivf
 
         _ctx()
+        _ensure_docs_oracle(sf_dir)
         embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
         qdf = embs.limit(3).to_pandas()
         q = np.stack(qdf["embedding"])
-        return knn_ivf(embs, q, k=5, n_clusters=8, nprobe=4)
+        return knn_ivf(embs, q, k=5, n_clusters=8, nprobe=4).select(
+            ["query_id", "vec_id", "rank"])
 
     def curate_docs(sf_dir):
         """Composed training-data curation: quality-score → langid →
         quality/lang filter → near-dup removal; the end-to-end pipeline a
-        100TB curation job would run (rows-only check)."""
+        100TB curation job would run."""
         import ray.data as rd
         from pttcrawler_ray.textops.analysis import LangId, quality_score_batch
         from pttcrawler_ray.textops.dedup import minhash_dedup
 
         _ctx()
+        _ensure_docs_oracle(sf_dir)
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
         docs = docs.map_batches(quality_score_batch, batch_format="pyarrow")
         docs = docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
@@ -286,13 +401,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         kept = minhash_dedup(docs.select_columns(["doc_id", "text", "quality",
                                                   "pred_lang"]), threshold=0.8)
-        return kept
+
+        def quantize(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t["doc_id"], "text": t["text"],
+                             "pred_lang": t["pred_lang"],
+                             "quality_ppm": _ppm_col(t["quality"])})
+
+        return kept.map_batches(quantize, batch_format="pyarrow")
 
     def multimodal_decode(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.multimodal import decode_media, make_fake_blob
 
         _ctx()
+        _ensure_docs_oracle(sf_dir)
         docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id"])
         blobs = docs.map_batches(
@@ -326,7 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_order_join": R.lineitem_order_join,
         "events_asof_orders": R.events_asof_orders,
         "user_sessions": R.user_sessions,
-        # --- crawl engine (synthetic pages corpus; rows-only check) -------
+        # --- crawl engine (synthetic pages corpus; oracle = sequential
+        #     reference-shaped crawl written to parquet, read by DuckDB) ---
         "crawl_latest_articles": crawl_latest,
         "crawl_pushes": crawl_pushes,
         "crawl_seen": crawl_seen,
@@ -334,7 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_board_report": crawl_report,
         "crawl_users": crawl_users,
         "crawl_watermarks": crawl_watermarks,
-        # --- training-data ops (rows-only) --------------------------------
+        "user_last_record": user_last_record,
+        # --- training-data ops (SQL or sequential-parquet oracles) --------
         "quality_docs": quality_docs,
         "langid_docs": langid_docs,
         "fingerprint_docs": fingerprint_docs,
@@ -481,4 +605,162 @@ def oracle_sql() -> dict[str, str]:
                 FROM events) g
             ) s GROUP BY user_id, session_id
         """,
+        # --- crawl engine: oracle side = the SEQUENTIAL reference-shaped
+        # crawl (pttcrawler_ray.oracle.refcrawl over the vendored reference
+        # parser), written to parquet by the query callables and read here.
+        # The driver compares at sf0.01 → crawl scale 't2'.
+        "crawl_latest_articles": _crawl_oracle_select("crawl_latest_articles"),
+        "crawl_pushes": _crawl_oracle_select("crawl_pushes"),
+        "crawl_seen": _crawl_oracle_select("crawl_seen"),
+        "crawl_export_articles": _crawl_oracle_select("crawl_export_articles"),
+        "crawl_board_report": _crawl_oracle_select("crawl_board_report"),
+        "crawl_users": _crawl_oracle_select("crawl_users"),
+        "crawl_watermarks": _crawl_oracle_select("crawl_watermarks"),
+        # UserLastRecord argmax: pure-SQL window over the append-only
+        # login_records fact the fixture writes (reference models/user.py:35-61)
+        "user_last_record": """
+            SELECT record_id, username, last_login_datetime, last_login_ip,
+                   created_at
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY username
+                ORDER BY created_at DESC, record_id DESC) AS rn
+              FROM read_parquet('/tmp/ptt_corpus/t2/login_records.parquet')
+            ) t WHERE rn = 1
+        """,
+        # --- text analysis: pure SQL, float ratios quantized floor(x*1e6)
+        # with the identical operation order as the engine wrappers
+        "quality_docs": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(coalesce(length(text), 0) AS DOUBLE) AS nchars,
+                     CAST(length(regexp_replace(coalesce(text, ''),
+                                                '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+                     regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+              FROM documents),
+            t AS (
+              SELECT doc_id, nchars, alpha,
+                     greatest(CAST(len(toks) AS DOUBLE), 1.0) AS safe,
+                     CAST(len(list_filter(toks, x -> lower(x) IN {_SQL_STOPWORDS}))
+                          AS DOUBLE) AS stop_hits,
+                     CAST(len(list_distinct(toks)) AS DOUBLE) AS uniq
+              FROM q),
+            r AS (
+              SELECT doc_id,
+                     alpha / greatest(nchars, 1.0) AS alpha_ratio,
+                     stop_hits / safe AS stop_ratio,
+                     uniq / safe AS distinct_ratio,
+                     least(nchars / 500.0, 1.0) AS length_score
+              FROM t)
+            SELECT doc_id,
+                   CAST(floor(alpha_ratio * 1000000.0) AS BIGINT) AS alpha_ppm,
+                   CAST(floor(stop_ratio * 1000000.0) AS BIGINT) AS stop_ppm,
+                   CAST(floor(distinct_ratio * 1000000.0) AS BIGINT) AS distinct_ppm,
+                   CAST(floor((0.25 * length_score + 0.25 * alpha_ratio
+                               + 0.25 * least(stop_ratio * 4, 1.0)
+                               + 0.25 * distinct_ratio) * 1000000.0) AS BIGINT)
+                     AS quality_ppm
+            FROM r
+        """,
+        "langid_docs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(coalesce(text, ''), '\\S+'),
+                                    x -> lower(x)) AS toks,
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '[一-鿿]'))
+                          AS DOUBLE) AS cjk
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                CAST(len(list_filter(toks, x -> x IN {_SQL_LANG_VOCABS['en']})) AS DOUBLE) AS s_en,
+                CAST(len(list_filter(toks, x -> x IN {_SQL_LANG_VOCABS['de']})) AS DOUBLE) AS s_de,
+                CAST(len(list_filter(toks, x -> x IN {_SQL_LANG_VOCABS['fr']})) AS DOUBLE) AS s_fr,
+                CAST(len(list_filter(toks, x -> x IN {_SQL_LANG_VOCABS['es']})) AS DOUBLE) AS s_es,
+                CAST(len(list_filter(toks, x -> x IN {_SQL_LANG_VOCABS['zh']})) AS DOUBLE) + cjk AS s_zh
+              FROM t),
+            p AS (
+              SELECT doc_id, s_en + s_de + s_fr + s_es + s_zh AS total,
+                     greatest(s_en, s_de, s_fr, s_es, s_zh) AS best,
+                     CASE WHEN s_en + s_de + s_fr + s_es + s_zh = 0 THEN 'und'
+                          WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                               AND s_en >= s_zh THEN 'en'
+                          WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+                          WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+                          WHEN s_es >= s_zh THEN 'es'
+                          ELSE 'zh' END AS pred_lang
+              FROM s)
+            SELECT doc_id, pred_lang,
+                   CAST(floor(CASE WHEN total > 0 THEN best / total
+                                   ELSE 0.0 END * 1000000.0) AS BIGINT) AS conf_ppm
+            FROM p
+        """,
+        # --- exact n-gram Jaccard similarity join (the verify stage's spec):
+        # at the compare scale every true pair has jaccard ≥ 0.9, where both
+        # LSH families (banding P(miss) ≈ 1e-4, anchor P(miss) ≤ 1e-4) and
+        # the exact join provably agree — so the exact SQL is a fair oracle
+        # for the candidate-generation + verify composition.
+        "minhash_pairs_docs": _SQL_EXACT_JACCARD,
+        "ngram_jaccard_docs": _SQL_EXACT_JACCARD,
+        # --- embedding near-dup with planted twins (see the query docstring)
+        "embedding_neardup": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 5)
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+        """,
+        # --- sequential-parquet oracles (hash-based / composed ops whose
+        # semantics are not SQL-expressible; see oracle/queryoracle.py)
+        "fingerprint_docs": _docs_oracle_select("fingerprint_docs"),
+        "simhash_pairs_docs": _docs_oracle_select("simhash_pairs_docs"),
+        "curate_docs": _docs_oracle_select("curate_docs"),
+        "multimodal_decode": _docs_oracle_select("multimodal_decode"),
+        "knn_ivf": _docs_oracle_select("knn_ivf"),
     }
+
+
+def _crawl_oracle_select(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_ORACLE_BASE}/crawl_t2/{name}.parquet')"
+
+
+def _docs_oracle_select(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_ORACLE_BASE}/docs_sf0.01/{name}.parquet')"
+
+
+_SQL_STOPWORDS = "(" + ", ".join(
+    f"'{w}'" for w in ("the a an and or of to in is are was were be been on "
+                       "for with as at by from that this it not no").split()) + ")"
+
+_SQL_LANG_VOCABS = {
+    "en": "(" + ", ".join(f"'{w}'" for w in "the and of to in is that it for was with as his on be at by".split()) + ")",
+    "de": "(" + ", ".join(f"'{w}'" for w in "der die und in den von zu das mit sich des auf ist nicht ein".split()) + ")",
+    "fr": "(" + ", ".join(f"'{w}'" for w in "le la et les des en du de un une est que pour dans qui sur".split()) + ")",
+    "es": "(" + ", ".join(f"'{w}'" for w in "el la de que y en los del se las por un con una su para es".split()) + ")",
+    "zh": "(" + ", ".join(f"'{w}'" for w in "的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国".split()) + ")",
+}
+
+# exact token-3-gram Jaccard ≥ 0.5 pairs (shingle sets; short docs collapse
+# to one whole-text shingle; empty-shingle docs pair with nothing)
+_SQL_EXACT_JACCARD = """
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+             END AS sh
+      FROM d),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                      AS DOUBLE) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+    SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5
+"""

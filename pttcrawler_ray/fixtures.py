@@ -200,7 +200,7 @@ def generate_corpus(out_dir: str, seed: int = 42, n_boards: int = 3,
     params = {
         "seed": seed, "n_boards": n_boards, "total_articles": total_articles,
         "articles_per_page": articles_per_page, "hot_share": hot_share,
-        "dup_fraction": dup_fraction, "n_buckets": n_buckets, "version": 3,
+        "dup_fraction": dup_fraction, "n_buckets": n_buckets, "version": 4,
     }
     manifest_path = os.path.join(out_dir, "manifest.json")
     if not force and os.path.exists(manifest_path):
@@ -351,8 +351,38 @@ def generate_corpus(out_dir: str, seed: int = 42, n_boards: int = 3,
         os.path.join(out_dir, "user_screens.parquet"),
     )
 
+    # --- login_records: append-only UserLastRecord facts --------------------
+    # (reference models/user.py:35-61: one row per observed login, consumed
+    # via desc(created_at)[0] at export.py:111-113).  The newest record of a
+    # user carries their screen snapshot's login datetime; older records are
+    # synthetic history.
+    rec_ids, rec_users, rec_dts, rec_ips, rec_created = [], [], [], [], []
+    rid = 0
+    for i, name in enumerate(names):
+        n_rec = 1 + (i % 4)
+        last_dt = _EPOCH + timedelta(days=i % 20, hours=i % 24)
+        for j in range(n_rec):
+            rec_ids.append(rid); rid += 1
+            rec_users.append(name)
+            back = n_rec - 1 - j  # 0 for the newest record (== screen dt)
+            dt = last_dt - timedelta(days=3 * back, hours=back)
+            rec_dts.append(dt)
+            rec_ips.append(_ip(rng))
+            rec_created.append(dt + timedelta(minutes=1))
+    pq.write_table(
+        pa.table({
+            "record_id": pa.array(rec_ids, pa.int64()),
+            "username": pa.array(rec_users, pa.string()),
+            "last_login_datetime": pa.array(rec_dts, pa.timestamp("us")),
+            "last_login_ip": pa.array(rec_ips, pa.string()),
+            "created_at": pa.array(rec_created, pa.timestamp("us")),
+        }),
+        os.path.join(out_dir, "login_records.parquet"),
+    )
+
     manifest = {"params": params, "boards": manifest_boards,
-                "n_pages_rows": len(page_urls), "n_buckets": n_buckets}
+                "n_pages_rows": len(page_urls), "n_buckets": n_buckets,
+                "login_records": rid}
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest

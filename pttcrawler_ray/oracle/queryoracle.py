@@ -1,0 +1,558 @@
+"""Sequential oracle outputs for the driver's DuckDB-side comparison.
+
+Queries whose semantics are not expressible over the pre-registered
+testdata views — the crawl engine's outputs over the synthetic pages
+corpus, and hash-based text ops (blake2b fingerprints, simhash) — get a
+HARD correctness row by writing the SEQUENTIAL oracle's expected outputs
+to parquet; ``__ray_entry__.oracle_sql()`` points DuckDB at those files
+via ``read_parquet``.  (Round-1 verdict guidance: "write the crawl outputs
+to parquet ... with the sequential-oracle outputs as the oracle side".)
+
+Everything here is an independent row-at-a-time reimplementation of the
+reference/spec semantics (built on the vendored reference parser in
+``oracle.refparse`` / the sequential crawler in ``oracle.refcrawl``) — no
+Ray, no Arrow compute kernels, no shared engine stage code.  Reference
+citations are on each function.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+import struct
+from datetime import datetime
+from hashlib import blake2b
+
+import numpy as np
+import pyarrow as pa
+
+from .refcrawl import build_web, sequential_crawl
+
+# --------------------------------------------------------------------------
+# scalar reimplementations (reference semantics, independent of engine code)
+# --------------------------------------------------------------------------
+_AUTHOR_RE = re.compile(r"([\S]*)\D\((.*)\)")          # crawler/article.py:137
+_PUSH_IPDT_RE = re.compile(r"([\d.]*)\W?(\d{2}\/\d{2}\ \d{2}:\d{2})")  # :122
+
+
+def _oracle_parse_author(author):
+    """crawler/article.py:134-147: strip nickname; empty → ''."""
+    if not author:
+        return ""
+    m = _AUTHOR_RE.match(author)
+    return m.group(1) if m else author
+
+
+def _oracle_push_ipdt(value):
+    """crawler/article.py:119-132 incl. the '%m/%d %M:%S' format bug."""
+    if not value:
+        return None, None
+    m = _PUSH_IPDT_RE.match(value.strip())
+    if not m:
+        return None, None
+    ip = m.group(1) or None
+    try:
+        dt = datetime.strptime(m.group(2), "%m/%d %M:%S")
+    except ValueError:
+        dt = None
+    return ip, dt
+
+
+def _oracle_article_date(date):
+    """crawler/article.py:170-172: '%a %b %d %H:%M:%S %Y', failure → None."""
+    try:
+        return datetime.strptime(date, "%a %b %d %H:%M:%S %Y")
+    except (TypeError, ValueError):
+        return None
+
+
+def _hash64(s) -> int:
+    """The repo-wide stable 64-bit hash SPEC: first 8 bytes of BLAKE2b,
+    little-endian (recomputed here from hashlib directly)."""
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int.from_bytes(blake2b(s, digest_size=8).digest(), "little")
+
+
+class _AsnTable:
+    """Longest-prefix cidr match over asn_db.parquet (reference enriches
+    per-ip via live whois, crawler/asn.py:50-58; the synthetic dim stands
+    in).  Pure-python reimplementation: networks as (int, mask) pairs."""
+
+    def __init__(self, asn_db_path: str):
+        import pyarrow.parquet as pq
+
+        rows = pq.read_table(asn_db_path).to_pylist()
+        self.nets = []
+        for row in rows:
+            net = ipaddress.ip_network(row["cidr"])
+            self.nets.append((net.prefixlen, int(net.network_address),
+                              int(net.netmask), row))
+        self.nets.sort(key=lambda t: -t[0])  # longest prefix wins
+
+    def lookup(self, ip):
+        if not ip:
+            return None
+        try:
+            addr = int(ipaddress.ip_address(ip))
+        except ValueError:
+            return None
+        for _plen, netaddr, mask, row in self.nets:
+            if addr & mask == netaddr:
+                return row
+        return None
+
+
+# --------------------------------------------------------------------------
+# crawl-output oracles (over the synthetic pages corpus)
+# --------------------------------------------------------------------------
+_INDEX_URL_RE = re.compile(r"/bbs/([^/]+)/index(\d+)\.html$")
+
+# the reference user-screen buffer regex (crawler/user.py:255)
+_SCREEN_RE = re.compile(
+    r"[\w\W]*《登入次數》(\d*)\D*次\D*《有效文章》\D*(\d*)[\w\W]*《上次上站》\D*"
+    r"([\d]{1,2}\/[\d]{1,2}\/[\d]{4}\W*[\d]{1,2}:\W*[\d]{1,2}:\W*[\d]{1,2}\W*\w*)"
+    r"\D*《上次故鄉》([\d.]*)"
+)
+
+
+def crawl_oracle_tables(corpus_dir: str) -> dict[str, pa.Table]:
+    """Expected outputs of every crawl-backed query, computed by the
+    sequential reference-shaped crawl (oracle.refcrawl) + row-at-a-time
+    projections.  Keys match the ``queries()`` names they back."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pages = pa.concat_tables([
+        pq.read_table(p) for p in sorted(
+            __import__("glob").glob(os.path.join(corpus_dir, "pages", "bucket=*", "*.parquet")))
+    ])
+    boards = pq.read_table(os.path.join(corpus_dir, "seed_boards.parquet"))["board"].to_pylist()
+    golden = sequential_crawl(pages, boards)
+    asn = _AsnTable(os.path.join(corpus_dir, "asn_db.parquet"))
+
+    # --- crawl_latest_articles: flattened latest view -----------------------
+    arts = list(golden["articles"].items())
+    lat = {"url": [], "board": [], "article_id": [], "article_title": [],
+           "author": [], "date": [], "content": [], "ip": [],
+           "n_messages": [], "warc_ts": []}
+    for url, a in arts:
+        lat["url"].append(url)
+        lat["board"].append(a["board"])
+        lat["article_id"].append(a["article_id"])
+        lat["article_title"].append(a["article_title"])
+        lat["author"].append(a["author"])
+        lat["date"].append(a["date"])
+        lat["content"].append(a["content"])
+        lat["ip"].append(a["ip"])
+        lat["n_messages"].append(a["message_count"]["all"])
+        lat["warc_ts"].append(a["warc_ts"])
+    latest = pa.table({
+        "url": pa.array(lat["url"], pa.string()),
+        "board": pa.array(lat["board"], pa.string()),
+        "article_id": pa.array(lat["article_id"], pa.string()),
+        "article_title": pa.array(lat["article_title"], pa.string()),
+        "author": pa.array(lat["author"], pa.string()),
+        "date": pa.array(lat["date"], pa.string()),
+        "content": pa.array(lat["content"], pa.string()),
+        "ip": pa.array(lat["ip"], pa.string()),
+        "n_messages": pa.array(lat["n_messages"], pa.int64()),
+        "warc_ts": pa.array(lat["warc_ts"], pa.timestamp("us")),
+    })
+
+    # --- crawl_pushes: exploded child table (floor 1-based, O5) -------------
+    pu = {"url": [], "article_id": [], "warc_ts": [], "floor": [],
+          "push_tag": [], "push_userid": [], "push_content": [],
+          "push_ip": [], "push_datetime": []}
+    for url, a in arts:
+        for i, msg in enumerate(a["messages"]):
+            ip, dt = _oracle_push_ipdt(msg["push_ipdatetime"])
+            pu["url"].append(url)
+            pu["article_id"].append(a["article_id"])
+            pu["warc_ts"].append(a["warc_ts"])
+            pu["floor"].append(i + 1)
+            pu["push_tag"].append(msg["push_tag"])
+            pu["push_userid"].append(msg["push_userid"])
+            pu["push_content"].append(msg["push_content"])
+            pu["push_ip"].append(ip)
+            pu["push_datetime"].append(dt)
+    pushes = pa.table({
+        "url": pa.array(pu["url"], pa.string()),
+        "article_id": pa.array(pu["article_id"], pa.string()),
+        "warc_ts": pa.array(pu["warc_ts"], pa.timestamp("us")),
+        "floor": pa.array(pu["floor"], pa.int32()),
+        "push_tag": pa.array(pu["push_tag"], pa.string()),
+        "push_userid": pa.array(pu["push_userid"], pa.string()),
+        "push_content": pa.array(pu["push_content"], pa.string()),
+        "push_ip": pa.array(pu["push_ip"], pa.string()),
+        "push_datetime": pa.array(pu["push_datetime"], pa.timestamp("us")),
+    })
+
+    # --- crawl_seen ---------------------------------------------------------
+    seen = pa.table({"url": pa.array(sorted(golden["seen"]), pa.string())})
+
+    # --- crawl_watermarks: min/max fetched index page per board (A2) --------
+    web = build_web(pages)
+    wm: dict[str, list[int]] = {}
+    for _site, url in golden["visit_order"]:
+        m = _INDEX_URL_RE.search(url)
+        if m and url in web:  # fetched (non-404) index pages only
+            b, n = m.group(1), int(m.group(2))
+            cur = wm.setdefault(b, [n, n])
+            cur[0] = min(cur[0], n)
+            cur[1] = max(cur[1], n)
+    watermarks = pa.table({
+        "board": pa.array(sorted(wm), pa.string()),
+        "min_index": pa.array([wm[b][0] for b in sorted(wm)], pa.int32()),
+        "max_index": pa.array([wm[b][1] for b in sorted(wm)], pa.int32()),
+    })
+
+    # --- crawl_export_articles: denormalized Article sheet (export.py:62-85)
+    ex = {k: [] for k in ("web_id", "board", "author", "title", "content",
+                          "post_ip", "asn", "asn_date", "asn_registry",
+                          "asn_cidr", "asn_country_code", "asn_description",
+                          "post_datetime", "last_modified_time")}
+    for url, a in arts:
+        hit = asn.lookup(a["ip"])
+        ex["web_id"].append(a["article_id"])
+        ex["board"].append(a["board"])
+        ex["author"].append(_oracle_parse_author(a["author"]))
+        ex["title"].append(a["article_title"])
+        ex["content"].append(a["content"])
+        ex["post_ip"].append(a["ip"])
+        ex["asn"].append(hit["asn"] if hit else None)
+        ex["asn_date"].append(hit["asn_date"] if hit else None)
+        ex["asn_registry"].append(hit["asn_registry"] if hit else None)
+        ex["asn_cidr"].append(hit["cidr"] if hit else None)
+        ex["asn_country_code"].append(hit["asn_country_code"] if hit else None)
+        ex["asn_description"].append(hit["asn_description"] if hit else None)
+        ex["post_datetime"].append(_oracle_article_date(a["date"]))
+        ex["last_modified_time"].append(a["warc_ts"])
+    export_articles = pa.table({
+        "web_id": pa.array(ex["web_id"], pa.string()),
+        "board": pa.array(ex["board"], pa.string()),
+        "author": pa.array(ex["author"], pa.string()),
+        "title": pa.array(ex["title"], pa.string()),
+        "content": pa.array(ex["content"], pa.string()),
+        "post_ip": pa.array(ex["post_ip"], pa.string()),
+        "asn": pa.array(ex["asn"], pa.string()),
+        "asn_date": pa.array(ex["asn_date"], pa.timestamp("us")),
+        "asn_registry": pa.array(ex["asn_registry"], pa.string()),
+        "asn_cidr": pa.array(ex["asn_cidr"], pa.string()),
+        "asn_country_code": pa.array(ex["asn_country_code"], pa.string()),
+        "asn_description": pa.array(ex["asn_description"], pa.string()),
+        "post_datetime": pa.array(ex["post_datetime"], pa.timestamp("us")),
+        "last_modified_time": pa.array(ex["last_modified_time"], pa.timestamp("us")),
+    })
+
+    # --- crawl_board_report: TW vs non-TW counts (query.py:83-117) ----------
+    board = "gossiping"
+    def _is_tw(ip):
+        hit = asn.lookup(ip)
+        return hit is not None and hit["asn_country_code"] == "TW"
+
+    b_arts = [a for _u, a in arts if a["board"] == board]
+    a_tw = sum(1 for a in b_arts if a["ip"] and _is_tw(a["ip"]))
+    a_not = sum(1 for a in b_arts if a["ip"] and not _is_tw(a["ip"]))
+    push_ips = [_oracle_push_ipdt(m["push_ipdatetime"])[0]
+                for a in b_arts for m in a["messages"]]
+    p_tw = sum(1 for ip in push_ips if ip and _is_tw(ip))
+    p_not = sum(1 for ip in push_ips if ip and not _is_tw(ip))
+    report = pa.table({
+        "type": pa.array(["Article", "Push"], pa.string()),
+        "board": pa.array([board, board], pa.string()),
+        "start_date": pa.array(["", ""], pa.string()),
+        "end_date": pa.array(["", ""], pa.string()),
+        "tw_ip": pa.array([a_tw, p_tw], pa.int64()),
+        "not_tw_ip": pa.array([a_not, p_not], pa.int64()),
+    })
+
+    # --- crawl_users: screen extraction (crawler/user.py:255-269) -----------
+    import pyarrow.parquet as _pq
+
+    screens = _pq.read_table(os.path.join(corpus_dir, "user_screens.parquet"))
+    us = {"username": [], "login_times": [], "valid_article_count": [],
+          "last_login_datetime": [], "last_login_ip": [], "error": []}
+    for name, text in zip(screens["username"].to_pylist(),
+                          screens["text"].to_pylist()):
+        m = _SCREEN_RE.match(text or "")
+        dt = None
+        if m:
+            try:
+                dt = datetime.strptime(m.group(3), "%m/%d/%Y %H:%M:%S %a")
+            except ValueError:
+                m = None
+        us["username"].append(name)
+        if not m:
+            us["login_times"].append(None)
+            us["valid_article_count"].append(None)
+            us["last_login_datetime"].append(None)
+            us["last_login_ip"].append(None)
+            us["error"].append("screen parse failed")
+        else:
+            us["login_times"].append(int(m.group(1)))
+            us["valid_article_count"].append(int(m.group(2)))
+            us["last_login_datetime"].append(dt)
+            us["last_login_ip"].append(m.group(4))
+            us["error"].append(None)
+    users = pa.table({
+        "username": pa.array(us["username"], pa.string()),
+        "login_times": pa.array(us["login_times"], pa.int64()),
+        "valid_article_count": pa.array(us["valid_article_count"], pa.int64()),
+        "last_login_datetime": pa.array(us["last_login_datetime"], pa.timestamp("us")),
+        "last_login_ip": pa.array(us["last_login_ip"], pa.string()),
+        "error": pa.array(us["error"], pa.string()),
+    })
+
+    return {
+        "crawl_latest_articles": latest,
+        "crawl_pushes": pushes,
+        "crawl_seen": seen,
+        "crawl_watermarks": watermarks,
+        "crawl_export_articles": export_articles,
+        "crawl_board_report": report,
+        "crawl_users": users,
+    }
+
+
+# --------------------------------------------------------------------------
+# documents/embeddings oracles (over the testdata tables)
+# --------------------------------------------------------------------------
+def _oracle_tokens(text):
+    return (text or "").split()
+
+
+def _oracle_shingle_set(text, k=3):
+    toks = _oracle_tokens(text)
+    if not toks:
+        return frozenset()
+    if len(toks) < k:
+        return frozenset([" ".join(toks)])
+    return frozenset(" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1))
+
+
+_ORACLE_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been on for with as at by "
+    "from that this it not no".split())
+
+_ORACLE_LANG_PROFILES = [
+    ("en", frozenset("the and of to in is that it for was with as his on be at by".split())),
+    ("de", frozenset("der die und in den von zu das mit sich des auf ist nicht ein".split())),
+    ("fr", frozenset("le la et les des en du de un une est que pour dans qui sur".split())),
+    ("es", frozenset("el la de que y en los del se las por un con una su para es".split())),
+    ("zh", frozenset("的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国".split())),
+]
+_CJK_RE = re.compile(r"[一-鿿]")
+
+
+def _oracle_quality(text):
+    """Per-doc quality signals, same formula order as the engine's
+    vectorized stage so the ppm quantization is bit-identical."""
+    t = text or ""
+    nchars = float(len(t))
+    alpha = float(sum(1 for ch in t if "A" <= ch <= "Z" or "a" <= ch <= "z"))
+    toks = _oracle_tokens(t)
+    safe = max(float(len(toks)), 1.0)
+    stop_hits = float(sum(1 for x in toks if x.lower() in _ORACLE_STOPWORDS))
+    stop_ratio = stop_hits / safe
+    distinct_ratio = float(len(set(toks))) / safe
+    alpha_ratio = alpha / max(nchars, 1.0)
+    length_score = min(nchars / 500.0, 1.0)
+    quality = (0.25 * length_score + 0.25 * alpha_ratio
+               + 0.25 * min(stop_ratio * 4, 1.0) + 0.25 * distinct_ratio)
+    return alpha_ratio, stop_ratio, distinct_ratio, quality
+
+
+def _oracle_langid(text):
+    """Per-doc language-ID (stopword hits + CJK chars), argmax first-wins
+    in profile order; 'und' on zero total."""
+    t = text or ""
+    toks = [x.lower() for x in _oracle_tokens(t)]
+    cjk = float(len(_CJK_RE.findall(t)))
+    scores = []
+    for lang, vocab in _ORACLE_LANG_PROFILES:
+        s = float(sum(1 for x in toks if x in vocab))
+        if lang == "zh":
+            s += cjk
+        scores.append(s)
+    total = sum(scores)
+    if total <= 0:
+        return "und", 0.0
+    best = max(range(len(scores)), key=lambda i: (scores[i], -i))  # first max wins
+    return _ORACLE_LANG_PROFILES[best][0], scores[best] / max(total, 1e-9)
+
+
+def _oracle_simhash(text):
+    """64-bit simhash over whitespace tokens (bit-vote on token hashes)."""
+    toks = _oracle_tokens(text)
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for tok in toks:
+        h = _hash64(tok)
+        for k in range(64):
+            votes[k] += 1 if (h >> k) & 1 else -1
+    return sum(1 << k for k in range(64) if votes[k] > 0)
+
+
+def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
+    """Expected outputs for the hash-based / composed document ops."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+
+    # --- fingerprint_docs: (doc_id, text_hash) ------------------------------
+    fingerprint = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text_hash": pa.array([_hash64(t or "") for t in texts], pa.uint64()),
+    })
+
+    # --- simhash_pairs_docs: brute-force Hamming ≤ 3 ------------------------
+    # (exact: 3 bit flips cannot touch all 4 16-bit bands, so banding recall
+    # for hamming ≤ 3 is 100% by pigeonhole — brute force IS the band spec)
+    sims = [_oracle_simhash(t) for t in texts]
+    sp_a, sp_b, sp_h = [], [], []
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    for ii in range(len(order)):
+        i = order[ii]
+        for jj in range(ii + 1, len(order)):
+            j = order[jj]
+            d = bin(sims[i] ^ sims[j]).count("1")
+            if d <= 3:
+                sp_a.append(ids[i]); sp_b.append(ids[j]); sp_h.append(d)
+    simhash_pairs = pa.table({
+        "doc_a": pa.array(sp_a, pa.int64()),
+        "doc_b": pa.array(sp_b, pa.int64()),
+        "hamming": pa.array(sp_h, pa.int32()),
+    })
+
+    # --- curate_docs: quality → langid → filter → near-dup removal ----------
+    kept_rows = []
+    for i, t in zip(ids, texts):
+        alpha_r, stop_r, dist_r, q = _oracle_quality(t)
+        lang, _conf = _oracle_langid(t)
+        if q > 0.3 and stop_r > 0.0:
+            kept_rows.append((i, t, q, lang))
+    # exact all-pairs jaccard ≥ 0.8 over survivors, union-find, min-id kept
+    sh = {i: _oracle_shingle_set(t) for i, t, _q, _l in kept_rows}
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    kept_ids = [r[0] for r in kept_rows]
+    for a_i in range(len(kept_ids)):
+        sa = sh[kept_ids[a_i]]
+        if not sa:
+            continue
+        for b_i in range(a_i + 1, len(kept_ids)):
+            sb = sh[kept_ids[b_i]]
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            if inter / (len(sa) + len(sb) - inter) >= 0.8:
+                ra, rb = find(kept_ids[a_i]), find(kept_ids[b_i])
+                if ra != rb:
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+    drop = {x for x in parent if find(x) != x}
+    cu = [(i, t, lang, int(np.floor(q * 1e6)))
+          for i, t, q, lang in kept_rows if i not in drop]
+    curate = pa.table({
+        "doc_id": pa.array([r[0] for r in cu], pa.int64()),
+        "text": pa.array([r[1] for r in cu], pa.string()),
+        "pred_lang": pa.array([r[2] for r in cu], pa.string()),
+        "quality_ppm": pa.array([r[3] for r in cu], pa.int64()),
+    })
+
+    # --- multimodal_decode: header parse of the synthetic blob --------------
+    from ..multimodal import make_fake_blob  # the DATA generator (not a stage)
+
+    mm = {"media_id": [], "kind": [], "width": [], "height": [], "channels": []}
+    kinds = ["image", "audio", "video"]
+    for i in ids:
+        blob = make_fake_blob(i)
+        kind_i, w, h, c = struct.unpack("<BHHB", blob[4:10])
+        mm["media_id"].append(i)
+        mm["kind"].append(kinds[kind_i])
+        mm["width"].append(w)
+        mm["height"].append(h)
+        mm["channels"].append(c)
+    multimodal = pa.table({
+        "media_id": pa.array(mm["media_id"], pa.int64()),
+        "kind": pa.array(mm["kind"], pa.string()),
+        "width": pa.array(mm["width"], pa.int32()),
+        "height": pa.array(mm["height"], pa.int32()),
+        "channels": pa.array(mm["channels"], pa.int32()),
+    })
+
+    # --- knn_ivf: sequential single-process run of the same algorithm -------
+    emb_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    vec_ids = np.asarray(emb_t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack(emb_t["embedding"].to_pylist()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    # centroid training mirrors textops.similarity.train_centroids exactly
+    # (seeded sample = first 2048 rows in file order)
+    sample = mat[:2048]
+    rng = np.random.default_rng(7)
+    n_clusters = 8
+    c = sample[rng.choice(len(sample), size=min(n_clusters, len(sample)), replace=False)]
+    for _ in range(8):
+        assign = (sample @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            members = sample[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    full_assign = (mat @ c.T).argmax(axis=1)
+    q = mat[:3]
+    nprobe = 4
+    probes = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(x) for row in probes for x in row})
+    sub_mask = np.isin(full_assign, wanted)
+    sub_ids, sub_m = vec_ids[sub_mask], mat[sub_mask]
+    kq, kv, kr = [], [], []
+    k = 5
+    for qi in range(len(q)):
+        sims = sub_m @ q[qi]
+        order2 = np.lexsort((sub_ids, -sims))[:k]
+        for rank, oi in enumerate(order2, 1):
+            kq.append(qi); kv.append(int(sub_ids[oi])); kr.append(rank)
+    knn_ivf = pa.table({
+        "query_id": pa.array(kq, pa.int64()),
+        "vec_id": pa.array(kv, pa.int64()),
+        "rank": pa.array(kr, pa.int64()),
+    })
+
+    return {
+        "fingerprint_docs": fingerprint,
+        "simhash_pairs_docs": simhash_pairs,
+        "curate_docs": curate,
+        "multimodal_decode": multimodal,
+        "knn_ivf": knn_ivf,
+    }
+
+
+def write_oracle_parquet(tables: dict[str, pa.Table], dest_dir: str) -> None:
+    """Atomic write of each oracle table as <dest>/<name>.parquet."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dest_dir, exist_ok=True)
+    for name, tbl in tables.items():
+        path = os.path.join(dest_dir, f"{name}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)

@@ -129,13 +129,44 @@ def export_pushes(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> 
 
 
 def export_users(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "rd.Dataset":
-    """The User sheet (reference export.py:111-126)."""
-    from .users import users_dataset
+    """The User sheet (reference export.py:111-126).
+
+    last_login fields come from the append-only login-record fact's argmax
+    (UserLastRecord, reference export.py:111-113) when the user has records,
+    falling back to the screen snapshot — the reference reads
+    ``user.last_records[0]``; the fixture's newest record mirrors the
+    screen's login datetime, so the sources agree where both exist."""
+    from .users import user_last_records, users_dataset
 
     ip_asn = ip_asn if ip_asn is not None else build_ip_asn_map(out_dir, corpus_dir)
     ref = ray.put(ip_asn)
+    # small dim: broadcast the per-user argmax record as a dict
+    last = {}
+    for b in user_last_records(corpus_dir).iter_batches(batch_format="pyarrow",
+                                                        batch_size=8192):
+        for u, dt, ip in zip(b["username"].to_pylist(),
+                             b["last_login_datetime"].to_pylist(),
+                             b["last_login_ip"].to_pylist()):
+            last[u] = (dt, ip)
+    last_ref = ray.put(last)
+
+    def apply_last(t: pa.Table, _ref=last_ref) -> pa.Table:
+        recs = ray.get(_ref)
+        users = t["username"].to_pylist()
+        dts = t["last_login_datetime"].to_pylist()
+        ips = t["last_login_ip"].to_pylist()
+        for i, u in enumerate(users):
+            hit = recs.get(u)
+            if hit is not None:
+                dts[i], ips[i] = hit
+        t = t.set_column(t.column_names.index("last_login_datetime"),
+                         "last_login_datetime", pa.array(dts, pa.timestamp("us")))
+        return t.set_column(t.column_names.index("last_login_ip"),
+                            "last_login_ip", pa.array(ips, pa.string()))
+
     ds = users_dataset(corpus_dir)
     ds = ds.map_batches(lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow")
+    ds = ds.map_batches(apply_last, batch_format="pyarrow")
     ds = ds.map_batches(_AsnLookup,
                         fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "last_login_ip"},
                         batch_format="pyarrow", concurrency=2)

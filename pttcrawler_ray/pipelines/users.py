@@ -65,6 +65,25 @@ def extract_users_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def user_last_records(corpus_dir: str) -> "rd.Dataset":
+    """Latest login record per user from the append-only ``login_records``
+    fact table — the reference's UserLastRecord model (models/user.py:35-61)
+    consumed via ``desc(created_at)`` top-1 (export.py:111-113, O7).
+    One groupby-argmax shuffle; groups stay Arrow."""
+    import os
+
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(os.path.join(corpus_dir, "login_records.parquet"))
+
+    def newest(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("created_at", "descending"),
+                                                ("record_id", "descending")])
+        return group.take(idx[:1])
+
+    return ds.groupby("username").map_groups(newest, batch_format="pyarrow")
+
+
 def users_dataset(corpus_dir: str) -> "rd.Dataset":
     """User dimension from the synthetic screens, scan-ordered like the
     reference's id source (login_times then id — crawler/user.py:158, O6)."""

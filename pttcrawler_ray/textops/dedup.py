@@ -421,25 +421,41 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
 
 # ------------------------------------------------- embedding cosine near-dup
 class SignLSH:
-    """map_batches actor: adds a hyperplane-sign bucket for embeddings."""
+    """map_batches actor: explodes each embedding row into ``tables``
+    hyperplane-sign bucket rows (multi-table LSH: a near-dup pair missed by
+    one table's random planes is caught by another — recall
+    1-(1-p^bits)^tables for per-plane agreement p = 1 - angle/π)."""
 
-    def __init__(self, dim: int, bits: int = 12, seed: int = 99):
+    def __init__(self, dim: int, bits: int = 12, seed: int = 99, tables: int = 2):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, bits))
+        self.planes = rng.standard_normal((tables, dim, bits))
+        self.tables = tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        signs = (emb @ self.planes) > 0
-        bucket = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
-        return batch.append_column("lsh_bucket", pa.array(bucket.astype(np.int64), pa.int64()))
+        parts = []
+        n = len(batch)
+        for t in range(self.tables):
+            signs = (emb @ self.planes[t]) > 0
+            bucket = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+            parts.append(batch
+                         .append_column("lsh_table",
+                                        pa.array(np.full(n, t, np.int32), pa.int32()))
+                         .append_column("lsh_bucket",
+                                        pa.array(bucket.astype(np.int64), pa.int64())))
+        return pa.concat_tables(parts)
 
 
 def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0.95,
-                            bits: int = 12, concurrency: int = 2) -> pa.Table:
+                            bits: int = 12, tables: int = 2,
+                            concurrency: int = 2) -> pa.Table:
     """Pairs with cosine ≥ threshold among same-bucket embeddings (one
-    matmul per bucket inside map_groups)."""
-    ds = emb_ds.map_batches(SignLSH, fn_constructor_kwargs={"dim": dim, "bits": bits},
+    matmul per bucket inside map_groups; pairs deduped across tables by a
+    vectorized aggregate)."""
+    ds = emb_ds.map_batches(SignLSH,
+                            fn_constructor_kwargs={"dim": dim, "bits": bits,
+                                                   "tables": tables},
                             batch_format="pyarrow", concurrency=concurrency)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -466,11 +482,14 @@ def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0
                          "doc_b": pa.array(np.maximum(ids_np[a], ids_np[b]), pa.int64()),
                          "cosine": pa.array(sim[a, b], pa.float64())})
 
-    pairs = ds.groupby("lsh_bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    df = pairs.to_pandas()
+    pairs = ds.groupby(["lsh_table", "lsh_bucket"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    dedup = pairs.groupby(["doc_a", "doc_b"]).max("cosine")
+    df = (dedup.to_pandas()
+          .rename(columns={"max(cosine)": "cosine"})
+          .sort_values(["doc_a", "doc_b"]))
     schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                         ("cosine", pa.float64())])
     if df.empty:
         return schema.empty_table()
-    return pa.Table.from_pandas(df.drop_duplicates(["doc_a", "doc_b"]),
-                                preserve_index=False).cast(schema)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(schema)

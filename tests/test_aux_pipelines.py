@@ -169,3 +169,27 @@ def test_board_watermarks(crawled):
     for board, info in manifest["boards"].items():
         assert wm.loc[board, "min_index"] == 1
         assert wm.loc[board, "max_index"] == info["last_page"]
+
+
+def test_user_last_record_argmax(ray_session):
+    """UserLastRecord (reference models/user.py:35-61): append-only login
+    records, latest by created_at wins (O7, export.py:111-113)."""
+    import pyarrow.parquet as pq
+
+    from pttcrawler_ray.fixtures import corpus_for_scale
+    from pttcrawler_ray.pipelines.users import user_last_records, users_dataset
+
+    d = corpus_for_scale("t1")
+    recs = pq.read_table(os.path.join(d, "login_records.parquet")).to_pandas()
+    got = user_last_records(d).to_pandas().set_index("username")
+
+    expected = (recs.sort_values(["created_at", "record_id"])
+                .groupby("username").tail(1).set_index("username"))
+    assert set(got.index) == set(expected.index)
+    assert (got["record_id"].sort_index() == expected["record_id"].sort_index()).all()
+
+    # the newest record mirrors the screen snapshot's login datetime
+    screens = users_dataset(d).to_pandas()
+    ok = screens[screens["error"].isna()].set_index("username")
+    for u in list(ok.index)[:10]:
+        assert got.loc[u, "last_login_datetime"] == ok.loc[u, "last_login_datetime"]

@@ -63,13 +63,51 @@ def _assert_match(name, ray_df, sql_df):
                                   rtol=1e-9, atol=1e-9, obj=name)
 
 
+# oracles whose SQL reads parquet at fixed /tmp paths written for the
+# DRIVER's compare scale (sf0.01 → crawl scale t2): these must be checked
+# at sf0.01, the exact driver condition
+_PATH_ORACLES = {
+    "crawl_latest_articles", "crawl_pushes", "crawl_seen",
+    "crawl_export_articles", "crawl_board_report", "crawl_users",
+    "crawl_watermarks", "user_last_record",
+    "fingerprint_docs", "simhash_pairs_docs", "curate_docs",
+    "multimodal_decode", "knn_ivf",
+}
+
+
 def test_sql_checked_queries_match_oracle(entrymod, duck):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     for name, sql in oracles.items():
+        if name in _PATH_ORACLES:
+            continue  # compared at the driver scale in the test below
         ray_df = _to_df(qs[name](SF))
         sql_df = duck.execute(sql).fetchdf()
+        _assert_match(name, ray_df, sql_df)
+
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01}/{t}.parquet')")
+    return con
+
+
+def test_path_oracle_queries_match_at_driver_scale(entrymod, duck01):
+    """The sequential-parquet oracles are written for sf0.01 (the driver's
+    compare scale); run those queries at sf0.01 and compare exactly."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in sorted(_PATH_ORACLES):
+        ray_df = _to_df(qs[name](SF01))
+        sql_df = duck01.execute(oracles[name]).fetchdf()
         _assert_match(name, ray_df, sql_df)
 
 

@@ -53,16 +53,19 @@ def test_lang_id(ray_session):
     from pttcrawler_ray.textops.analysis import LangId
 
     ds = rd.from_items([
-        {"text": "the cat sat on the mat and it was happy with that"},
-        {"text": "der hund und die katze sind nicht in den garten"},
-        {"text": "le chat et les chiens sont dans la maison pour une nuit"},
-        {"text": "今天 天氣 真好 我們 一起 去 公園"},
-        {"text": ""},
+        {"i": 0, "text": "the cat sat on the mat and it was happy with that"},
+        {"i": 1, "text": "der hund und die katze sind nicht in den garten"},
+        {"i": 2, "text": "le chat et les chiens sont dans la maison pour une nuit"},
+        {"i": 3, "text": "今天 天氣 真好 我們 一起 去 公園"},
+        {"i": 4, "text": ""},
     ])
-    df = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
+    # keyed, not positional: Ray Data only preserves block order with
+    # preserve_order set, so under load rows may arrive reordered
+    df = (ds.map_batches(LangId, batch_format="pyarrow", concurrency=1)
+          .to_pandas().set_index("i").sort_index())
     assert df["pred_lang"].tolist()[:4] == ["en", "de", "fr", "zh"]
-    assert df["pred_lang"].iloc[4] == "und"
-    assert df["lang_confidence"].iloc[0] > 0.5
+    assert df["pred_lang"].loc[4] == "und"
+    assert df["lang_confidence"].loc[0] > 0.5
 
 
 def test_fingerprint_deterministic(docs):
@@ -248,3 +251,23 @@ def test_degenerate_bucket_capped(ray_session):
     # identical (empty) docs ARE hamming-0 near-dups, but the cap bounds
     # the per-bucket explosion to MAX_BUCKET_DOCS choose 2
     assert len(sgot) <= MAX_BUCKET_DOCS * (MAX_BUCKET_DOCS - 1) // 2 + 1
+
+
+def test_embedding_neardup_planted(ray_session):
+    """Near-dup embedding pairs with PLANTED twins: the query must find
+    exactly the planted pairs (round-1 verdict: a 0-row result proves
+    nothing).  Multi-table sign-LSH gives the recall."""
+    from pttcrawler_ray.textops.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((200, 32))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(200)]
+    for j in range(5):  # tiny-perturbation twins (cosine ≈ 0.999)
+        v = base[j] + 0.01 * rng.standard_normal(32)
+        rows.append({"vec_id": 1000 + j, "embedding": v.tolist()})
+
+    pairs = embedding_neardup_pairs(rd.from_items(rows), dim=32,
+                                    threshold=0.95, bits=8, tables=4)
+    got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    assert got == {(j, 1000 + j) for j in range(5)}  # exactly the planted twins
+    assert all(c >= 0.95 for c in pairs["cosine"].to_pylist())
