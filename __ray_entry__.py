@@ -486,6 +486,14 @@ def _doc_stats_by_lang(sf_dir: str):
 # oracles
 # --------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
+    # the path-based oracles read parquet under /tmp/ptt_oracle; generate
+    # them HERE (pure sequential Python — no Ray needed) so they exist no
+    # matter whether the driver runs SQL before or after the ray queries
+    try:
+        _ensure_crawl_oracle("t2")
+        _ensure_docs_oracle("/root/testdata/sf0.01")
+    except Exception:
+        pass  # missing testdata (exotic harness) — per-query ensures remain
     return {
         "latest_event_per_user": """
             SELECT user_id, event_id, ts, event_type, value FROM (

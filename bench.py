@@ -28,18 +28,69 @@ import sys
 import time
 
 
+def _burn(q, dur):
+    import time as _t
+
+    t_end = _t.perf_counter() + dur
+    n = 0
+    x = 1.0
+    while _t.perf_counter() < t_end:
+        for _ in range(10_000):
+            x = x * 1.0000001 + 1.0
+        n += 10_000
+    q.put(n)
+
+
+_EFFECTIVE_CACHE: list = []
+
+
+def effective_cores(num_cpus: int) -> int:
+    """The REAL parallel core budget, measured — not the advertised cpu
+    count.  This host exposes 32 logical cpus but is throttled to ~8-9
+    cores of actual compute (BASELINE.md calibration); sizing actor pools
+    to num_cpus=32 over-subscribes and slows the whole pipeline (round-1
+    bench ran 2.4x slower under the driver for exactly this reason).
+    Quick calibration: aggregate throughput of num_cpus parallel burn
+    procs / single-proc throughput.  Override with GRAFT_EFFECTIVE_CORES."""
+    if _EFFECTIVE_CACHE:
+        return min(num_cpus, _EFFECTIVE_CACHE[0])
+    env = os.environ.get("GRAFT_EFFECTIVE_CORES")
+    if env:
+        _EFFECTIVE_CACHE.append(int(env))
+        return min(num_cpus, int(env))
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_burn, args=(q, 0.4))
+    p.start(); p.join()
+    single = q.get()
+    procs = [ctx.Process(target=_burn, args=(q, 0.4)) for _ in range(32)]
+    for p in procs:
+        p.start()
+    total = 0
+    for p in procs:
+        p.join()
+    while not q.empty():
+        total += q.get()
+    eff = max(2, min(32, round(total / max(single, 1))))
+    _EFFECTIVE_CACHE.append(eff)
+    return min(num_cpus, eff)
+
+
 def _init_ray(num_cpus: int):
     # honest N-cpu emulation: BLAS reads OMP_NUM_THREADS at library load,
     # so set it BEFORE importing pyarrow/ray (which import numpy).  bench.py
     # itself imports only stdlib at module top to keep this effective.
-    os.environ.setdefault("OMP_NUM_THREADS", str(num_cpus))
-    os.environ.setdefault("OPENBLAS_NUM_THREADS", str(num_cpus))
+    eff = effective_cores(num_cpus)
+    os.environ.setdefault("OMP_NUM_THREADS", str(eff))
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", str(eff))
 
     import pyarrow as pa
     import ray
 
-    pa.set_cpu_count(num_cpus)
-    pa.set_io_thread_count(max(2, num_cpus))
+    pa.set_cpu_count(eff)
+    pa.set_io_thread_count(max(2, eff))
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -61,6 +112,13 @@ def run_crawl_bench(num_cpus: int, scale: str = "bench") -> dict:
     shared_index = build_shared_index(corpus)
     out = "/tmp/ptt_bench/crawl_out"
     shutil.rmtree(out, ignore_errors=True)
+    # pool sized to the MEASURED core budget, not the advertised cpu count
+    # (over-subscribing the host made the driver's 32-cpu run 2.4x slower
+    # than the committed baseline in round 1).  The 8-shard frontier bounds
+    # useful crawl parallelism at ~10 workers on this corpus — measured
+    # sweeps show pool=8 beats pool=23 even when the host is idle — so the
+    # pool is the min of the calibrated budget and that knee.
+    eff = effective_cores(num_cpus)
     cfg = CrawlConfig(
         num_shards=8,
         round_seconds=1e6,              # bench mode: budget >> depth (compute-bound)
@@ -70,7 +128,7 @@ def run_crawl_bench(num_cpus: int, scale: str = "bench") -> dict:
         # one fused fetch+parse actor pool; leave one cpu for the driver,
         # shards and the write tasks
         fetch_concurrency=2,
-        process_concurrency=max(2, num_cpus - 1),
+        process_concurrency=max(2, min(eff - 1, 10)),
         batch_size=512,
         engine="rayds",
     )
@@ -169,9 +227,13 @@ def main():
             repeats = 1 if n == 2 else base_repeats
             best = None
             for _ in range(repeats):
+                # GRAFT_EFFECTIVE_CORES pins the emulated core count: the
+                # N-cpu level must size pools to N, not to a live host
+                # calibration (which would break the controlled comparison)
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                            GRAFT_SF_DIR=sf_dir, GRAFT_BENCH_CRAWL_ONLY="1",
                            GRAFT_BENCH_SCALE="scaling",
+                           GRAFT_EFFECTIVE_CORES=str(n),
                            OMP_NUM_THREADS=str(n), OPENBLAS_NUM_THREADS=str(n))
                 out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                                      capture_output=True, text=True, check=True,

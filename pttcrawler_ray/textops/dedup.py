@@ -187,7 +187,7 @@ class _VerifyJaccard:
 
 
 def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
-                    threshold: float, concurrency: int = 2) -> pa.Table:
+                    threshold: float, concurrency: int = 8) -> pa.Table:
     """Exact n-gram Jaccard verification of candidate (doc_a, doc_b) pairs.
 
     Fully distributed (round-1 verdict fix): pairs are deduped by a small
@@ -212,7 +212,7 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
     sh_ds = docs.map_batches(
         _CandidateShingles, fn_constructor_kwargs={"ids_ref": ids_ref,
                                                    "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=(1, concurrency))
     sh: dict[int, np.ndarray] = {}
     for b in sh_ds.iter_batches(batch_format="pyarrow", batch_size=8192):
         for i, s in zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()):
@@ -222,7 +222,7 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
     verified = cand.map_batches(
         _VerifyJaccard, fn_constructor_kwargs={"sh_ref": sh_ref,
                                                "threshold": threshold},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=(1, concurrency))
     df = verified.to_pandas().sort_values(["doc_a", "doc_b"])
     if df.empty:
         return schema.empty_table()
@@ -269,7 +269,7 @@ def ngram_jaccard_pairs(docs: "rd.Dataset", threshold: float = 0.5,
 
 def minhash_lsh_pairs(docs: "rd.Dataset", threshold: float = 0.7,
                       num_perm: int = 128, bands: int = 16, shingle_k: int = 3,
-                      concurrency: int = 2) -> pa.Table:
+                      concurrency: int = 8) -> pa.Table:
     """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold).
 
     The LSH explode + bucket groupby is fully distributed; candidate pairs
@@ -282,7 +282,7 @@ def minhash_lsh_pairs(docs: "rd.Dataset", threshold: float = 0.7,
     bands_ds = docs.map_batches(
         MinhashBands,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow", concurrency=(1, concurrency))
     cand = (bands_ds.groupby(["band_id", "band_hash"])
             .map_groups(_pairs_from_groups, batch_format="pyarrow"))
     return _verify_jaccard(cand, docs, shingle_k, threshold)
@@ -449,14 +449,14 @@ class SignLSH:
 
 def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0.95,
                             bits: int = 12, tables: int = 2,
-                            concurrency: int = 2) -> pa.Table:
+                            concurrency: int = 4) -> pa.Table:
     """Pairs with cosine ≥ threshold among same-bucket embeddings (one
     matmul per bucket inside map_groups; pairs deduped across tables by a
     vectorized aggregate)."""
     ds = emb_ds.map_batches(SignLSH,
                             fn_constructor_kwargs={"dim": dim, "bits": bits,
                                                    "tables": tables},
-                            batch_format="pyarrow", concurrency=concurrency)
+                            batch_format="pyarrow", concurrency=(1, concurrency))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         if group.num_rows > 16 * MAX_BUCKET_DOCS:
