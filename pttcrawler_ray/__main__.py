@@ -83,7 +83,7 @@ def main(argv=None):
     e.add_argument("--corpus", required=True)
     e.add_argument("--crawl", required=True)
     e.add_argument("--dest", required=True)
-    e.add_argument("--format", choices=["csv", "json"], default="csv")
+    e.add_argument("--format", choices=["csv", "json", "ods"], default="csv")
 
     pj = sub.add_parser("pagejson", help="per-index-page JSON files (reference layout)")
     pj.add_argument("--crawl", required=True)

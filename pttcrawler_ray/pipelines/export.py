@@ -218,9 +218,17 @@ def write_page_json(out_dir: str, dest: str, prefix: str = "") -> int:
 
 
 def export_run(out_dir: str, corpus_dir: str, dest: str, fmt: str = "csv") -> dict:
-    """Write all three sheets; returns row counts (K4 sink)."""
+    """Write all three sheets; returns row counts (K4 sink).
+
+    ``fmt='ods'`` writes ONE ``Ptt_report_<date>.ods`` with Article/Push/
+    User sheets (reference ``_export_ods``, export.py:288-296; header row
+    then data, numbers typed float, everything else string) via the
+    stdlib ODF writer in :mod:`.ods`.  ods is the driver-side report
+    format like the reference's; csv/json remain the distributed sinks.
+    """
     ip_asn = build_ip_asn_map(out_dir, corpus_dir)
     counts = {}
+    ods_sheets: dict[str, list[list]] = {}
     for name, ds in (
         ("article", export_articles(out_dir, corpus_dir, ip_asn)),
         ("push", export_pushes(out_dir, corpus_dir, ip_asn)),
@@ -233,7 +241,33 @@ def export_run(out_dir: str, corpus_dir: str, dest: str, fmt: str = "csv") -> di
         if fmt == "csv":
             # csv cannot carry nested columns; sheets are already flat
             ds.write_csv(path)
+        elif fmt == "ods":
+            import numpy as np
+
+            df = ds.to_pandas()
+            rows: list[list] = [list(df.columns)]
+            for tup in df.itertuples(index=False):
+                row = []
+                for v in tup:
+                    if v is None or v != v:  # None / NaN / NaT
+                        row.append(None)
+                    elif isinstance(v, (bool, np.bool_)):
+                        row.append(str(v))
+                    elif isinstance(v, (int, float, np.integer, np.floating)):
+                        row.append(v.item() if hasattr(v, "item") else v)
+                    else:
+                        row.append(str(v))
+                rows.append(row)
+            ods_sheets[name.capitalize()] = rows  # reference sheet names
         else:
             ds.write_json(path)
         counts[name] = ds.count()
+    if fmt == "ods":
+        from datetime import datetime as _dt
+
+        from .ods import save_ods
+
+        os.makedirs(dest, exist_ok=True)
+        save_ods(os.path.join(
+            dest, f"Ptt_report_{_dt.now().strftime('%Y-%m-%d')}.ods"), ods_sheets)
     return counts

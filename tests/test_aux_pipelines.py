@@ -193,3 +193,39 @@ def test_user_last_record_argmax(ray_session):
     ok = screens[screens["error"].isna()].set_index("username")
     for u in list(ok.index)[:10]:
         assert got.loc[u, "last_login_datetime"] == ok.loc[u, "last_login_datetime"]
+
+
+def test_export_ods_roundtrip(crawled, tmp_path):
+    """K4 ods sink (reference _export_ods, export.py:288-296): one
+    Ptt_report_<date>.ods, sheets Article/Push/User, header + data rows,
+    ODF package structure (uncompressed mimetype first)."""
+    import zipfile
+
+    from pttcrawler_ray.pipelines.export import export_run
+    from pttcrawler_ray.pipelines.ods import read_ods_rows
+
+    d, out, golden = crawled
+    dest = str(tmp_path / "ods")
+    counts = export_run(out, d, dest, fmt="ods")
+    files = glob.glob(os.path.join(dest, "Ptt_report_*.ods"))
+    assert len(files) == 1
+
+    z = zipfile.ZipFile(files[0])
+    infos = z.infolist()
+    assert infos[0].filename == "mimetype"
+    assert infos[0].compress_type == zipfile.ZIP_STORED
+    assert z.read("mimetype") == b"application/vnd.oasis.opendocument.spreadsheet"
+
+    sheets = read_ods_rows(files[0])
+    assert set(sheets) == {"Article", "Push", "User"}
+    art = sheets["Article"]
+    assert len(art) - 1 == counts["article"]  # header + one row per article
+    hdr = art[0]
+    assert {"web_id", "board", "author", "content", "post_ip"} <= set(hdr)
+    row = dict(zip(hdr, art[1]))
+    assert row["web_id"] and row["board"]
+    pu = sheets["Push"]
+    assert len(pu) - 1 == counts["push"]
+    assert "floor" in pu[0]
+    # floor survives as a number, not a string
+    assert isinstance(dict(zip(pu[0], pu[1]))["floor"], int)
