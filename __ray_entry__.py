@@ -64,18 +64,22 @@ def _ensure_crawl_oracle(scale: str) -> str:
     from pttcrawler_ray.oracle.queryoracle import (crawl_oracle_tables,
                                                    write_oracle_parquet)
 
+    from pttcrawler_ray.oracle.queryoracle import ORACLE_VERSION
+
     corpus = corpus_for_scale(scale)
     with open(os.path.join(corpus, "manifest.json")) as f:
         corpus_params = json.load(f)["params"]
+    # staleness key covers BOTH inputs: the corpus AND the oracle code
+    cache_key = {"params": corpus_params, "oracle_version": ORACLE_VERSION}
     marker = os.path.join(dest, "corpus_params.json")
     stale = True
     if os.path.exists(marker):
         with open(marker) as f:
-            stale = json.load(f) != corpus_params
+            stale = json.load(f) != cache_key
     if stale:
         write_oracle_parquet(crawl_oracle_tables(corpus), dest)
         with open(marker, "w") as f:
-            json.dump(corpus_params, f)
+            json.dump(cache_key, f)
     _ORACLE_DONE.add(key)
     return dest
 
@@ -87,14 +91,21 @@ def _ensure_docs_oracle(sf_dir: str) -> str:
     key = f"docs_{name}"
     if key in _ORACLE_DONE:
         return dest
-    from pttcrawler_ray.oracle.queryoracle import (docs_oracle_tables,
+    from pttcrawler_ray.oracle.queryoracle import (ORACLE_VERSION,
+                                                   docs_oracle_tables,
                                                    write_oracle_parquet)
 
+    # testdata is immutable, so the only staleness input is the oracle code
+    cache_key = {"sf_dir": sf_dir, "oracle_version": ORACLE_VERSION}
     marker = os.path.join(dest, "done.json")
-    if not os.path.exists(marker):
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = json.load(f) != cache_key
+    if stale:
         write_oracle_parquet(docs_oracle_tables(sf_dir), dest)
         with open(marker, "w") as f:
-            json.dump({"sf_dir": sf_dir}, f)
+            json.dump(cache_key, f)
     _ORACLE_DONE.add(key)
     return dest
 

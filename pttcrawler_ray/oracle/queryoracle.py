@@ -28,6 +28,11 @@ import pyarrow as pa
 
 from .refcrawl import build_web, sequential_crawl
 
+# bump whenever any oracle computation here (or the engine semantics it
+# mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
+# stale cache can never be compared against newer code
+ORACLE_VERSION = 2
+
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
 # --------------------------------------------------------------------------
@@ -405,6 +410,22 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     ids = docs["doc_id"].to_pylist()
     texts = docs["text"].to_pylist()
+
+    # the engine caps degenerate LSH buckets at MAX_BUCKET_DOCS; these
+    # sequential oracles do NOT (they are exact).  The comparison is only
+    # fair while no duplicate class exceeds the cap — assert that loudly
+    # instead of producing a baffling driver mismatch.
+    from collections import Counter
+
+    from ..textops.dedup import MAX_BUCKET_DOCS
+
+    biggest = max(Counter(t or "" for t in texts).values(), default=0)
+    if biggest > MAX_BUCKET_DOCS:
+        raise AssertionError(
+            f"documents in {sf_dir} contain a duplicate-text class of "
+            f"{biggest} > MAX_BUCKET_DOCS={MAX_BUCKET_DOCS}: the engine's "
+            "degenerate-bucket cap would truncate pairs the exact oracles "
+            "emit — raise the cap or exclude the class before comparing")
 
     # --- fingerprint_docs: (doc_id, text_hash) ------------------------------
     fingerprint = pa.table({

@@ -13,14 +13,10 @@
 
 from __future__ import annotations
 
-import re
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-
-_INDEX_URL = re.compile(r"/bbs/([^/]+)/index(\d+)\.html$")
 
 
 def rotate_versions(versions: "rd.Dataset", keep: int = 30) -> "rd.Dataset":
@@ -38,26 +34,18 @@ def rotate_versions(versions: "rd.Dataset", keep: int = 30) -> "rd.Dataset":
     return versions.groupby("url").map_groups(topk, batch_format="pyarrow")
 
 
-def board_watermarks(out_dir: str) -> "rd.Dataset":
-    """(board, min_index, max_index) from the seen index-page urls (A2)."""
-    import os
+def board_watermarks(out_dir: str) -> pa.Table:
+    """(board, min_index, max_index) per board (A2) — from the frontier
+    checkpoint, which records successfully FETCHED index pages only (the
+    reference's ArticleIndex min/max reflects recorded pages,
+    article_index.py:72-88; a popped-but-404 page must not widen the
+    range — watermarks moved to the fetch ack in round 2)."""
+    from .crawl import load_watermarks
 
-    seen = rd.read_parquet(os.path.join(out_dir, "seen"))
-
-    def extract(t: pa.Table) -> pa.Table:
-        boards, idxs = [], []
-        for u in t["url"].to_pylist():
-            m = _INDEX_URL.search(u)
-            if m:
-                boards.append(m.group(1))
-                idxs.append(int(m.group(2)))
-        return pa.table({"board": pa.array(boards, pa.string()),
-                         "index_no": pa.array(idxs, pa.int32())})
-
-    from ray.data.aggregate import Max, Min
-
-    ds = seen.map_batches(extract, batch_format="pyarrow")
-    return ds.groupby("board").aggregate(
-        Min("index_no", alias_name="min_index"),
-        Max("index_no", alias_name="max_index"),
-    )
+    wm = load_watermarks(out_dir)
+    boards = sorted(wm)
+    return pa.table({
+        "board": pa.array(boards, pa.string()),
+        "min_index": pa.array([int(wm[b][0]) for b in boards], pa.int32()),
+        "max_index": pa.array([int(wm[b][1]) for b in boards], pa.int32()),
+    })

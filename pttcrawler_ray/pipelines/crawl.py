@@ -252,7 +252,8 @@ class ProcessPages:
             # drop rows whose page already triggered in THIS batch; the
             # cross-batch case resolves at end-of-crawl via the shard's set
             rows = [i for i in undated_idx
-                    if (boards[i], int(idxs[i] or -1)) not in cut_pages]
+                    if (boards[i], -1 if idxs[i] is None else int(idxs[i]))
+                    not in cut_pages]
             if rows:
                 undated = out.take(pa.array(rows, pa.int64()))
         return out.filter(pa.array(keep)), cuts, cut_pages, undated
@@ -493,6 +494,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
     round_no = start_round
     total_popped = 0
     stalls = 0
+    drained = False  # True only when the frontier emptied naturally
     seen_write_refs: list = []
     while round_no < cfg.max_rounds:
         popped = ray.get([s.pop_round.remote() for s in shards])
@@ -501,6 +503,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         if n == 0:
             depth = sum(ray.get([s.depth.remote() for s in shards]))
             if depth == 0:
+                drained = True
                 break
             stalls += 1
             # zero-pop rounds are normal while politeness credit accrues
@@ -610,11 +613,17 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
 
     if seen_write_refs:
         ray.get(seen_write_refs)
-    if cfg.start_date is not None:
+    if cfg.start_date is not None and drained:
         # date-filter reconciliation: held undated rows survive unless
         # their page triggered the cutoff swap (reference
         # crawler/article.py:501-503 — the tmp-list replacement is the
-        # only path that discards a page's undated articles)
+        # only path that discards a page's undated articles).  Only at
+        # NATURAL drain: a max_rounds interrupt still has pages in flight
+        # whose too-old article hasn't been seen, so held rows stay in the
+        # shards (and their checkpoints) until the resumed crawl finishes.
+        # undated_survivors() drains the shard state, so the final
+        # checkpoint below persists it empty — a later resume of a
+        # completed crawl cannot re-emit.
         survivors = [t for t in ray.get(
             [s.undated_survivors.remote() for s in shards]) if t is not None]
         if survivors:

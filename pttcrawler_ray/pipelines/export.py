@@ -128,6 +128,29 @@ def export_pushes(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> 
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+class _ApplyLastRecord:
+    """Broadcast-dict stage (the _AsnLookup shape): overwrite last_login
+    fields with the UserLastRecord argmax where the user has records —
+    the reference reads ``user.last_records[0]`` (export.py:111-113).
+    The dict is fetched ONCE per actor, not per batch."""
+
+    def __init__(self, last_ref):
+        self.recs = ray.get(last_ref) if not isinstance(last_ref, dict) else last_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        users = t["username"].to_pylist()
+        dts = t["last_login_datetime"].to_pylist()
+        ips = t["last_login_ip"].to_pylist()
+        for i, u in enumerate(users):
+            hit = self.recs.get(u)
+            if hit is not None:
+                dts[i], ips[i] = hit
+        t = t.set_column(t.column_names.index("last_login_datetime"),
+                         "last_login_datetime", pa.array(dts, pa.timestamp("us")))
+        return t.set_column(t.column_names.index("last_login_ip"),
+                            "last_login_ip", pa.array(ips, pa.string()))
+
+
 def export_users(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "rd.Dataset":
     """The User sheet (reference export.py:111-126).
 
@@ -150,23 +173,11 @@ def export_users(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "
             last[u] = (dt, ip)
     last_ref = ray.put(last)
 
-    def apply_last(t: pa.Table, _ref=last_ref) -> pa.Table:
-        recs = ray.get(_ref)
-        users = t["username"].to_pylist()
-        dts = t["last_login_datetime"].to_pylist()
-        ips = t["last_login_ip"].to_pylist()
-        for i, u in enumerate(users):
-            hit = recs.get(u)
-            if hit is not None:
-                dts[i], ips[i] = hit
-        t = t.set_column(t.column_names.index("last_login_datetime"),
-                         "last_login_datetime", pa.array(dts, pa.timestamp("us")))
-        return t.set_column(t.column_names.index("last_login_ip"),
-                            "last_login_ip", pa.array(ips, pa.string()))
-
     ds = users_dataset(corpus_dir)
     ds = ds.map_batches(lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow")
-    ds = ds.map_batches(apply_last, batch_format="pyarrow")
+    ds = ds.map_batches(_ApplyLastRecord,
+                        fn_constructor_kwargs={"last_ref": last_ref},
+                        batch_format="pyarrow", concurrency=(1, 2))
     ds = ds.map_batches(_AsnLookup,
                         fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "last_login_ip"},
                         batch_format="pyarrow", concurrency=2)
@@ -259,6 +270,8 @@ def export_run(out_dir: str, corpus_dir: str, dest: str, fmt: str = "csv") -> di
                         row.append(str(v))
                 rows.append(row)
             ods_sheets[name.capitalize()] = rows  # reference sheet names
+            counts[name] = len(rows) - 1  # already in hand: no re-execution
+            continue
         else:
             ds.write_json(path)
         counts[name] = ds.count()

@@ -114,6 +114,15 @@ def _read_n_buckets(pages_dir: str) -> int:
     bucket_dirs = glob.glob(os.path.join(pages_dir, "bucket=*"))
     if not bucket_dirs:
         raise FileNotFoundError(f"no pages buckets under {pages_dir}")
+    # only safe for layouts that materialize EVERY bucket=k dir (the corpus
+    # generator does; ingest_pages layouts may skip empty buckets, where a
+    # dir count would silently mis-route every lookup as a 404)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s has no _manifest.json; falling back to a directory count "
+        "(n_buckets=%d) — WRONG if any bucket of this corpus is empty. "
+        "Re-ingest or write the manifest.", pages_dir, len(bucket_dirs))
     return len(bucket_dirs)
 
 
@@ -314,11 +323,8 @@ class FetchPages:
             src_of[sel] = len(tables)
             tables.append(idx.table)
             resolved[sel] = idx.resolve(h[sel], self.asof_i64)
-        if not tables:
-            tables = [pa.table({"url": pa.array([], pa.string()),
-                                **{c: pa.array([], pa.timestamp("us") if c == "warc_ts"
-                                               else (pa.binary() if c == "html" else pa.string()))
-                                   for c in _EMPTY_COLS}})]
+        # tables may be empty (every bucket missed): all rows are misses and
+        # _assemble's miss branch never consults source_tables
         if blocked.any():
             resolved[blocked] = -1
         return self._assemble(batch, urls, resolved, tables, src_of)

@@ -293,15 +293,19 @@ class FrontierShard:
         return tbl.num_rows
 
     def undated_survivors(self) -> pa.Table | None:
-        """Held undated rows whose page never triggered the cutoff swap
-        (these are output in the reference — ADVICE r1 medium finding)."""
+        """Drain the held undated rows whose page never triggered the
+        cutoff swap (these are output in the reference — ADVICE r1 medium
+        finding).  CLEARS the held state: called once at the natural end
+        of a crawl, after which the rows are in the articles sink — a
+        later resume must not re-emit them."""
         if not self.undated_parts:
             return None
         tbl = pa.concat_tables(self.undated_parts)
+        self.undated_parts = []
         if self.cut_pages:
             boards = tbl["board"].to_pylist()
             idxs = tbl["index_no"].to_pylist()
-            keep = [(b, int(i)) not in self.cut_pages
+            keep = [(b, -1 if i is None else int(i)) not in self.cut_pages
                     for b, i in zip(boards, idxs)]
             tbl = tbl.filter(pa.array(keep))
         return tbl if tbl.num_rows else None

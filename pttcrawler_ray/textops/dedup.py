@@ -461,13 +461,15 @@ def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0
     def bucket_pairs(group: pa.Table) -> pa.Table:
         if group.num_rows > 16 * MAX_BUCKET_DOCS:
             # matmul buckets tolerate more rows than pair-explosion buckets,
-            # but an all-in-one-bucket degeneracy still gets capped + logged
+            # but an all-in-one-bucket degeneracy still gets capped + logged.
+            # Deterministic truncation (smallest ids), matching the other
+            # LSH families — map_groups row order is arrival-dependent.
             import logging
 
             logging.getLogger(__name__).warning(
                 "degenerate sign-LSH bucket: %d rows, capping to %d",
                 group.num_rows, 16 * MAX_BUCKET_DOCS)
-            group = group.slice(0, 16 * MAX_BUCKET_DOCS)
+            group = group.sort_by("vec_id").slice(0, 16 * MAX_BUCKET_DOCS)
         ids = group["vec_id"].to_pylist()
         if len(ids) < 2:
             return pa.table({"doc_a": pa.array([], pa.int64()),

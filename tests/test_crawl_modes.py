@@ -220,3 +220,35 @@ def test_page_json_golden(corpus, tmp_path):
         assert actual == expected, (board, page_no)
         checked += 1
     assert checked == 2
+
+
+def test_date_filter_interrupted_resume(corpus, tmp_path):
+    """An interrupted (max_rounds) date-filtered crawl must NOT emit held
+    undated rows early, and the resumed run must emit them exactly once —
+    final article set equals the sequential oracle (review finding r2)."""
+    d, pages, boards = corpus
+    start = _EPOCH + timedelta(hours=40)
+    golden = sequential_crawl(pages, boards, start_date=start)
+
+    out = str(tmp_path / "df_resume")
+    s1 = run_crawl(d, out, _cfg(start_date=start, checkpoint_every=2,
+                                max_rounds=6))
+    assert s1["rounds"] == 6  # genuinely interrupted mid-crawl
+    # interrupt: no undated reconciliation round was written
+    import pyarrow.parquet as _pq
+
+    def all_urls():
+        files = glob.glob(os.path.join(out, "articles", "round=*", "*.parquet"))
+        return [u for f in files for u in _pq.read_table(f, columns=["url"])["url"].to_pylist()]
+
+    undated_urls = {u for u, a in sequential_crawl(pages, boards)["articles"].items()
+                    if a["date"] and "不明" in a["date"]}
+    # resumed run completes the crawl and reconciles exactly once
+    run_crawl(d, out, _cfg(start_date=start, checkpoint_every=2), resume=True)
+    urls = all_urls()
+    assert set(latest_articles(out).to_pandas()["url"]) == set(golden["articles"])
+    from collections import Counter
+    undated_counts = Counter(u for u in urls if u in undated_urls)
+    kept_undated = set(golden["articles"]) & undated_urls
+    assert set(undated_counts) == kept_undated  # survivors only, no cut-page rows
+    assert all(c == 1 for c in undated_counts.values())  # emitted exactly once
