@@ -125,6 +125,12 @@ def _scale_of(sf_dir: str) -> str:
     return _SCALE_BY_SF.get(os.path.basename(os.path.normpath(sf_dir)), "t1")
 
 
+# bump when a crawl-engine semantics change alters the persisted outputs
+# (e.g. the round-2 undated-row retention / fetched-only watermarks): a
+# cached crawl from older code must never be compared against fresh oracles
+_CRAWL_ENGINE_VERSION = 2
+
+
 def _crawl_out(scale: str) -> str:
     """Crawl the synthetic corpus for ``scale`` (cached on disk per scale)."""
     if scale in _CRAWL_CACHE:
@@ -137,8 +143,10 @@ def _crawl_out(scale: str) -> str:
     out = f"/tmp/ptt_crawl/{scale}"
     # cache validity: the crawl must match the corpus it was built from
     # (fixtures changes regenerate the corpus with new manifest params)
+    # AND the engine version that produced it
     with open(os.path.join(corpus, "manifest.json")) as f:
-        corpus_params = json.load(f)["params"]
+        corpus_params = {"params": json.load(f)["params"],
+                         "engine_version": _CRAWL_ENGINE_VERSION}
     marker = os.path.join(out, "corpus_params.json")
     stale = True
     if os.path.exists(os.path.join(out, "summary.json")) and os.path.exists(marker):

@@ -200,8 +200,17 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
 
     schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                        ("jaccard", pa.float64())])
-    # dedupe pairs discovered via multiple buckets/bands (small shuffle)
-    cand = _dedupe_pairs(cand).materialize()
+    # dedupe pairs discovered via multiple buckets/bands.  Candidate sets
+    # are SMALL by construction (LSH selectivity + the degenerate-bucket
+    # cap), so below a generous threshold the dedupe is a driver-side
+    # drop_duplicates — one less all-to-all shuffle; above it (pathological
+    # corpora) fall back to the distributed groupby dedupe.
+    cand = cand.materialize()
+    if cand.count() <= 2_000_000:
+        cdf = cand.to_pandas().drop_duplicates()
+        cand = rd.from_arrow(pa.Table.from_pandas(cdf, preserve_index=False))
+    else:
+        cand = _dedupe_pairs(cand).materialize()
     ids: set[int] = set()
     for b in cand.iter_batches(batch_format="pyarrow", batch_size=65536):
         ids.update(b["doc_a"].to_pylist()); ids.update(b["doc_b"].to_pylist())
@@ -407,11 +416,18 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
     exp = ds.map_batches(_simhash_explode, batch_format="pyarrow")
     fn = functools.partial(_simhash_band_pairs, max_hamming=max_hamming)
     cand = exp.groupby(["band_id", "band_val"]).map_groups(
-        fn, batch_format="pyarrow")
-    dedup = cand.groupby(["doc_a", "doc_b"]).min("hamming")
-    df = (dedup.to_pandas()
-          .rename(columns={"min(hamming)": "hamming"})
-          .sort_values(["doc_a", "doc_b"]))
+        fn, batch_format="pyarrow").materialize()
+    # a pair rediscovered in another band has the SAME hamming (same
+    # simhashes), so dedupe is a plain distinct: driver-side for the
+    # (small-by-construction) common case, distributed groupby beyond
+    if cand.count() <= 2_000_000:
+        df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"]) \
+                 .sort_values(["doc_a", "doc_b"])
+    else:
+        dedup = cand.groupby(["doc_a", "doc_b"]).min("hamming")
+        df = (dedup.to_pandas()
+              .rename(columns={"min(hamming)": "hamming"})
+              .sort_values(["doc_a", "doc_b"]))
     schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                         ("hamming", pa.int32())])
     if df.empty:
@@ -485,11 +501,16 @@ def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0
                          "cosine": pa.array(sim[a, b], pa.float64())})
 
     pairs = ds.groupby(["lsh_table", "lsh_bucket"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    dedup = pairs.groupby(["doc_a", "doc_b"]).max("cosine")
-    df = (dedup.to_pandas()
-          .rename(columns={"max(cosine)": "cosine"})
-          .sort_values(["doc_a", "doc_b"]))
+        bucket_pairs, batch_format="pyarrow").materialize()
+    # identical cosine on rediscovery (same vectors) → plain distinct
+    if pairs.count() <= 2_000_000:
+        df = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]) \
+                  .sort_values(["doc_a", "doc_b"])
+    else:
+        dedup = pairs.groupby(["doc_a", "doc_b"]).max("cosine")
+        df = (dedup.to_pandas()
+              .rename(columns={"max(cosine)": "cosine"})
+              .sort_values(["doc_a", "doc_b"]))
     schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                         ("cosine", pa.float64())])
     if df.empty:
