@@ -75,20 +75,30 @@ class _KeySetFilter:
         return t.filter(mask if self.keep else pc.invert(mask))
 
 
+def _distinct_key_set(ds: "rd.Dataset", col: str) -> frozenset:
+    """Distinct key set, deduped INSIDE map_batches before the driver
+    gather — only each block's unique keys cross the object store, not
+    every qualifying row.  The driver holds the final distinct set (the
+    broadcast small side); at 100TB this becomes a bloom-filter broadcast
+    + exact bucketed pass (same shape as the frontier's seen-set
+    anti-join)."""
+    uniq = ds.map_batches(
+        lambda t, c=col: pa.table({c: pc.unique(t[c])}), batch_format="pyarrow")
+    keys: set = set()
+    for b in uniq.iter_batches(batch_format="pyarrow", batch_size=65536):
+        keys.update(b[col].to_pylist())
+    return frozenset(keys)
+
+
 # ------------------------------------------------------------- J1: anti-join
 def customers_without_orders(sf_dir: str, min_total: float = 400_000.0) -> "rd.Dataset":
     """Broadcast anti-join: customers with no order above ``min_total``.
-    The distinct qualifying custkey set rides the object store once; at
-    100TB this becomes a bloom-filter broadcast + exact bucketed pass
-    (same shape as the frontier's seen-set anti-join).  The filter is
-    pushed into the orders read (row-group pruning)."""
+    The distinct qualifying custkey set rides the object store once.  The
+    filter is pushed into the orders read (row-group pruning)."""
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_custkey", "o_totalprice"],
                              filter=(pc.field("o_totalprice") > min_total))
-    keys = set()
-    for b in orders.iter_batches(batch_format="pyarrow", batch_size=65536):
-        keys.update(b["o_custkey"].to_pylist())
-    ref = ray.put(frozenset(keys))
+    ref = ray.put(_distinct_key_set(orders, "o_custkey"))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return cust.map_batches(
         _KeySetFilter,
@@ -99,11 +109,10 @@ def customers_without_orders(sf_dir: str, min_total: float = 400_000.0) -> "rd.D
 # ------------------------------------------------------------- J4: semi-join
 def orders_of_segment(sf_dir: str, segment: str = "BUILDING") -> "rd.Dataset":
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    seg_keys = frozenset(
-        k for b in cust.iter_batches(batch_format="pyarrow", batch_size=65536)
-        for k, s in zip(b["c_custkey"].to_pylist(), b["c_mktsegment"].to_pylist())
-        if s == segment)
-    ref = ray.put(seg_keys)
+    seg = cust.map_batches(
+        lambda t, s=segment: t.filter(pc.equal(t["c_mktsegment"], s)),
+        batch_format="pyarrow")
+    ref = ray.put(_distinct_key_set(seg, "c_custkey"))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     return orders.map_batches(
         _KeySetFilter,
