@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _doc_stats_by_lang,
         "lineitem_order_join": R.lineitem_order_join,
         "events_asof_orders": R.events_asof_orders,
+        "events_range_orders": R.events_range_orders,
         "user_sessions": R.user_sessions,
         # --- crawl engine (synthetic pages corpus; oracle = sequential
         #     reference-shaped crawl written to parquet, read by DuckDB) ---
@@ -616,6 +617,14 @@ def oracle_sql() -> dict[str, str]:
               FROM events e
               JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
             ) t WHERE rn = 1
+        """,
+        "events_range_orders": """
+            SELECT e.event_id, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM events e LEFT JOIN orders o
+              ON e.user_id = o.o_custkey
+             AND o.o_orderdate <= e.ts
+             AND o.o_orderdate >= e.ts - INTERVAL 30 DAY
+            GROUP BY e.event_id
         """,
         "user_sessions": """
             SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,

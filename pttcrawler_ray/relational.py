@@ -336,6 +336,52 @@ def events_asof_orders(sf_dir: str) -> "rd.Dataset":
     return both.groupby("key").map_groups(asof_bucket, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------- range join
+def events_range_orders(sf_dir: str, window_days: int = 30) -> "rd.Dataset":
+    """Bounded-interval RANGE JOIN + aggregate (SURVEY.md §2.4 engine
+    extension alongside the as-of join): per event, the number of the same
+    user's orders with o_orderdate in [ts - window, ts].  Pattern: bucket
+    both sides by the key (one shuffle), then a vectorized double
+    ``searchsorted`` over each user's date-sorted orders inside map_groups
+    — no per-row loop, no cross-bucket traffic; skewed keys would be
+    salted like the frontier's hot-site lanes."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_e(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["user_id"], "side": pa.array(["e"] * len(t)),
+                         "event_id": t["event_id"], "ts": t["ts"],
+                         "o_orderdate": pa.nulls(len(t), pa.timestamp("us"))})
+
+    def tag_o(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["o_custkey"], "side": pa.array(["o"] * len(t)),
+                         "event_id": pa.nulls(len(t), pa.int64()),
+                         "ts": pa.nulls(len(t), pa.timestamp("us")),
+                         "o_orderdate": t["o_orderdate"]})
+
+    both = ev.map_batches(tag_e, batch_format="pyarrow").union(
+        orders.map_batches(tag_o, batch_format="pyarrow"))
+
+    def range_bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = g.to_pandas()
+        evs = df[df["side"] == "e"]
+        if evs.empty:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        od = np.sort(df[df["side"] == "o"]["o_orderdate"].to_numpy())
+        ts = evs["ts"].to_numpy()
+        lo = np.searchsorted(od, ts - np.timedelta64(window_days, "D"), side="left")
+        hi = np.searchsorted(od, ts, side="right")
+        return pa.table({
+            "event_id": pa.array(evs["event_id"].astype("int64"), pa.int64()),
+            "n_orders": pa.array((hi - lo).astype("int64"), pa.int64()),
+        })
+
+    return both.groupby("key").map_groups(range_bucket, batch_format="pyarrow")
+
+
 # ------------------------------------------------- gap-based sessionization
 def user_sessions(sf_dir: str, gap_minutes: int = 60) -> "rd.Dataset":
     """Stateful-streaming-shaped op: gap-based sessions per user (new
