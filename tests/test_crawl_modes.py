@@ -252,3 +252,36 @@ def test_date_filter_interrupted_resume(corpus, tmp_path):
     kept_undated = set(golden["articles"]) & undated_urls
     assert set(undated_counts) == kept_undated  # survivors only, no cut-page rows
     assert all(c == 1 for c in undated_counts.values())  # emitted exactly once
+
+
+def test_fetch_paths_equivalent(corpus):
+    """The bucket-routed PagesStore path (scale default) and the shared
+    zero-copy index path must serve IDENTICAL snapshots — newest and
+    as-of (as-of on the bucket path is new in round 2)."""
+    from datetime import timedelta
+
+    import pyarrow as pa
+
+    from pttcrawler_ray.fixtures import _EPOCH
+    from pttcrawler_ray.sources.pages import FetchPages, build_shared_index
+
+    d, pages, boards = corpus
+    urls = [u for u in pages["url"].to_pylist()[:300]]
+    urls.append("https://www.ptt.cc/bbs/nope/M.0.A.000.html")  # 404 row
+    probe = pa.table({"url": pa.array(urls, pa.string())})
+
+    shared = build_shared_index(d)
+    for asof in (None, _EPOCH + timedelta(days=31)):
+        a = FetchPages(index=shared, asof_ts=asof)(probe)
+        b = FetchPages(corpus_dir=d, asof_ts=asof)(probe)
+
+        def snap(t):
+            return {u: (ts, h, ok) for u, ts, h, ok in zip(
+                t["url"].to_pylist(), t["warc_ts"].to_pylist(),
+                t["html"].to_pylist(), t["fetch_ok"].to_pylist())}
+
+        sa, sb = snap(a), snap(b)
+        assert sa == sb
+        assert sa["https://www.ptt.cc/bbs/nope/M.0.A.000.html"] == (None, None, False)
+        hits = sum(1 for v in sa.values() if v[2])
+        assert hits > 200  # not vacuously all-miss
