@@ -507,13 +507,17 @@ def _doc_stats_by_lang(sf_dir: str):
 # --------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
     # the path-based oracles read parquet under /tmp/ptt_oracle; generate
-    # them HERE (pure sequential Python — no Ray needed) so they exist no
-    # matter whether the driver runs SQL before or after the ray queries
+    # them HERE (pure sequential Python — no Ray needed, cached across
+    # calls) so they exist no matter whether the driver runs SQL before or
+    # after the ray queries.  Only missing-input errors are tolerated
+    # (exotic harness without testdata) — real oracle failures (e.g. the
+    # degenerate-class assertion) must surface, and the per-query ensures
+    # re-raise them anyway.
     try:
         _ensure_crawl_oracle("t2")
         _ensure_docs_oracle("/root/testdata/sf0.01")
-    except Exception:
-        pass  # missing testdata (exotic harness) — per-query ensures remain
+    except (FileNotFoundError, OSError):
+        pass
     return {
         "latest_event_per_user": """
             SELECT user_id, event_id, ts, event_type, value FROM (

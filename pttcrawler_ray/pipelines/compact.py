@@ -7,8 +7,9 @@
   top-k-by-warc_ts ``map_groups``.
 
 - :func:`board_watermarks` — the resume watermark min/max index per board
-  (reference ``crawler/article_index.py:72-88``; A2), computed from the
-  crawled index-page urls.
+  (reference ``crawler/article_index.py:72-88``; A2), read from the
+  frontier checkpoint, which records successfully FETCHED index pages only
+  (a popped-but-404 page never widens the range).
 """
 
 from __future__ import annotations

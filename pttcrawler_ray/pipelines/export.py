@@ -7,8 +7,8 @@ broadcast-dict ASN lookup (the IpAsn dim is small — J3) → flat projection
 (M12), globally sorted by post_datetime (reference ``export.py:60``, O4).
 The push sheet explodes the latest version's messages (child-table
 expansion); push datetimes are re-formatted '%m/%d %H:%M:%S' on export
-(reference ``export.py:101-105``).  ods output is a format concern out of
-scope (SURVEY.md K4); csv/json are provided.
+(reference ``export.py:101-105``).  Sinks: distributed csv/json, plus the
+reference's one-file ods report via the stdlib ODF writer (:mod:`.ods`).
 """
 
 from __future__ import annotations
@@ -72,7 +72,7 @@ def export_articles(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -
     ds = latest_articles(out_dir)
     ds = ds.map_batches(normalize_articles_batch, batch_format="pyarrow")
     ds = ds.map_batches(_AsnLookup, fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "ip"},
-                        batch_format="pyarrow", concurrency=2)
+                        batch_format="pyarrow", concurrency=(1, 2))
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -104,7 +104,7 @@ def export_pushes(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> 
     ds = ds.map_batches(explode_pushes_batch, batch_format="pyarrow")
     ds = ds.map_batches(_AsnLookup,
                         fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "push_ip"},
-                        batch_format="pyarrow", concurrency=2)
+                        batch_format="pyarrow", concurrency=(1, 2))
 
     def project(t: pa.Table) -> pa.Table:
         # '%m/%d %H:%M:%S' re-format (reference export.py:101-105)
@@ -180,7 +180,7 @@ def export_users(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "
                         batch_format="pyarrow", concurrency=(1, 2))
     ds = ds.map_batches(_AsnLookup,
                         fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "last_login_ip"},
-                        batch_format="pyarrow", concurrency=2)
+                        batch_format="pyarrow", concurrency=(1, 2))
     return ds.select_columns([
         "username", "login_times", "valid_article_count",
         "last_login_datetime", "last_login_ip",

@@ -16,10 +16,20 @@ export is the distributed parquet/csv/json writers in ``export.py``).
 
 from __future__ import annotations
 
+import re
 import zipfile
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _MIMETYPE = "application/vnd.oasis.opendocument.spreadsheet"
+
+# characters outside the XML 1.0 Char production (escape() passes them
+# through, producing a file no parser will read) — stripped before writing
+_XML_INVALID = re.compile(
+    "[^\x09\x0a\x0d\x20-\ud7ff\ue000-\ufffd\U00010000-\U0010ffff]")
+
+
+def _xml_text(s: str) -> str:
+    return escape(_XML_INVALID.sub("", s))
 
 _MANIFEST = """<?xml version="1.0" encoding="UTF-8"?>
 <manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0" manifest:version="1.2">
@@ -49,7 +59,7 @@ def _cell_xml(value) -> str:
         v = escape(repr(value))
         return (f'<table:table-cell office:value-type="float" office:value="{v}">'
                 f"<text:p>{v}</text:p></table:table-cell>")
-    s = escape(str(value))
+    s = _xml_text(str(value))
     return (f'<table:table-cell office:value-type="string">'
             f"<text:p>{s}</text:p></table:table-cell>")
 
@@ -58,7 +68,10 @@ def save_ods(path: str, sheets: dict[str, list[list]]) -> None:
     """Write ``{sheet_name: [[cell, ...], ...]}`` as one .ods file."""
     parts = [_CONTENT_HEAD]
     for name, rows in sheets.items():
-        parts.append(f'<table:table table:name="{escape(str(name))}">')
+        # quoteattr: attribute values need quote escaping too (escape()
+        # only handles & < >, so a sheet name with '"' would corrupt the file)
+        parts.append(
+            f"<table:table table:name={quoteattr(_XML_INVALID.sub('', str(name)))}>")
         for row in rows:
             parts.append("<table:table-row>")
             parts.extend(_cell_xml(v) for v in row)

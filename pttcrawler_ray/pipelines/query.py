@@ -46,7 +46,7 @@ def board_ip_report(out_dir: str, corpus_dir: str, board: str,
     def tw_counts(ds, ip_col):
         with_asn = ds.map_batches(
             _AsnLookup, fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": ip_col},
-            batch_format="pyarrow", concurrency=1)
+            batch_format="pyarrow", concurrency=(1, 2))
 
         def partial(t: pa.Table) -> pa.Table:
             # inner-join semantics: rows with a null ip drop out (query.py:86-93)

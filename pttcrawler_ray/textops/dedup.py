@@ -208,7 +208,12 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
     cand = cand.materialize()
     if cand.count() <= 2_000_000:
         cdf = cand.to_pandas().drop_duplicates()
-        cand = rd.from_arrow(pa.Table.from_pandas(cdf, preserve_index=False))
+        tbl = pa.Table.from_pandas(cdf, preserve_index=False)
+        # split into blocks so the verify stage below actually parallelizes
+        # (from_arrow of ONE table = one block = one busy verify actor)
+        step = max(1, -(-tbl.num_rows // max(concurrency * 2, 1)))
+        cand = rd.from_arrow(
+            [tbl.slice(off, step) for off in range(0, max(tbl.num_rows, 1), step)])
     else:
         cand = _dedupe_pairs(cand).materialize()
     ids: set[int] = set()

@@ -229,3 +229,24 @@ def test_export_ods_roundtrip(crawled, tmp_path):
     assert "floor" in pu[0]
     # floor survives as a number, not a string
     assert isinstance(dict(zip(pu[0], pu[1]))["floor"], int)
+
+
+def test_ods_writer_escaping(tmp_path):
+    """XML-special characters, unicode, numbers, and None survive the ODF
+    round-trip (no Ray needed — pure writer/parser)."""
+    from pttcrawler_ray.pipelines.ods import read_ods_rows, save_ods
+
+    rows = [
+        ["col<1>", 'col"&2"', "col'3'"],
+        ["a<b>&c", "中文 & <tags>", None],
+        [42, 3.5, "x&amp;y"],  # pre-escaped text must NOT double-unescape
+    ]
+    path = str(tmp_path / "esc.ods")
+    save_ods(path, {"S&heet<1>": rows})
+    got = read_ods_rows(path)
+    assert set(got) == {"S&heet<1>"}
+    assert got["S&heet<1>"] == [
+        ["col<1>", 'col"&2"', "col'3'"],
+        ["a<b>&c", "中文 & <tags>", None],
+        [42, 3.5, "x&amp;y"],
+    ]

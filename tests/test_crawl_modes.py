@@ -243,6 +243,9 @@ def test_date_filter_interrupted_resume(corpus, tmp_path):
 
     undated_urls = {u for u, a in sequential_crawl(pages, boards)["articles"].items()
                     if a["date"] and "不明" in a["date"]}
+    # at the interrupt NO undated reconciliation round was written (their
+    # pages' too-old articles may still be in flight)
+    assert not (set(all_urls()) & undated_urls)
     # resumed run completes the crawl and reconciles exactly once
     run_crawl(d, out, _cfg(start_date=start, checkpoint_every=2), resume=True)
     urls = all_urls()
