@@ -29,11 +29,15 @@ from datetime import datetime
 
 
 def _valid_date(s: str) -> datetime:
-    try:
-        return datetime.strptime(s, "%Y-%m-%d")
-    except ValueError:
-        raise argparse.ArgumentTypeError(
-            f'Given date ({s}) not valid! Expected format "YYYY-MM-DD"!')
+    # the reference CLI validators accept both forms (utils.py:41-57)
+    for fmt in ("%Y-%m-%d %H:%M", "%Y-%m-%d"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise argparse.ArgumentTypeError(
+        f'Given date ({s}) not valid! Expected "YYYY-MM-DD" or '
+        f'"YYYY-MM-DD HH:MM"!')
 
 
 def _init_ray(num_cpus: int | None):
@@ -103,7 +107,27 @@ def main(argv=None):
     a.add_argument("--corpus", required=True)
     a.add_argument("--crawl", required=True)
 
+    sch = sub.add_parser("schedule", help="upsert/remove a recurring cron job "
+                         "(reference schedule.py semantics)")
+    sch.add_argument("--action", choices=["update", "remove"], required=True)
+    sch.add_argument("--module", required=True,
+                     help="engine CLI subcommand to schedule (e.g. crawl)")
+    sch.add_argument("--args", default="", help="arguments for the subcommand")
+    sch.add_argument("--start-datetime", type=_valid_date,
+                     help="first-fire minute/hour anchor (update only)")
+    sch.add_argument("--cycle-time", type=int, default=1,
+                     help="run every N days of month (dom */N)")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "schedule":  # no Ray session needed
+        from .pipelines.schedule import apply_schedule
+
+        new = apply_schedule(args.action, args.module, args.args,
+                             start=args.start_datetime,
+                             cycle_days=args.cycle_time)
+        print(new, end="")
+        return 0
 
     if args.cmd == "gen":
         from .fixtures import generate_corpus

@@ -250,3 +250,39 @@ def test_ods_writer_escaping(tmp_path):
         ["a<b>&c", "中文 & <tags>", None],
         [42, 3.5, "x&amp;y"],
     ]
+
+
+def test_schedule_crontab_text():
+    """Cron scheduling (reference schedule.py:68-111): upsert-by-(module,
+    args), minute/hour pinned to start, dom every N days, remove drops the
+    entry.  Pure text transport — no cron binary needed."""
+    from pttcrawler_ray.pipelines.schedule import apply_schedule
+
+    store = {"text": "0 1 * * * /bin/other-job\n"}
+
+    def fake_run(new_text=None):
+        if new_text is None:
+            return store["text"]
+        store["text"] = new_text
+        return new_text
+
+    start = datetime(2024, 10, 5, 7, 42)
+    out = apply_schedule("update", "crawl", "--scale t1", start=start,
+                         cycle_days=3, _run=fake_run)
+    line = [ln for ln in out.splitlines() if "pttcrawler_ray crawl" in ln][0]
+    assert line.startswith("42 7 */3 * * ")
+    assert "/bin/other-job" in out  # foreign entries untouched
+
+    # upsert: same (module, args) replaces, different args appends
+    out = apply_schedule("update", "crawl", "--scale t1",
+                         start=datetime(2024, 10, 5, 8, 5), cycle_days=1,
+                         _run=fake_run)
+    ours = [ln for ln in out.splitlines() if "pttcrawler_ray crawl" in ln]
+    assert len(ours) == 1 and ours[0].startswith("5 8 * * * ")
+    out = apply_schedule("update", "crawl", "--scale t2",
+                         start=start, cycle_days=2, _run=fake_run)
+    assert len([ln for ln in out.splitlines() if "pttcrawler_ray crawl" in ln]) == 2
+
+    out = apply_schedule("remove", "crawl", "--scale t1", _run=fake_run)
+    assert "--scale t1" not in out and "--scale t2" in out
+    assert "/bin/other-job" in out
