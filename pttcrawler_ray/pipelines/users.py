@@ -86,9 +86,15 @@ def user_last_records(corpus_dir: str) -> "rd.Dataset":
 
 def users_dataset(corpus_dir: str) -> "rd.Dataset":
     """User dimension from the synthetic screens, scan-ordered like the
-    reference's id source (login_times then id — crawler/user.py:158, O6)."""
+    reference's id source (login_times then id — crawler/user.py:158, O6).
+
+    login_times is NULL on error rows, so the sort goes through the
+    null-safe surrogate (Ray 2.49 duplicates rows when sorting a nullable
+    key at high parallelism — see util.rayops)."""
     import os
+
+    from ..util.rayops import sort_nullable_ts
 
     ds = rd.read_parquet(os.path.join(corpus_dir, "user_screens.parquet"))
     ds = ds.map_batches(extract_users_batch, batch_format="pyarrow")
-    return ds.sort(["login_times", "username"])
+    return sort_nullable_ts(ds, "login_times", extra_cols=["username"])

@@ -19,12 +19,21 @@ _SENTINEL_HIGH = 2**62
 _KEY = "__sort_surrogate"
 
 
-def sort_nullable_ts(ds, col: str, descending: bool = False, nulls_first: bool = True):
+def sort_nullable_ts(ds, col: str, descending: bool = False, nulls_first: bool = True,
+                     extra_cols: list[str] | None = None):
+    """Sort by a NULLABLE timestamp/int column (plus non-null tiebreak
+    columns) without tripping the Ray 2.49 null-key duplication bug: the
+    nullable key is replaced by a non-null int64 surrogate.  The bug is
+    parallelism-dependent (never fires in 4-cpu test sessions, reliably
+    fires at 32 cpus), so every nullable-key sort in the repo must come
+    through here."""
     sentinel = _SENTINEL_LOW if (nulls_first != descending) else _SENTINEL_HIGH
 
     def add_key(t: pa.Table) -> pa.Table:
         micros = pc.cast(t[col], pa.int64())
         return t.append_column(_KEY, pc.fill_null(micros, sentinel))
 
-    out = ds.map_batches(add_key, batch_format="pyarrow").sort(_KEY, descending=descending)
+    keys = [_KEY, *(extra_cols or [])]
+    out = ds.map_batches(add_key, batch_format="pyarrow").sort(
+        keys if len(keys) > 1 else _KEY, descending=descending)
     return out.map_batches(lambda t: t.drop_columns([_KEY]), batch_format="pyarrow")

@@ -134,6 +134,11 @@ def test_user_extraction(crawled):
     from pttcrawler_ray.pipelines.users import users_dataset
 
     df = users_dataset(d).to_pandas()
+    # one row per screen, no sort-null duplication (Ray 2.49 bug: a sort on
+    # a nullable key duplicates rows at high parallelism — users_dataset
+    # must go through the null-safe surrogate sort)
+    assert len(df) == df["username"].nunique()
+    assert not df.duplicated().any()
     ok = df[df["error"].isna()]
     bad = df[df["error"].notna()]
     assert len(ok) > 0 and len(bad) > 0  # error path exercised
