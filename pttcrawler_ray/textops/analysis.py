@@ -30,25 +30,34 @@ _STOPWORDS = (
 
 
 def _tokens_flat(texts: pa.ChunkedArray | pa.Array):
-    """(flat lowered token array, parent indices, per-doc counts)."""
+    """(flat token array, parent indices, per-doc counts) — Python
+    ``str.split()`` semantics: Arrow's ``utf8_split_whitespace`` keeps
+    EMPTY boundary tokens ('' for leading/trailing/double whitespace),
+    which the reference semantics (and the ``\\S+`` SQL oracles) do not,
+    so empties are filtered out before counting."""
     toks = pc.utf8_split_whitespace(texts)
-    counts = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
+    raw_counts = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(toks)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
-    parents = np.repeat(np.arange(len(counts)), counts)
+    parents = np.repeat(np.arange(len(raw_counts)), raw_counts)
+    keep = pc.fill_null(pc.not_equal(flat, ""), False).to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parents = parents[keep]
+    counts = np.bincount(parents, minlength=len(raw_counts)).astype(raw_counts.dtype)
     return flat, parents, counts
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
     text = batch["text"]
-    ws_tokens = pc.list_value_length(pc.utf8_split_whitespace(text)).fill_null(0)
+    _, _, counts = _tokens_flat(text)  # str.split() semantics, no empties
     # BPE-ish estimate: letter runs + digit runs + individual other symbols
     subword = pc.add(
         pc.count_substring_regex(text, r"[A-Za-z]+|[0-9]+"),
         pc.count_substring_regex(text, r"[^A-Za-z0-9\s]"),
     )
-    out = batch.append_column("n_tokens", pc.cast(ws_tokens, pa.int64()))
+    out = batch.append_column("n_tokens",
+                              pa.array(counts.astype("int64"), pa.int64()))
     return out.append_column("n_subwords", pc.cast(subword, pa.int64()))
 
 

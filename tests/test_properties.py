@@ -70,3 +70,49 @@ def test_minhash_estimates_jaccard(texts):
     sa, sb = mh.signature(a), mh.signature(b)
     est = (sa == sb).mean()
     assert abs(est - true_j) < 0.25  # 256 perms → se ~0.03; generous bound
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_oracle_scalars_match_engine(s):
+    """The sequential oracle's scalar reimplementations (queryoracle) must
+    agree with the engine's (parsing.scalars) on ARBITRARY input — they are
+    written independently, so agreement here is evidence both encode the
+    reference semantics, not each other."""
+    from pttcrawler_ray.oracle.queryoracle import (_oracle_article_date,
+                                                   _oracle_parse_author,
+                                                   _oracle_push_ipdt)
+    from pttcrawler_ray.parsing.scalars import (parse_article_date,
+                                                parse_author,
+                                                parse_push_ipdatetime)
+
+    eng_author = parse_author(s)
+    assert (eng_author if eng_author else "") == _oracle_parse_author(s)
+    assert parse_push_ipdatetime(s) == _oracle_push_ipdt(s)
+    assert parse_article_date(s) == _oracle_article_date(s)
+
+
+@given(st.text(alphabet="ab 不明時xyz0123:/.()", max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_oracle_quality_langid_match_engine(s):
+    """Pure-python oracle quality/langid vs the vectorized engine stages —
+    bit-identical floats (same IEEE op order) on arbitrary text."""
+    import pyarrow as pa
+
+    from pttcrawler_ray.oracle.queryoracle import (_oracle_langid,
+                                                   _oracle_quality)
+    from pttcrawler_ray.textops.analysis import LangId, quality_score_batch
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([s], pa.string())})
+    q = quality_score_batch(t)
+    oa, os_, od, oq = _oracle_quality(s)
+    assert q["alpha_ratio"][0].as_py() == oa
+    assert q["stop_ratio"][0].as_py() == os_
+    assert q["distinct_ratio"][0].as_py() == od
+    assert q["quality"][0].as_py() == oq
+
+    li = LangId()(t)
+    lang, conf = _oracle_langid(s)
+    assert li["pred_lang"][0].as_py() == lang
+    assert li["lang_confidence"][0].as_py() == conf
