@@ -194,14 +194,21 @@ def _crude_text(html: str) -> str:
 def generate_corpus(out_dir: str, seed: int = 42, n_boards: int = 3,
                     total_articles: int = 600, articles_per_page: int = 15,
                     hot_share: float = 0.5, dup_fraction: float = 0.08,
-                    n_buckets: int = 8, force: bool = False) -> dict:
+                    n_buckets: int = 8, robots_txt: str | None = None,
+                    force: bool = False) -> dict:
     """Write the corpus; returns the manifest dict.  Cached: if the manifest
-    on disk matches the parameters, generation is skipped."""
+    on disk matches the parameters, generation is skipped.
+
+    ``robots_txt``: when set, a ``<PTT_URL>/robots.txt`` page carrying the
+    body is planted so the fetch stage's per-host robots gate has real
+    rules to enforce (default corpora have none → gate allows all)."""
     params = {
         "seed": seed, "n_boards": n_boards, "total_articles": total_articles,
         "articles_per_page": articles_per_page, "hot_share": hot_share,
         "dup_fraction": dup_fraction, "n_buckets": n_buckets, "version": 4,
     }
+    if robots_txt is not None:  # keyed only when present → old manifests stay valid
+        params["robots_txt"] = robots_txt
     manifest_path = os.path.join(out_dir, "manifest.json")
     if not force and os.path.exists(manifest_path):
         with open(manifest_path) as f:
@@ -283,6 +290,13 @@ def generate_corpus(out_dir: str, seed: int = 42, n_boards: int = 3,
                 emit(f"{PTT_URL}/bbs/{board}/index.html", idx_ts, html)
 
         manifest_boards[board] = {"last_page": n_pages, "articles": made}
+
+    if robots_txt is not None:  # served by the fetch stage's per-host gate
+        page_urls.append(f"{PTT_URL}/robots.txt")
+        page_ts.append(_EPOCH)
+        page_html.append(robots_txt.encode("utf-8"))
+        page_text.append(robots_txt)
+        page_lang.append("en")
 
     # --- write pages, hash-partitioned by url ------------------------------
     os.makedirs(out_dir, exist_ok=True)

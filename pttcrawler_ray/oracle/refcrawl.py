@@ -49,6 +49,22 @@ def sequential_crawl(pages_table, seed_boards: list[str], start_date=None) -> di
     from datetime import datetime
 
     web = build_web(pages_table)
+    # robots gate parity: the engine's fetch stage 404s urls disallowed by
+    # the host's /robots.txt (served from the same snapshot table); the
+    # oracle reads the page dict through the same rule set.
+    robots = web.get(f"{PTT_URL}/robots.txt")
+    rules = None
+    if robots is not None:
+        from urllib.robotparser import RobotFileParser
+
+        rules = RobotFileParser()
+        rules.parse(robots[1].splitlines())
+
+    def get_page(url: str):
+        if rules is not None and not rules.can_fetch("*", url):
+            return None  # robots-blocked reads as a 404
+        return web.get(url)
+
     visit_order: list[tuple[str, str]] = []
     per_site: dict[str, list[str]] = {}
     seen: set[str] = set()
@@ -62,7 +78,7 @@ def sequential_crawl(pages_table, seed_boards: list[str], start_date=None) -> di
 
     for board in seed_boards:
         site = f"www.ptt.cc/{board}"
-        probe = web.get(f"{PTT_URL}/bbs/{board}/index.html")
+        probe = get_page(f"{PTT_URL}/bbs/{board}/index.html")
         last = ref_get_last_page(probe[1]) if probe else 1
         seen_ids: set[str] = set()
         stop_below = 0
@@ -71,7 +87,7 @@ def sequential_crawl(pages_table, seed_boards: list[str], start_date=None) -> di
                 break
             index_url = f"{PTT_URL}/bbs/{board}/index{page_no}.html"
             visit(site, index_url)
-            page = web.get(index_url)
+            page = get_page(index_url)
             if page is None:
                 continue  # 404 index → raise_for_status in the reference; skip here
             page_articles: list[tuple[str, dict]] = []
@@ -80,7 +96,7 @@ def sequential_crawl(pages_table, seed_boards: list[str], start_date=None) -> di
                     continue
                 seen_ids.add(article_id)
                 visit(site, link)
-                art = web.get(link)
+                art = get_page(link)
                 if art is None:
                     errors[link] = "invalid url"
                     continue

@@ -217,20 +217,45 @@ class FetchPages:
         else:
             self.shared = None
             self.store = PagesStore(corpus_dir)
-        # per-host gate verdicts (T1): the reference sends over18=1 and
-        # carries cookies per request (crawler/article.py:42-44,272-273);
-        # here a host's verdict is computed once per actor and CONSULTED —
-        # a False verdict 404s the host's urls.  All verdicts are True in
-        # the sandbox (no live robots.txt), but the gate is load-bearing.
-        self._host_gate: dict[str, bool] = {}
+        # per-host gate (T1): the reference sends over18=1 and carries
+        # cookies per request (crawler/article.py:42-44,272-273); here the
+        # gate additionally enforces robots.txt.  Rules are resolved ONCE
+        # per (host, actor): the host's /robots.txt url is looked up through
+        # the same snapshot store the pages come from (a live deployment
+        # fetches it over HTTP instead) and parsed with stdlib
+        # urllib.robotparser semantics.  No robots page → no rules → allow
+        # all (the default corpora).  Disallowed urls 404 (the reference's
+        # non-200 "invalid url" record); the robots lookup may lazily load
+        # at most one extra bucket per distinct host on the routed path.
+        self._host_gate: dict[str, object] = {}
 
-    def _gate_verdict(self, host: str) -> bool:
-        verdict = self._host_gate.get(host)
-        if verdict is None:
-            # a live deployment would fetch robots.txt / set over18 here
-            verdict = True
-            self._host_gate[host] = verdict
-        return verdict
+    def _lookup_text(self, url: str) -> str | None:
+        """The newest snapshot's ``text`` column for one url, else None."""
+        h = np.array([hash_u64(url)], dtype=np.uint64)
+        if self.shared is not None:
+            idx = self.shared
+        else:
+            idx = self.store.bucket_index(int(h[0] % np.uint64(self.store.n_buckets)))
+            if idx is None:
+                return None
+        r = idx.resolve(h, self.asof_i64)
+        if r[0] < 0:
+            return None
+        return idx.table["text"][int(r[0])].as_py()
+
+    def _gate_rules(self, host: str):
+        """Parsed robots rules for a host (None = no rules, allow all)."""
+        if host in self._host_gate:
+            return self._host_gate[host]
+        rules = None
+        body = self._lookup_text(f"https://{host}/robots.txt") if host else None
+        if body:
+            from urllib.robotparser import RobotFileParser
+
+            rules = RobotFileParser()
+            rules.parse(body.splitlines())
+        self._host_gate[host] = rules
+        return rules
 
     def _assemble(self, batch: pa.Table, urls: list[str],
                   resolved: np.ndarray, source_tables: list,
@@ -290,12 +315,20 @@ class FetchPages:
         return pa.concat_tables(parts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # consult the per-host gate: a blocked host's urls become fetch
-        # misses (the error-row path — acks/lineage still flow downstream)
+        # consult the per-host robots gate: a disallowed url becomes a fetch
+        # miss (the error-row path — acks/lineage still flow downstream).
+        # Hosts without robots rules (the common case) skip the per-url
+        # check entirely.
         urls = batch["url"].to_pylist()
-        blocked = np.array(
-            [not self._gate_verdict(u.split("/", 3)[2] if "//" in u else "")
-             for u in urls], dtype=bool)
+        hosts = [u.split("/", 3)[2] if "//" in u else "" for u in urls]
+        gates = {hh: self._gate_rules(hh) for hh in set(hosts)}
+        if any(g is not None for g in gates.values()):
+            blocked = np.fromiter(
+                ((g := gates[hh]) is not None and not g.can_fetch("*", u)
+                 for u, hh in zip(urls, hosts)),
+                dtype=bool, count=len(urls))
+        else:
+            blocked = np.zeros(len(urls), dtype=bool)
 
         if "warc_ts" in batch.column_names:
             batch = batch.drop_columns(["warc_ts"])
