@@ -599,6 +599,15 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             "depth": sum(s["depth"] for s in stats),
             "enqueued": sum(s["enqueued"] for s in stats),
             "dedup_hits": sum(s["dedup_hits"] for s in stats),
+            # per-partition lineage (cumulative as of this round's end):
+            # fetch counts, frontier depth, and dedupe hit rate per shard
+            "shards": [{
+                "shard_id": s["shard_id"], "popped": s["popped"],
+                "enqueued": s["enqueued"], "depth": s["depth"],
+                "dedup_hits": s["dedup_hits"],
+                "dedup_hit_rate": round(
+                    s["dedup_hits"] / max(1, s["dedup_hits"] + s["enqueued"]), 6),
+            } for s in stats],
         })
         if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
             # seen partitions up to this round must be durable before the

@@ -113,3 +113,19 @@ def test_resume_converges(corpus_and_oracle, tmp_path_factory):
     by_url = dict(zip(latest["url"], latest["content"]))
     for url, g in golden["articles"].items():
         assert by_url[url] == g["content"], url
+
+    # per-partition lineage in the checkpoint: every recorded round carries
+    # per-shard fetch counts, frontier depth, and dedupe hit rate
+    import json
+
+    with open(os.path.join(out, "checkpoint", "run.json")) as f:
+        run_meta = json.load(f)
+    logged = [r for r in run_meta["rounds_log"] if "shards" in r]
+    assert logged, "no per-shard lineage in rounds_log"
+    for r in logged:
+        assert {s["shard_id"] for s in r["shards"]} == {0, 1}
+        for s in r["shards"]:
+            assert s["popped"] >= 0 and s["depth"] >= 0
+            assert 0.0 <= s["dedup_hit_rate"] <= 1.0
+    last = logged[-1]["shards"]
+    assert sum(s["popped"] for s in last) == len(seen)
