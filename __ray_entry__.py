@@ -32,6 +32,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _rpq(path, **kw):
+    """read_parquet with pandas schema metadata stripped (util.rayops) —
+    keeps Ray's reduce-side schema dedup working on the testdata tables."""
+    from pttcrawler_ray.util.rayops import read_parquet_clean
+
+    return read_parquet_clean(path, **kw)
+
+
 def _ctx():
     from ray.data import DataContext
 
@@ -270,7 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.textops.dedup import exact_dedup
 
         _ctx()
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
         return exact_dedup(docs).select_columns(["doc_id"])
 
@@ -278,7 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         from pttcrawler_ray.textops.analysis import token_count_batch
 
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
         return docs.map_batches(token_count_batch, batch_format="pyarrow") \
                    .select_columns(["doc_id", "n_tokens"])
@@ -294,7 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         from pttcrawler_ray.textops.analysis import quality_score_batch
 
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"))
 
         def quantize(t: pa.Table) -> pa.Table:
             return pa.table({
@@ -312,7 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         from pttcrawler_ray.textops.analysis import LangId
 
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
 
         def quantize(t: pa.Table) -> pa.Table:
@@ -329,7 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.textops.analysis import fingerprint_batch
 
         _ensure_docs_oracle(sf_dir)
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
         return docs.map_batches(fingerprint_batch, batch_format="pyarrow") \
                    .select_columns(["doc_id", "text_hash"])
@@ -339,7 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.textops.dedup import minhash_lsh_pairs
 
         _ctx()
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
         return minhash_lsh_pairs(docs, threshold=0.5).select(["doc_a", "doc_b"])
 
@@ -348,7 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.textops.dedup import ngram_jaccard_pairs
 
         _ctx()
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
         return ngram_jaccard_pairs(docs, threshold=0.5).select(["doc_a", "doc_b"])
 
@@ -358,7 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         _ctx()
         _ensure_docs_oracle(sf_dir)
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
         return simhash_pairs(docs, max_hamming=3)
 
@@ -372,7 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.textops.dedup import embedding_neardup_pairs
 
         _ctx()
-        embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+        embs = _rpq(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
 
         def plant(t: pa.Table) -> pa.Table:
@@ -394,7 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         _ctx()
         _ensure_docs_oracle(sf_dir)
-        embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+        embs = _rpq(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
         qdf = embs.limit(3).to_pandas()
         q = np.stack(qdf["embedding"])
@@ -411,7 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         _ctx()
         _ensure_docs_oracle(sf_dir)
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"))
         docs = docs.map_batches(quality_score_batch, batch_format="pyarrow")
         docs = docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
         docs = docs.map_batches(
@@ -434,7 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         _ctx()
         _ensure_docs_oracle(sf_dir)
-        docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id"])
         blobs = docs.map_batches(
             lambda t: pa.table({
@@ -496,7 +504,7 @@ def _doc_stats_by_lang(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+    docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
                            columns=["lang", "n_chars"])
     return docs.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))

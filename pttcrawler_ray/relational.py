@@ -23,9 +23,15 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from .util.rayops import read_parquet_clean
 
-def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None,
+          **kw) -> "rd.Dataset":
+    # read_parquet_clean strips pandas schema metadata so Ray's reduce-side
+    # schema dedup works (see util.rayops)
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
+                              columns=columns, **kw)
 
 
 # ------------------------------------------------------------ D2/O2: latest
@@ -95,9 +101,8 @@ def customers_without_orders(sf_dir: str, min_total: float = 400_000.0) -> "rd.D
     """Broadcast anti-join: customers with no order above ``min_total``.
     The distinct qualifying custkey set rides the object store once.  The
     filter is pushed into the orders read (row-group pruning)."""
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                             columns=["o_custkey", "o_totalprice"],
-                             filter=(pc.field("o_totalprice") > min_total))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   filter=(pc.field("o_totalprice") > min_total))
     ref = ray.put(_distinct_key_set(orders, "o_custkey"))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     return cust.map_batches(
@@ -214,10 +219,8 @@ def lineitem_summary(sf_dir: str) -> "rd.Dataset":
 
 # ----------------------------------------------------- M8: filter + pushdown
 def high_value_events(sf_dir: str, min_value: float = 90.0) -> "rd.Dataset":
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "value"],
-        filter=(pc.field("value") >= min_value))  # row-group pushdown at the read
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"],
+               filter=(pc.field("value") >= min_value))  # row-group pushdown at the read
     return ds.map_batches(
         lambda t: pa.table({"event_id": t["event_id"], "user_id": t["user_id"]}),
         batch_format="pyarrow")
@@ -419,9 +422,8 @@ def knn_top1(sf_dir: str, n_queries: int = 3) -> pa.Table:
 
     embs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     # pushed-down read of ONLY the query rows — never materialize the table
-    qds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                          columns=["vec_id", "embedding"],
-                          filter=(pc.field("vec_id") < n_queries))
+    qds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+                filter=(pc.field("vec_id") < n_queries))
     qdf = qds.to_pandas().set_index("vec_id").sort_index()
     q = np.stack(qdf.loc[range(n_queries), "embedding"])
     out = knn_brute(embs, q, k=2).to_pandas()

@@ -37,3 +37,22 @@ def sort_nullable_ts(ds, col: str, descending: bool = False, nulls_first: bool =
     out = ds.map_batches(add_key, batch_format="pyarrow").sort(
         keys if len(keys) > 1 else _KEY, descending=descending)
     return out.map_batches(lambda t: t.drop_columns([_KEY]), batch_format="pyarrow")
+
+
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path, **kw):
+    """``rd.read_parquet`` with schema metadata stripped from every block.
+
+    Parquet written via pandas carries a ``b'pandas'`` schema-metadata blob
+    that makes ``pa.Schema`` unhashable; Ray's block-schema dedup then
+    falls back to re-unifying schemas in EVERY reduce/merge task (and logs
+    "Failed to hash the schemas" per task).  Stripping is metadata-only
+    (zero-copy) and fuses with the read stage.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(path, **kw)
+    return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
