@@ -177,6 +177,64 @@ def _crawl_out(scale: str) -> str:
     return out
 
 
+# robots-gated conformance corpus: board1 articles blocked (indexes
+# crawlable → typed non-200 rows), board2 hidden entirely
+_ROBOTS_RULES = "User-agent: *\nDisallow: /bbs/board1/M.\nDisallow: /bbs/board2/\n"
+
+
+def _robots_out() -> str:
+    """Crawl a robots-gated corpus once (fixed-size, sf-independent) and
+    write the sequential oracle's error table beside it (cached like
+    ``_crawl_out``, keyed on corpus params + engine version)."""
+    if "robots" in _CRAWL_CACHE:
+        return _CRAWL_CACHE["robots"]
+    _ctx()
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from pttcrawler_ray.fixtures import generate_corpus
+    from pttcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    corpus = "/tmp/ptt_corpus/robots"
+    generate_corpus(corpus, robots_txt=_ROBOTS_RULES)
+    out = "/tmp/ptt_crawl/robots"
+    with open(os.path.join(corpus, "manifest.json")) as f:
+        key = {"params": json.load(f)["params"],
+               "engine_version": _CRAWL_ENGINE_VERSION}
+    marker = os.path.join(out, "corpus_params.json")
+    oracle_file = os.path.join(_ORACLE_BASE, "robots", "errors.parquet")
+    stale = True
+    if os.path.exists(os.path.join(out, "summary.json")) and os.path.exists(marker):
+        with open(marker) as f:
+            stale = json.load(f) != key
+    if stale or not os.path.exists(oracle_file):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        run_crawl(corpus, out, CrawlConfig(
+            num_shards=2, strict_order=False, round_seconds=3600.0,
+            fetch_concurrency=2, process_concurrency=2,
+            engine="actors", seen_capacity=100_000))
+        from pttcrawler_ray.oracle.refcrawl import sequential_crawl
+
+        pages = pa.concat_tables(
+            [_pq.read_table(p)
+             for p in sorted(_glob.glob(f"{corpus}/pages/bucket=*/*.parquet"))])
+        boards = _pq.read_table(f"{corpus}/seed_boards.parquet")["board"].to_pylist()
+        golden = sequential_crawl(pages, boards)
+        os.makedirs(os.path.dirname(oracle_file), exist_ok=True)
+        errs = sorted(golden["errors"].items())
+        _pq.write_table(
+            pa.table({"url": pa.array([u for u, _ in errs], pa.string()),
+                      "error": pa.array([e for _, e in errs], pa.string())}),
+            oracle_file)
+        with open(marker, "w") as f:
+            json.dump(key, f)
+    _CRAWL_CACHE["robots"] = out
+    return out
+
+
 def _flatten_articles(ds):
     """Latest articles with nested columns flattened (driver-conversion safe)."""
 
@@ -265,6 +323,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         scale = _scale_of(sf_dir)
         _ensure_crawl_oracle(scale)
         return board_watermarks(_crawl_out(scale))
+
+    def crawl_robots_blocked(sf_dir):
+        """Typed non-200 rows from a robots-gated crawl (T1): urls
+        disallowed by the host's /robots.txt 404 like the reference's
+        non-200 path; engine must equal the sequential oracle under the
+        same planted rules.  Fixed-size corpus, independent of sf."""
+        import ray.data as rd
+
+        out = _robots_out()
+        return rd.read_parquet(os.path.join(out, "articles")).map_batches(
+            lambda t: t.filter(pc.is_valid(t["error"])).select(["url", "error"]),
+            batch_format="pyarrow")
 
     def user_last_record(sf_dir):
         """UserLastRecord argmax (reference models/user.py:35-61, O7)."""
@@ -485,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_board_report": crawl_report,
         "crawl_users": crawl_users,
         "crawl_watermarks": crawl_watermarks,
+        "crawl_robots_blocked": crawl_robots_blocked,
         "user_last_record": user_last_record,
         # --- training-data ops (SQL or sequential-parquet oracles) --------
         "quality_docs": quality_docs,
@@ -664,6 +735,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_board_report": _crawl_oracle_select("crawl_board_report"),
         "crawl_users": _crawl_oracle_select("crawl_users"),
         "crawl_watermarks": _crawl_oracle_select("crawl_watermarks"),
+        # robots gate: oracle side = sequential crawl under the SAME
+        # planted robots.txt rules, written by _robots_out()
+        "crawl_robots_blocked":
+            f"SELECT url, error FROM read_parquet('{_ORACLE_BASE}/robots/errors.parquet')",
         # UserLastRecord argmax: pure-SQL window over the append-only
         # login_records fact the fixture writes (reference models/user.py:35-61)
         "user_last_record": """

@@ -69,7 +69,7 @@ def _assert_match(name, ray_df, sql_df):
 _PATH_ORACLES = {
     "crawl_latest_articles", "crawl_pushes", "crawl_seen",
     "crawl_export_articles", "crawl_board_report", "crawl_users",
-    "crawl_watermarks", "user_last_record",
+    "crawl_watermarks", "crawl_robots_blocked", "user_last_record",
     "fingerprint_docs", "simhash_pairs_docs", "curate_docs",
     "multimodal_decode", "knn_ivf",
 }
