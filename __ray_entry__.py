@@ -199,9 +199,12 @@ def _robots_out() -> str:
     corpus = "/tmp/ptt_corpus/robots"
     generate_corpus(corpus, robots_txt=_ROBOTS_RULES)
     out = "/tmp/ptt_crawl/robots"
+    from pttcrawler_ray.oracle.queryoracle import ORACLE_VERSION
+
     with open(os.path.join(corpus, "manifest.json")) as f:
         key = {"params": json.load(f)["params"],
-               "engine_version": _CRAWL_ENGINE_VERSION}
+               "engine_version": _CRAWL_ENGINE_VERSION,
+               "oracle_version": ORACLE_VERSION}
     marker = os.path.join(out, "corpus_params.json")
     oracle_file = os.path.join(_ORACLE_BASE, "robots", "errors.parquet")
     stale = True
@@ -329,10 +332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         disallowed by the host's /robots.txt 404 like the reference's
         non-200 path; engine must equal the sequential oracle under the
         same planted rules.  Fixed-size corpus, independent of sf."""
-        import ray.data as rd
+        from pttcrawler_ray.pipelines.crawl import articles_dataset
 
         out = _robots_out()
-        return rd.read_parquet(os.path.join(out, "articles")).map_batches(
+        return articles_dataset(out).map_batches(
             lambda t: t.filter(pc.is_valid(t["error"])).select(["url", "error"]),
             batch_format="pyarrow")
 

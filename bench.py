@@ -101,15 +101,18 @@ def _init_ray(num_cpus: int):
     ctx.enable_tensor_extension_casting = False
 
 
-def run_crawl_bench(num_cpus: int, scale: str = "bench") -> dict:
+def run_crawl_bench(num_cpus: int, scale: str = "bench",
+                    shared_index: dict | None = None) -> dict:
     from pttcrawler_ray.fixtures import corpus_for_scale
     from pttcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
     from pttcrawler_ray.sources.pages import build_shared_index
 
     corpus = corpus_for_scale(scale)
     # the shared pages index models the storage/web side (pre-partitioned
-    # bucket files a deployment already has) — built untimed
-    shared_index = build_shared_index(corpus)
+    # bucket files a deployment already has) — built untimed; best-of-N
+    # callers build it once and pass it in
+    if shared_index is None:
+        shared_index = build_shared_index(corpus)
     out = "/tmp/ptt_bench/crawl_out"
     shutil.rmtree(out, ignore_errors=True)
     # pool sized to the MEASURED core budget, not the advertised cpu count
@@ -262,9 +265,13 @@ def main():
     # import costs and absorbs noisy-neighbor spikes (single-shot runs
     # ranged 11.6-20.1 s on the same build under varying host load)
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    from pttcrawler_ray.fixtures import corpus_for_scale
+    from pttcrawler_ray.sources.pages import build_shared_index
+
+    shared_index = build_shared_index(corpus_for_scale(scale))
     crawl = None
     for _ in range(max(1, repeats)):
-        r = run_crawl_bench(num_cpus, scale)
+        r = run_crawl_bench(num_cpus, scale, shared_index=shared_index)
         if crawl is None or r["urls_per_sec"] > crawl["urls_per_sec"]:
             crawl = r
     crawl_only = bool(os.environ.get("GRAFT_BENCH_CRAWL_ONLY"))

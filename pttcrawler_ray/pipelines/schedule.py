@@ -27,15 +27,19 @@ def cron_line(command: str, start: datetime, cycle_days: int, tag: str) -> str:
     """One crontab entry, reference field semantics: fire at start's
     minute/hour every ``cycle_days`` days-of-month (dom.every(n) → */n)."""
     dom = "*" if cycle_days <= 1 else f"*/{int(cycle_days)}"
+    # crontab(5): an unescaped % splits the command and feeds the rest to
+    # stdin — escape it in both the command and the tag comment
+    cmd = command.replace("%", r"\%")
+    esc_tag = tag.replace("%", r"\%")
     return (f"{start.minute} {start.hour} {dom} * * "
-            f"{command} >/dev/null 2>&1 {_MARKER}{tag}")
+            f"{cmd} >/dev/null 2>&1 {_MARKER}{esc_tag}")
 
 
 def upsert_job(crontab_text: str, tag: str, new_line: str) -> str:
     """Replace the job tagged ``tag`` (or append it) — the reference's
     find-command + set_command-or-new upsert (schedule.py:77-96)."""
     lines = crontab_text.splitlines()
-    needle = _MARKER + tag
+    needle = _MARKER + tag.replace("%", r"\%")  # matches cron_line's escaping
     out, replaced = [], False
     for ln in lines:
         if ln.rstrip().endswith(needle):
@@ -52,16 +56,22 @@ def upsert_job(crontab_text: str, tag: str, new_line: str) -> str:
 
 def remove_job(crontab_text: str, tag: str) -> str:
     """Drop the job tagged ``tag`` (reference ScheduleAction.remove)."""
-    needle = _MARKER + tag
+    needle = _MARKER + tag.replace("%", r"\%")
     out = [ln for ln in crontab_text.splitlines()
            if not ln.rstrip().endswith(needle)]
     text = "\n".join(out).strip("\n")
     return text + "\n" if text else ""
 
 
-def module_command(module: str, args: str, python: str = "python") -> str:
+def module_command(module: str, args: str, python: str | None = None) -> str:
     """The command a job runs: the engine CLI subcommand (the reference
-    wraps ``python -m crawler <module> <args>`` in env_wrapper.sh)."""
+    wraps ``python -m crawler <module> <args>`` in env_wrapper.sh for the
+    same reason we default to the absolute interpreter path: cron's
+    minimal PATH may lack the venv's ``python``)."""
+    if python is None:
+        import sys
+
+        python = sys.executable or "python3"
     return f"{python} -m pttcrawler_ray {module} {args}".rstrip()
 
 

@@ -229,8 +229,14 @@ class FetchPages:
         # at most one extra bucket per distinct host on the routed path.
         self._host_gate: dict[str, object] = {}
 
-    def _lookup_text(self, url: str) -> str | None:
-        """The newest snapshot's ``text`` column for one url, else None."""
+    def _lookup_html(self, url: str) -> str | None:
+        """The newest snapshot's decoded ``html`` for one url, else None.
+
+        Decodes the raw html body (same as the oracle's ``build_web``,
+        ``oracle/refcrawl.py:31``) rather than reading the extracted
+        ``text`` column, which may be absent or whitespace-collapsed on
+        ingested corpora.  Collision-verified like ``_assemble``.
+        """
         h = np.array([hash_u64(url)], dtype=np.uint64)
         if self.shared is not None:
             idx = self.shared
@@ -239,16 +245,17 @@ class FetchPages:
             if idx is None:
                 return None
         r = idx.resolve(h, self.asof_i64)
-        if r[0] < 0:
+        if r[0] < 0 or idx.table["url"][int(r[0])].as_py() != url:
             return None
-        return idx.table["text"][int(r[0])].as_py()
+        body = idx.table["html"][int(r[0])].as_py()
+        return None if body is None else bytes(body).decode("utf-8")
 
     def _gate_rules(self, host: str):
         """Parsed robots rules for a host (None = no rules, allow all)."""
         if host in self._host_gate:
             return self._host_gate[host]
         rules = None
-        body = self._lookup_text(f"https://{host}/robots.txt") if host else None
+        body = self._lookup_html(f"https://{host}/robots.txt") if host else None
         if body:
             from urllib.robotparser import RobotFileParser
 

@@ -3,6 +3,7 @@ enrichment, user extraction, version rotation, watermarks (SURVEY.md §2.2-2.7).
 
 import glob
 import os
+import sys
 from datetime import datetime
 
 import pandas as pd
@@ -291,3 +292,22 @@ def test_schedule_crontab_text():
     out = apply_schedule("remove", "crawl", "--scale t1", _run=fake_run)
     assert "--scale t1" not in out and "--scale t2" in out
     assert "/bin/other-job" in out
+
+    # crontab(5) hazards: % is stdin-split unless escaped; upsert/remove
+    # must still match their own escaped tag
+    out = apply_schedule("update", "export", "--fmt a%b", start=start,
+                         cycle_days=1, _run=fake_run)
+    ours = [ln for ln in out.splitlines() if "pttcrawler_ray export" in ln]
+    assert len(ours) == 1 and "%" not in ours[0].replace(r"\%", "")
+    out = apply_schedule("update", "export", "--fmt a%b", start=start,
+                         cycle_days=2, _run=fake_run)
+    assert len([ln for ln in out.splitlines()
+                if "pttcrawler_ray export" in ln]) == 1  # replaced, not appended
+    out = apply_schedule("remove", "export", "--fmt a%b", _run=fake_run)
+    assert "pttcrawler_ray export" not in out
+
+    # the installed command uses the invoking interpreter, not bare
+    # "python" (cron's minimal PATH may lack the venv)
+    from pttcrawler_ray.pipelines.schedule import module_command
+
+    assert module_command("crawl", "").startswith(sys.executable)

@@ -77,6 +77,33 @@ def test_robots_blocks_disallowed_paths(robots_crawl):
     assert ok["url"].str.contains("/bbs/gossiping/", regex=False).sum() > 0
 
 
+def test_robots_gate_reads_html_on_ingested_corpus(ray_session, tmp_path):
+    """The gate must parse rules from the raw ``html`` body (like the
+    oracle's build_web) — ingested WARC-style dumps carry no ``text``
+    column, and even when present it may be whitespace-collapsed."""
+    from pttcrawler_ray.sources.ingest import ingest_pages
+    from pttcrawler_ray.sources.pages import FetchPages
+
+    src = tmp_path / "dump.parquet"
+    host = "www.example.org"
+    pq.write_table(pa.table({
+        "url": [f"https://{host}/robots.txt", f"https://{host}/a", f"https://{host}/b"],
+        "warc_ts": pa.array([1_000_000] * 3, pa.timestamp("us")),
+        "html": [_ROBOTS.replace("/bbs/board1/M.", "/a").replace("/bbs/board2/", "/zz/")
+                 .encode(), b"<html>A</html>", b"<html>B</html>"],
+    }), src)
+    corpus = tmp_path / "corpus"
+    ingest_pages(str(src), str(corpus), n_buckets=4, fmt="parquet")
+
+    fp = FetchPages(corpus_dir=str(corpus))
+    rules = fp._gate_rules(host)
+    assert rules is not None
+    assert not rules.can_fetch("*", f"https://{host}/a")
+    assert rules.can_fetch("*", f"https://{host}/b")
+    # unknown host: no robots page → allow-all sentinel
+    assert fp._gate_rules("nowhere.invalid") is None
+
+
 def test_robots_strict_order_matches_oracle(robots_crawl):
     _, golden, _, summary = robots_crawl
     per_lane: dict[str, list[str]] = {}
