@@ -106,6 +106,22 @@ class MinhashBands:
         })
 
 
+# stateless-task wrapper: the hasher's setup (a few rng arrays) is far
+# cheaper than spinning up an actor pool, so banding runs as plain tasks
+# in Ray's prestarted workers with the hasher cached per worker process.
+_MINHASHER_CACHE: dict[tuple, "MinhashBands"] = {}
+
+
+def _minhash_bands_batch(batch: pa.Table, *, num_perm=128, bands=16, seed=1337,
+                         shingle_k=3, id_col="doc_id", text_col="text") -> pa.Table:
+    key = (num_perm, bands, seed, shingle_k, id_col, text_col)
+    fn = _MINHASHER_CACHE.get(key)
+    if fn is None:
+        fn = _MINHASHER_CACHE[key] = MinhashBands(
+            num_perm, bands, seed, shingle_k, id_col, text_col)
+    return fn(batch)
+
+
 # degenerate-bucket guard: identical/empty signatures put n docs in one LSH
 # bucket → O(n²) pairs in ONE map_groups task.  Buckets larger than this
 # are truncated (smallest ids kept, deterministic) and the drop is logged —
@@ -114,21 +130,94 @@ class MinhashBands:
 MAX_BUCKET_DOCS = 256
 
 
-def _pairs_from_groups(group: pa.Table) -> pa.Table:
-    ids = sorted(set(group["doc_id"].to_pylist()))
-    if len(ids) > MAX_BUCKET_DOCS:
+# one Python map_groups call PER DISTINCT BUCKET KEY does not scale: at
+# corpus scale nearly every LSH bucket is a singleton, so the groupby
+# degenerates into billions of tiny UDF calls.  Instead the bucket key is
+# hashed into _PAIR_PARTITIONS coarse partitions — ONE shuffle, one
+# vectorized UDF call per partition; within a partition numpy sorts by
+# bucket key, run-length-encodes it, and emits triu pairs only for the
+# (rare) multi-doc runs.
+_PAIR_PARTITIONS = 64
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_partition_col(key: np.ndarray, n_parts: int = _PAIR_PARTITIONS) -> pa.Array:
+    with np.errstate(over="ignore"):
+        mixed = key * _GOLDEN
+        mixed ^= mixed >> np.uint64(29)
+    return pa.array((mixed % np.uint64(n_parts)).astype(np.int32), pa.int32())
+
+
+def _mixed_bucket_key(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Mix one or more integer key columns into a single uint64 bucket key."""
+    bkey = np.zeros(batch.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in key_cols:
+            col = batch[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+            bkey = (bkey ^ col) * _GOLDEN
+            bkey ^= bkey >> np.uint64(31)
+    return bkey
+
+
+def _runs_of(key_sorted: np.ndarray):
+    """(starts, ends) of the ≥2-element runs of a sorted key array."""
+    starts = np.flatnonzero(np.r_[True, key_sorted[1:] != key_sorted[:-1]])
+    ends = np.r_[starts[1:], key_sorted.size]
+    multi = (ends - starts) >= 2
+    return starts[multi], ends[multi]
+
+
+def _cap_run(run_ids: np.ndarray, kind: str) -> np.ndarray:
+    if run_ids.size > MAX_BUCKET_DOCS:
         import logging
 
         logging.getLogger(__name__).warning(
-            "degenerate LSH bucket: %d docs, capping to %d (%d docs dropped "
-            "from pair generation in this bucket)",
-            len(ids), MAX_BUCKET_DOCS, len(ids) - MAX_BUCKET_DOCS)
-        ids = ids[:MAX_BUCKET_DOCS]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i]); b.append(ids[j])
-    return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+            "degenerate %s bucket: %d docs, capping to %d (%d dropped from "
+            "pair generation)", kind, run_ids.size, MAX_BUCKET_DOCS,
+            run_ids.size - MAX_BUCKET_DOCS)
+        run_ids = run_ids[:MAX_BUCKET_DOCS]  # sorted-unique → smallest ids kept
+    return run_ids
+
+
+def _pairs_from_partition(group: pa.Table) -> pa.Table:
+    """Vectorized candidate pairs for ONE coarse partition (many buckets)."""
+    key = group["bkey"].to_numpy(zero_copy_only=False)
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, key))
+    k, d = key[order], ids[order]
+    out_a, out_b = [], []
+    for s, e in zip(*_runs_of(k)):
+        run = np.unique(d[s:e])
+        if run.size < 2:
+            continue
+        run = _cap_run(run, "LSH")
+        ii, jj = np.triu_indices(run.size, k=1)
+        out_a.append(run[ii]); out_b.append(run[jj])
+    if not out_a:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    return pa.table({"doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "doc_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+
+def _candidate_pairs(bucket_ds: "rd.Dataset", key_cols: list[str]) -> "rd.Dataset":
+    """(bucket key cols, doc_id) rows → distinct-ish candidate (doc_a, doc_b).
+
+    ``key_cols`` are mixed into one uint64 ``bkey`` (a 2^-64 collision
+    merely merges two buckets — extra candidates, removed by the exact
+    verify stage) and grouped by ``bkey % _PAIR_PARTITIONS``.
+    """
+    def add_part(batch: pa.Table) -> pa.Table:
+        bkey = _mixed_bucket_key(batch, key_cols)
+        return pa.table({
+            "bkey": pa.array(bkey, pa.uint64()),
+            "doc_id": batch["doc_id"],
+            "part": _bucket_partition_col(bkey),
+        })
+
+    exploded = bucket_ds.map_batches(add_part, batch_format="pyarrow")
+    return exploded.groupby("part").map_groups(_pairs_from_partition,
+                                               batch_format="pyarrow")
 
 
 def _dedupe_pairs(cand: "rd.Dataset") -> "rd.Dataset":
@@ -139,51 +228,44 @@ def _dedupe_pairs(cand: "rd.Dataset") -> "rd.Dataset":
                            batch_format="pyarrow")
 
 
-class _CandidateShingles:
-    """map_batches actor: semi-join docs against the broadcast candidate-id
-    set (``pc.is_in``, no per-row Python) and emit each candidate doc's
-    shingle-hash set — the distributed text gather of the verify stage."""
-
-    def __init__(self, ids_ref, shingle_k: int):
-        import ray
-
-        self.value_set = pa.array(ray.get(ids_ref), pa.int64())  # once per actor
-        self.k = shingle_k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sub = batch.filter(pc.is_in(batch["doc_id"], value_set=self.value_set))
-        ids = sub["doc_id"].to_pylist()
-        sh = [_shingle_hashes(t, self.k) for t in sub["text"].to_pylist()]
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "shingles": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
-        })
+# both verify stages run as plain-function tasks in Ray's prestarted
+# workers (an actor pool here would spend more wall time spinning up than
+# the stage computes); broadcast objects come through the per-process
+# bcast_get cache.
+from ..util.rayops import bcast_get as _bcast_get
 
 
-class _VerifyJaccard:
-    """map_batches actor over the candidate-pair dataset: exact Jaccard on
-    the broadcast (candidate-only) shingle dict — verification is
-    distributed across pair batches, never a driver loop."""
+def _candidate_shingles_batch(batch: pa.Table, *, ids_ref, shingle_k: int) -> pa.Table:
+    """Semi-join docs against the broadcast candidate-id set (``pc.is_in``,
+    no per-row Python) and emit each candidate doc's shingle-hash set —
+    the distributed text gather of the verify stage."""
+    value_set = pa.array(_bcast_get(ids_ref), pa.int64())
+    sub = batch.filter(pc.is_in(batch["doc_id"], value_set=value_set))
+    ids = sub["doc_id"].to_pylist()
+    sh = [_shingle_hashes(t, shingle_k) for t in sub["text"].to_pylist()]
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "shingles": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
+    })
 
-    def __init__(self, sh_ref, threshold: float):
-        import ray
 
-        self.sh = ray.get(sh_ref)  # dict doc_id -> np.uint64 shingle array
-        self.threshold = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for a, b_ in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            sa, sb = self.sh.get(a), self.sh.get(b_)
-            if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
-                continue
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            j = inter / (len(sa) + len(sb) - inter)
-            if j >= self.threshold:
-                out_a.append(a); out_b.append(b_); out_j.append(j)
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
+def _verify_jaccard_batch(batch: pa.Table, *, sh_ref, threshold: float) -> pa.Table:
+    """Exact Jaccard over one candidate-pair batch against the broadcast
+    (candidate-only) shingle dict — verification is distributed across
+    pair batches, never a driver loop."""
+    sh = _bcast_get(sh_ref)  # dict doc_id -> np.uint64 shingle array
+    out_a, out_b, out_j = [], [], []
+    for a, b_ in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+        sa, sb = sh.get(a), sh.get(b_)
+        if sa is None or sb is None or len(sa) == 0 or len(sb) == 0:
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out_a.append(a); out_b.append(b_); out_j.append(j)
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
 
 
 def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
@@ -224,9 +306,9 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
     ids_ref = ray.put(np.fromiter(ids, dtype=np.int64, count=len(ids)))
 
     sh_ds = docs.map_batches(
-        _CandidateShingles, fn_constructor_kwargs={"ids_ref": ids_ref,
-                                                   "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=(1, concurrency))
+        _candidate_shingles_batch,
+        fn_kwargs={"ids_ref": ids_ref, "shingle_k": shingle_k},
+        batch_format="pyarrow")
     sh: dict[int, np.ndarray] = {}
     for b in sh_ds.iter_batches(batch_format="pyarrow", batch_size=8192):
         for i, s in zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()):
@@ -234,9 +316,9 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
     sh_ref = ray.put(sh)
 
     verified = cand.map_batches(
-        _VerifyJaccard, fn_constructor_kwargs={"sh_ref": sh_ref,
-                                               "threshold": threshold},
-        batch_format="pyarrow", concurrency=(1, concurrency))
+        _verify_jaccard_batch,
+        fn_kwargs={"sh_ref": sh_ref, "threshold": threshold},
+        batch_format="pyarrow")
     df = verified.to_pandas().sort_values(["doc_a", "doc_b"])
     if df.empty:
         return schema.empty_table()
@@ -276,8 +358,7 @@ def ngram_jaccard_pairs(docs: "rd.Dataset", threshold: float = 0.5,
     docs = docs.materialize()  # consumed twice: anchor pass + verify gather
     anchors = docs.map_batches(_AnchorShingles(shingle_k, anchors_m),
                                batch_format="pyarrow")
-    cand = anchors.groupby("anchor").map_groups(_pairs_from_groups,
-                                                batch_format="pyarrow")
+    cand = _candidate_pairs(anchors, ["anchor"])
     return _verify_jaccard(cand, docs, shingle_k, threshold)
 
 
@@ -294,12 +375,11 @@ def minhash_lsh_pairs(docs: "rd.Dataset", threshold: float = 0.7,
     """
     docs = docs.materialize()  # consumed twice: banding pass + verify gather
     bands_ds = docs.map_batches(
-        MinhashBands,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=(1, concurrency))
-    cand = (bands_ds.groupby(["band_id", "band_hash"])
-            .map_groups(_pairs_from_groups, batch_format="pyarrow"))
-    return _verify_jaccard(cand, docs, shingle_k, threshold)
+        _minhash_bands_batch,
+        fn_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+        batch_format="pyarrow")
+    cand = _candidate_pairs(bands_ds, ["band_id", "band_hash"])
+    return _verify_jaccard(cand, docs, shingle_k, threshold, concurrency)
 
 
 def minhash_dedup(docs: "rd.Dataset", threshold: float = 0.7, **kw) -> "rd.Dataset":
@@ -354,49 +434,57 @@ class SimHash:
         return out
 
 
-def _simhash_band_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
-    """Verified (Hamming ≤ max) pairs within ONE band bucket — the simhash
-    column travels with the group, so verification happens INSIDE the band
-    groupby (round-1 verdict fix: no whole-dataset driver dict)."""
-    ids = group["doc_id"].to_pylist()
-    sims = group["simhash"].to_pylist()
-    uniq: dict[int, int] = {}
-    for i, s in zip(ids, sims):
-        uniq.setdefault(i, s)
-    ids_s = sorted(uniq)
-    if len(ids_s) > MAX_BUCKET_DOCS:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "degenerate simhash band bucket: %d docs, capping to %d",
-            len(ids_s), MAX_BUCKET_DOCS)
-        ids_s = ids_s[:MAX_BUCKET_DOCS]
-    if len(ids_s) < 2:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int32())})
-    sim_np = np.array([uniq[i] for i in ids_s], dtype=np.uint64)
-    ids_np = np.array(ids_s, dtype=np.int64)
-    x = sim_np[:, None] ^ sim_np[None, :]
-    # vectorized popcount (numpy<2 has no bitwise_count): bytes → unpackbits
-    ham = np.unpackbits(x.view(np.uint8).reshape(len(ids_s), len(ids_s), 8),
-                        axis=2).sum(axis=2)
-    a, b = np.where(np.triu(ham <= max_hamming, k=1))
-    return pa.table({"doc_a": pa.array(ids_np[a], pa.int64()),
-                     "doc_b": pa.array(ids_np[b], pa.int64()),
-                     "hamming": pa.array(ham[a, b].astype(np.int32), pa.int32())})
+def _simhash_pairs_partition(group: pa.Table, max_hamming: int) -> pa.Table:
+    """Verified (Hamming ≤ max) pairs for ONE coarse partition of band
+    buckets — the simhash column travels with the rows, so verification
+    happens inside the shuffled stage (round-1 verdict fix: no
+    whole-dataset driver dict), and the partition UDF is vectorized over
+    all its buckets (one Python call per partition, not per bucket key)."""
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
+    key = group["bkey"].to_numpy(zero_copy_only=False)
+    ids = group["doc_id"].to_numpy(zero_copy_only=False)
+    sims = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.lexsort((ids, key))
+    k, d, s = key[order], ids[order], sims[order]
+    out_a, out_b, out_h = [], [], []
+    for st, en in zip(*_runs_of(k)):
+        run_ids, first = np.unique(d[st:en], return_index=True)
+        if run_ids.size < 2:
+            continue
+        run_ids = _cap_run(run_ids, "simhash band")
+        sim_np = s[st:en][first][: run_ids.size]
+        x = sim_np[:, None] ^ sim_np[None, :]
+        # vectorized popcount (numpy<2 has no bitwise_count): bytes → unpackbits
+        ham = np.unpackbits(x.view(np.uint8).reshape(run_ids.size, run_ids.size, 8),
+                            axis=2).sum(axis=2)
+        a, b = np.where(np.triu(ham <= max_hamming, k=1))
+        if a.size:
+            out_a.append(run_ids[a]); out_b.append(run_ids[b])
+            out_h.append(ham[a, b].astype(np.int32))
+    if not out_a:
+        return empty
+    return pa.table({"doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                     "hamming": pa.array(np.concatenate(out_h), pa.int32())})
 
 
 def _simhash_explode(batch: pa.Table) -> pa.Table:
-    """(doc_id, simhash, 4 band cols) → 4×(band_id, band_val, doc_id,
-    simhash) rows: ONE groupby over all bands instead of four band
-    shuffles (the minhash-banding shape)."""
+    """(doc_id, simhash, 4 band cols) → 4×(bkey, part, doc_id, simhash)
+    rows: ONE coarse-partition groupby covers all bands instead of four
+    band shuffles (the minhash-banding shape)."""
     n = batch.num_rows
     parts = []
     for band in range(4):
-        parts.append(pa.table({
+        sub = pa.table({
             "band_id": pa.array(np.full(n, band, dtype=np.int32), pa.int32()),
             "band_val": batch[f"sim_band{band}"],
+        })
+        bkey = _mixed_bucket_key(sub, ["band_id", "band_val"])
+        parts.append(pa.table({
+            "bkey": pa.array(bkey, pa.uint64()),
+            "part": _bucket_partition_col(bkey),
             "doc_id": batch["doc_id"],
             "simhash": batch["simhash"],
         }))
@@ -407,10 +495,10 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
                   id_col: str = "doc_id") -> pa.Table:
     """Near-dup pairs by simhash banding (a pair within Hamming ≤ 3 of a
     64-bit simhash must agree on ≥1 of 4 16-bit bands).  One explode +
-    one (band_id, band_val) groupby covers all four bands; each bucket
-    verifies its own pairs (simhash carried through the groupby), and
-    duplicate discoveries collapse in a vectorized aggregate — the driver
-    only ever sees the final verified pair set."""
+    one coarse-partition groupby covers all four bands; each partition
+    verifies its own buckets' pairs vectorized (simhash carried through
+    the shuffle), and duplicate discoveries collapse in a vectorized
+    aggregate — the driver only ever sees the final verified pair set."""
     import functools
 
     ds = docs.map_batches(SimHash(), batch_format="pyarrow")
@@ -419,8 +507,8 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
     if id_col != "doc_id":
         ds = ds.rename_columns({id_col: "doc_id"})
     exp = ds.map_batches(_simhash_explode, batch_format="pyarrow")
-    fn = functools.partial(_simhash_band_pairs, max_hamming=max_hamming)
-    cand = exp.groupby(["band_id", "band_val"]).map_groups(
+    fn = functools.partial(_simhash_pairs_partition, max_hamming=max_hamming)
+    cand = exp.groupby("part").map_groups(
         fn, batch_format="pyarrow").materialize()
     # a pair rediscovered in another band has the SAME hamming (same
     # simhashes), so dedupe is a plain distinct: driver-side for the

@@ -17,35 +17,34 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..util.rayops import bcast_get
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
-class _BatchTopK:
-    """map_batches actor: per-batch cosine top-k against broadcast queries."""
-
-    def __init__(self, queries_ref, k: int):
-        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.q = _normalize(np.asarray(q, dtype=np.float64))
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        m = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
-        sim = self.q @ m.T  # (nq, nb)
-        k = min(self.k, sim.shape[1])
-        rows_q, rows_id, rows_s = [], [], []
-        for qi in range(sim.shape[0]):
-            # deterministic tie-break (cosine desc, vec_id asc) — matches
-            # the SQL oracle's ordering even for duplicate embeddings
-            order = np.lexsort((ids, -sim[qi]))[:k]
-            rows_q.extend([qi] * k)
-            rows_id.extend(ids[order])
-            rows_s.extend(sim[qi, order])
-        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
-                         "vec_id": pa.array(rows_id, pa.int64()),
-                         "cosine": pa.array(rows_s, pa.float64())})
+def _batch_topk(batch: pa.Table, *, queries_ref, k: int) -> pa.Table:
+    """Stateless map_batches task: per-batch cosine top-k against the
+    broadcast query matrix (``bcast_get``: one ray.get per worker
+    process — setup this cheap does not justify an actor pool)."""
+    q = queries_ref if isinstance(queries_ref, np.ndarray) else bcast_get(queries_ref)
+    q = _normalize(np.asarray(q, dtype=np.float64))
+    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+    m = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+    sim = q @ m.T  # (nq, nb)
+    k = min(k, sim.shape[1])
+    rows_q, rows_id, rows_s = [], [], []
+    for qi in range(sim.shape[0]):
+        # deterministic tie-break (cosine desc, vec_id asc) — matches
+        # the SQL oracle's ordering even for duplicate embeddings
+        order = np.lexsort((ids, -sim[qi]))[:k]
+        rows_q.extend([qi] * k)
+        rows_id.extend(ids[order])
+        rows_s.extend(sim[qi, order])
+    return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                     "vec_id": pa.array(rows_id, pa.int64()),
+                     "cosine": pa.array(rows_s, pa.float64())})
 
 
 def _merge_topk(parts: "pa.Table | list", k: int) -> pa.Table:
@@ -72,20 +71,17 @@ def knn_brute(emb_ds: "rd.Dataset", queries: np.ndarray, k: int = 5,
         return _EMPTY_KNN
     ref = ray.put(np.asarray(queries, dtype=np.float64))
     parts = emb_ds.map_batches(
-        _BatchTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k},
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+        _batch_topk, fn_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow", batch_size=batch_size)
     return _merge_topk(parts.to_pandas(), k)
 
 
-class _IvfAssign:
-    def __init__(self, centroids_ref):
-        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
-        self.c = _normalize(np.asarray(c, dtype=np.float64))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
-        assign = (m @ self.c.T).argmax(axis=1).astype(np.int64)
-        return batch.append_column("ivf_cluster", pa.array(assign, pa.int64()))
+def _ivf_assign(batch: pa.Table, *, centroids_ref) -> pa.Table:
+    c = centroids_ref if isinstance(centroids_ref, np.ndarray) else bcast_get(centroids_ref)
+    c = _normalize(np.asarray(c, dtype=np.float64))
+    m = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+    assign = (m @ c.T).argmax(axis=1).astype(np.int64)
+    return batch.append_column("ivf_cluster", pa.array(assign, pa.int64()))
 
 
 def train_centroids(emb_ds: "rd.Dataset", n_clusters: int = 16, sample: int = 2048,
@@ -112,11 +108,9 @@ def knn_ivf(emb_ds: "rd.Dataset", queries: np.ndarray, k: int = 5,
         return _EMPTY_KNN
     centroids = train_centroids(emb_ds, n_clusters)
     cref = ray.put(centroids)
-    # autoscaling (1, n) pools: two fixed pools of n would reserve 2n CPUs
-    # and starve the task stage between them on small machines
     assigned = emb_ds.map_batches(
-        _IvfAssign, fn_constructor_kwargs={"centroids_ref": cref},
-        batch_format="pyarrow", concurrency=(1, concurrency))
+        _ivf_assign, fn_kwargs={"centroids_ref": cref},
+        batch_format="pyarrow")
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probes = np.argsort(-(q @ _normalize(centroids).T), axis=1)[:, :nprobe]
@@ -127,8 +121,8 @@ def knn_ivf(emb_ds: "rd.Dataset", queries: np.ndarray, k: int = 5,
 
     qref = ray.put(q)
     parts = sub.map_batches(
-        _BatchTopK, fn_constructor_kwargs={"queries_ref": qref, "k": k},
-        batch_format="pyarrow", concurrency=(1, concurrency)).to_pandas()
+        _batch_topk, fn_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow").to_pandas()
     # note: filtering uses the UNION of all queries' probed clusters (a
     # query may rank vectors from another query's probes — extra recall,
     # same probe-limited read cost); a per-query cluster mask would

@@ -56,3 +56,24 @@ def read_parquet_clean(path, **kw):
 
     ds = rd.read_parquet(path, **kw)
     return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- broadcast get
+# per-worker-process cache for broadcast ObjectRefs used by STATELESS
+# map_batches tasks: for stages whose setup is just a ray.get of a small
+# broadcast object, plain tasks in Ray's prestarted workers beat an actor
+# pool (whose spin-up often costs more wall time than the stage computes);
+# the cache makes the ray.get once-per-process instead of once-per-batch.
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def bcast_get(ref):
+    """ray.get(ref), cached per worker process (bounded)."""
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        import ray
+
+        if len(_BCAST_CACHE) > 8:  # long-lived workers: keep it bounded
+            _BCAST_CACHE.clear()
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
