@@ -109,16 +109,15 @@ class MinhashBands:
 # stateless-task wrapper: the hasher's setup (a few rng arrays) is far
 # cheaper than spinning up an actor pool, so banding runs as plain tasks
 # in Ray's prestarted workers with the hasher cached per worker process.
+# Defaults live on MinhashBands only — the wrapper forwards **kw verbatim.
 _MINHASHER_CACHE: dict[tuple, "MinhashBands"] = {}
 
 
-def _minhash_bands_batch(batch: pa.Table, *, num_perm=128, bands=16, seed=1337,
-                         shingle_k=3, id_col="doc_id", text_col="text") -> pa.Table:
-    key = (num_perm, bands, seed, shingle_k, id_col, text_col)
+def _minhash_bands_batch(batch: pa.Table, **kw) -> pa.Table:
+    key = tuple(sorted(kw.items()))
     fn = _MINHASHER_CACHE.get(key)
     if fn is None:
-        fn = _MINHASHER_CACHE[key] = MinhashBands(
-            num_perm, bands, seed, shingle_k, id_col, text_col)
+        fn = _MINHASHER_CACHE[key] = MinhashBands(**kw)
     return fn(batch)
 
 
@@ -133,12 +132,22 @@ MAX_BUCKET_DOCS = 256
 # one Python map_groups call PER DISTINCT BUCKET KEY does not scale: at
 # corpus scale nearly every LSH bucket is a singleton, so the groupby
 # degenerates into billions of tiny UDF calls.  Instead the bucket key is
-# hashed into _PAIR_PARTITIONS coarse partitions — ONE shuffle, one
-# vectorized UDF call per partition; within a partition numpy sorts by
-# bucket key, run-length-encodes it, and emits triu pairs only for the
-# (rare) multi-doc runs.
-_PAIR_PARTITIONS = 64
+# hashed into coarse partitions — ONE shuffle, one vectorized UDF call per
+# partition; within a partition numpy sorts by bucket key,
+# run-length-encodes it, and emits triu pairs only for the (rare)
+# multi-doc runs.  The partition count scales with the exploded row count
+# (see _scale_parts) so one partition task holds ~_PART_TARGET_ROWS rows
+# (~50 MB), not 1/64 of an arbitrarily large dataset.
+_PAIR_PARTITIONS = 64          # floor (also the fixed count when size unknown)
+_PART_TARGET_ROWS = 2_000_000  # ~50 MB of (bkey, doc_id, simhash) per task
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _scale_parts(exploded_rows: int) -> int:
+    """Partition count for ``exploded_rows`` (bucket, doc) rows: enough
+    partitions that each map_groups task sees ~_PART_TARGET_ROWS rows."""
+    return max(_PAIR_PARTITIONS,
+               min(65536, exploded_rows // _PART_TARGET_ROWS + 1))
 
 
 def _bucket_partition_col(key: np.ndarray, n_parts: int = _PAIR_PARTITIONS) -> pa.Array:
@@ -200,19 +209,21 @@ def _pairs_from_partition(group: pa.Table) -> pa.Table:
                      "doc_b": pa.array(np.concatenate(out_b), pa.int64())})
 
 
-def _candidate_pairs(bucket_ds: "rd.Dataset", key_cols: list[str]) -> "rd.Dataset":
+def _candidate_pairs(bucket_ds: "rd.Dataset", key_cols: list[str],
+                     n_parts: int = _PAIR_PARTITIONS) -> "rd.Dataset":
     """(bucket key cols, doc_id) rows → distinct-ish candidate (doc_a, doc_b).
 
     ``key_cols`` are mixed into one uint64 ``bkey`` (a 2^-64 collision
     merely merges two buckets — extra candidates, removed by the exact
-    verify stage) and grouped by ``bkey % _PAIR_PARTITIONS``.
+    verify stage) and grouped by ``bkey % n_parts`` (callers size
+    ``n_parts`` to the exploded row count via :func:`_scale_parts`).
     """
     def add_part(batch: pa.Table) -> pa.Table:
         bkey = _mixed_bucket_key(batch, key_cols)
         return pa.table({
             "bkey": pa.array(bkey, pa.uint64()),
             "doc_id": batch["doc_id"],
-            "part": _bucket_partition_col(bkey),
+            "part": _bucket_partition_col(bkey, n_parts),
         })
 
     exploded = bucket_ds.map_batches(add_part, batch_format="pyarrow")
@@ -358,7 +369,8 @@ def ngram_jaccard_pairs(docs: "rd.Dataset", threshold: float = 0.5,
     docs = docs.materialize()  # consumed twice: anchor pass + verify gather
     anchors = docs.map_batches(_AnchorShingles(shingle_k, anchors_m),
                                batch_format="pyarrow")
-    cand = _candidate_pairs(anchors, ["anchor"])
+    cand = _candidate_pairs(anchors, ["anchor"],
+                            _scale_parts(docs.count() * anchors_m))
     return _verify_jaccard(cand, docs, shingle_k, threshold)
 
 
@@ -378,7 +390,8 @@ def minhash_lsh_pairs(docs: "rd.Dataset", threshold: float = 0.7,
         _minhash_bands_batch,
         fn_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
         batch_format="pyarrow")
-    cand = _candidate_pairs(bands_ds, ["band_id", "band_hash"])
+    cand = _candidate_pairs(bands_ds, ["band_id", "band_hash"],
+                            _scale_parts(docs.count() * bands))
     return _verify_jaccard(cand, docs, shingle_k, threshold, concurrency)
 
 
@@ -470,7 +483,7 @@ def _simhash_pairs_partition(group: pa.Table, max_hamming: int) -> pa.Table:
                      "hamming": pa.array(np.concatenate(out_h), pa.int32())})
 
 
-def _simhash_explode(batch: pa.Table) -> pa.Table:
+def _simhash_explode(batch: pa.Table, n_parts: int = _PAIR_PARTITIONS) -> pa.Table:
     """(doc_id, simhash, 4 band cols) → 4×(bkey, part, doc_id, simhash)
     rows: ONE coarse-partition groupby covers all bands instead of four
     band shuffles (the minhash-banding shape)."""
@@ -484,7 +497,7 @@ def _simhash_explode(batch: pa.Table) -> pa.Table:
         bkey = _mixed_bucket_key(sub, ["band_id", "band_val"])
         parts.append(pa.table({
             "bkey": pa.array(bkey, pa.uint64()),
-            "part": _bucket_partition_col(bkey),
+            "part": _bucket_partition_col(bkey, n_parts),
             "doc_id": batch["doc_id"],
             "simhash": batch["simhash"],
         }))
@@ -506,7 +519,12 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
                             "sim_band2", "sim_band3"])
     if id_col != "doc_id":
         ds = ds.rename_columns({id_col: "doc_id"})
-    exp = ds.map_batches(_simhash_explode, batch_format="pyarrow")
+    # materialize the 6-uint64-column projection (48 B/doc) so count() is
+    # metadata-free and the partition count can scale with the corpus
+    ds = ds.materialize()
+    exp = ds.map_batches(
+        functools.partial(_simhash_explode, n_parts=_scale_parts(ds.count() * 4)),
+        batch_format="pyarrow")
     fn = functools.partial(_simhash_pairs_partition, max_hamming=max_hamming)
     cand = exp.groupby("part").map_groups(
         fn, batch_format="pyarrow").materialize()

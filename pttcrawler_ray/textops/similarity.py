@@ -65,7 +65,7 @@ _EMPTY_KNN = pa.table({"query_id": pa.array([], pa.int64()),
 
 
 def knn_brute(emb_ds: "rd.Dataset", queries: np.ndarray, k: int = 5,
-              concurrency: int = 2, batch_size: int = 4096) -> pa.Table:
+              batch_size: int = 4096) -> pa.Table:
     """Exact cosine top-k: (query_id, vec_id, cosine, rank)."""
     if len(queries) == 0:
         return _EMPTY_KNN
@@ -102,7 +102,7 @@ def train_centroids(emb_ds: "rd.Dataset", n_clusters: int = 16, sample: int = 20
 
 
 def knn_ivf(emb_ds: "rd.Dataset", queries: np.ndarray, k: int = 5,
-            n_clusters: int = 16, nprobe: int = 4, concurrency: int = 2) -> pa.Table:
+            n_clusters: int = 16, nprobe: int = 4) -> pa.Table:
     """IVF approximate top-k: assign once, probe nprobe clusters per query."""
     if len(queries) == 0:
         return _EMPTY_KNN

@@ -64,16 +64,29 @@ def read_parquet_clean(path, **kw):
 # broadcast object, plain tasks in Ray's prestarted workers beat an actor
 # pool (whose spin-up often costs more wall time than the stage computes);
 # the cache makes the ray.get once-per-process instead of once-per-batch.
-_BCAST_CACHE: dict[str, object] = {}
+#
+# LRU of 2: a stage uses at most a couple of refs at a time, and a tiny
+# capacity means a LARGE broadcast object (e.g. a verify-stage shingle
+# dict) is dropped from every long-lived worker as soon as the next
+# stage's refs pass through, instead of pinning worker RSS for the rest
+# of the session.  Eviction is per-entry (oldest first), never a
+# wholesale clear that would also evict the running stage's hot entry.
+from collections import OrderedDict
+
+_BCAST_CACHE: "OrderedDict[str, object]" = OrderedDict()
+_BCAST_CAPACITY = 2
 
 
 def bcast_get(ref):
-    """ray.get(ref), cached per worker process (bounded)."""
+    """ray.get(ref), LRU-cached per worker process."""
     key = ref.hex()
-    if key not in _BCAST_CACHE:
-        import ray
+    if key in _BCAST_CACHE:
+        _BCAST_CACHE.move_to_end(key)
+        return _BCAST_CACHE[key]
+    import ray
 
-        if len(_BCAST_CACHE) > 8:  # long-lived workers: keep it bounded
-            _BCAST_CACHE.clear()
-        _BCAST_CACHE[key] = ray.get(ref)
-    return _BCAST_CACHE[key]
+    val = ray.get(ref)
+    _BCAST_CACHE[key] = val
+    while len(_BCAST_CACHE) > _BCAST_CAPACITY:
+        _BCAST_CACHE.popitem(last=False)
+    return val
