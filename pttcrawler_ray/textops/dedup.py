@@ -279,6 +279,148 @@ def _verify_jaccard_batch(batch: pa.Table, *, sh_ref, threshold: float) -> pa.Ta
                      "jaccard": pa.array(out_j, pa.float64())})
 
 
+# above this many candidate pairs the verify stage stops broadcasting a
+# driver-built shingle dict and switches to the fully distributed
+# bloom-semi-join + bucketed-hash-join path (_verify_jaccard_joined):
+# boilerplate-heavy web corpora make the candidate set O(n), and a driver
+# dict of n shingle arrays is the one remaining memory ceiling.
+_VERIFY_BCAST_MAX_PAIRS = 200_000
+
+
+def _candidate_shingles_bloom(batch: pa.Table, *, bloom_ref, shingle_k: int) -> pa.Table:
+    """Like :func:`_candidate_shingles_batch` but the semi-join uses a
+    broadcast BloomFilter (vectorized ``contains_many``) instead of an
+    exact id value-set — O(bits) per worker however many candidate docs
+    exist; false positives only emit shingle rows that match no pair and
+    fall out of the verify join."""
+    from ..state.bloom import BloomFilter
+
+    snap = _bcast_get(bloom_ref)
+    bloom = BloomFilter.restore(snap)
+    ids_np = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    mask = bloom.contains_many(ids_np)
+    sub = batch.filter(pa.array(mask))
+    sh = [_shingle_hashes(t, shingle_k) for t in sub["text"].to_pylist()]
+    return pa.table({
+        "doc_id": sub["doc_id"].cast(pa.int64()),
+        "shingles": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
+    })
+
+
+def _attach_shingles(pairs: "rd.Dataset", sh_ds: "rd.Dataset", key_col: str,
+                     out_col: str, n_buckets: int,
+                     carry: list[tuple[str, "pa.DataType"]]) -> "rd.Dataset":
+    """Bucketed hash join: add column ``out_col`` (shingle list of the doc
+    in ``key_col``) to the pair dataset.  Tagged-union shape (the
+    relational.lineitem_order_join pattern): both sides bucket by the join
+    key, one groupby, dict-join inside each bucket task — per-task memory
+    is bucket-sized, nothing on the driver.  ``carry`` lists the pair-side
+    (column, type) to keep (declared, not inferred: Dataset.schema() on the
+    lazy pair pipeline would force an extra execution)."""
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        jk = t[key_col].cast(pa.int64())
+        cols = {
+            "bucket": _bucket_partition_col(
+                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
+            "tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            "jk": jk,
+        }
+        for c, _ in carry:
+            cols[c] = t[c]
+        cols["sh_join"] = pa.nulls(t.num_rows, pa.list_(pa.uint64()))
+        return pa.table(cols)
+
+    def tag_sh(t: pa.Table) -> pa.Table:
+        jk = t["doc_id"].cast(pa.int64())
+        cols = {
+            "bucket": _bucket_partition_col(
+                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
+            "tag": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            "jk": jk,
+        }
+        for c, typ in carry:
+            cols[c] = pa.nulls(t.num_rows, typ)
+        cols["sh_join"] = t["shingles"]
+        return pa.table(cols)
+
+    both = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        sh_ds.map_batches(tag_sh, batch_format="pyarrow"))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        tags = g["tag"].to_numpy(zero_copy_only=False)
+        sh_rows = g.filter(pa.array(tags == 1))
+        lut = dict(zip(sh_rows["jk"].to_pylist(), sh_rows["sh_join"].to_pylist()))
+        p = g.filter(pa.array(tags == 0))
+        joined = [lut.get(k) for k in p["jk"].to_pylist()]
+        cols = {c: p[c] for c, _ in carry}
+        cols[out_col] = pa.array(joined, pa.list_(pa.uint64()))
+        return pa.table(cols)
+
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def _jaccard_from_lists(batch: pa.Table, *, threshold: float) -> pa.Table:
+    """Per-pair exact Jaccard from the joined sh_a/sh_b list columns."""
+    out_a, out_b, out_j = [], [], []
+    for a, b_, sa, sb in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+                             batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
+        if not sa or not sb:
+            continue
+        sa = np.asarray(sa, np.uint64); sb = np.asarray(sb, np.uint64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out_a.append(a); out_b.append(b_); out_j.append(j)
+    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                     "doc_b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+def _verify_jaccard_joined(cand: "rd.Dataset", docs: "rd.Dataset",
+                           shingle_k: int, threshold: float,
+                           n_pairs: int) -> "rd.Dataset":
+    """The at-scale verify path: NO driver-side dict of shingles.
+
+    1. distinct candidate doc ids stream through the driver ONCE into a
+       BloomFilter (driver memory = filter bits, not the id set);
+    2. candidate shingles are gathered as a DATASET via the broadcast
+       bloom (vectorized semi-join in map_batches);
+    3. shingles join onto pairs by doc_a then doc_b with two bucketed
+       hash joins (per-task memory = one bucket);
+    4. exact Jaccard runs per pair batch.
+    Returns the verified-pair dataset (callers write or collect it)."""
+    import ray
+
+    from ..state.bloom import BloomFilter
+
+    id_ds = cand.map_batches(
+        lambda t: pa.table({"doc_id": np.concatenate([
+            t["doc_a"].to_numpy(zero_copy_only=False),
+            t["doc_b"].to_numpy(zero_copy_only=False)])}),
+        batch_format="pyarrow").groupby("doc_id").count().materialize()
+    n_ids = id_ds.count()
+    bloom = BloomFilter(capacity=max(n_ids, 1024))
+    for b in id_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        bloom.add_many(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    bloom_ref = ray.put(bloom.snapshot())
+
+    sh_ds = docs.map_batches(
+        _candidate_shingles_bloom,
+        fn_kwargs={"bloom_ref": bloom_ref, "shingle_k": shingle_k},
+        batch_format="pyarrow")
+    n_buckets = _scale_parts(n_pairs * 2 + n_ids)
+    i64, lst = pa.int64(), pa.list_(pa.uint64())
+    with_a = _attach_shingles(cand, sh_ds, "doc_a", "sh_a", n_buckets,
+                              carry=[("doc_a", i64), ("doc_b", i64)])
+    with_ab = _attach_shingles(with_a, sh_ds, "doc_b", "sh_b", n_buckets,
+                               carry=[("doc_a", i64), ("doc_b", i64),
+                                      ("sh_a", lst)])
+    return with_ab.map_batches(_jaccard_from_lists,
+                               fn_kwargs={"threshold": threshold},
+                               batch_format="pyarrow")
+
+
 def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
                     threshold: float, concurrency: int = 8) -> pa.Table:
     """Exact n-gram Jaccard verification of candidate (doc_a, doc_b) pairs.
@@ -287,28 +429,34 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
     groupby; the candidate-id set is broadcast (``ray.put``) and texts are
     gathered by a ``pc.is_in`` semi-join inside ``map_batches``; the exact
     Jaccard check runs as a map_batches stage over the pair dataset.  The
-    driver only ever holds candidate-sized data (pairs + their shingles),
-    never scans the corpus."""
+    driver only ever holds candidate-sized data (pairs + their shingles);
+    beyond _VERIFY_BCAST_MAX_PAIRS candidates it switches to
+    :func:`_verify_jaccard_joined`, which holds only a bloom filter."""
     import ray
 
     schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                        ("jaccard", pa.float64())])
     # dedupe pairs discovered via multiple buckets/bands.  Candidate sets
     # are SMALL by construction (LSH selectivity + the degenerate-bucket
-    # cap), so below a generous threshold the dedupe is a driver-side
-    # drop_duplicates — one less all-to-all shuffle; above it (pathological
-    # corpora) fall back to the distributed groupby dedupe.
+    # cap); above _VERIFY_BCAST_MAX_PAIRS (boilerplate-heavy corpora where
+    # candidates grow O(n)) the whole verify switches to the joined path,
+    # which keeps only a bloom filter on the driver.
     cand = cand.materialize()
-    if cand.count() <= 2_000_000:
-        cdf = cand.to_pandas().drop_duplicates()
-        tbl = pa.Table.from_pandas(cdf, preserve_index=False)
-        # split into blocks so the verify stage below actually parallelizes
-        # (from_arrow of ONE table = one block = one busy verify actor)
-        step = max(1, -(-tbl.num_rows // max(concurrency * 2, 1)))
-        cand = rd.from_arrow(
-            [tbl.slice(off, step) for off in range(0, max(tbl.num_rows, 1), step)])
-    else:
-        cand = _dedupe_pairs(cand).materialize()
+    n_pairs = cand.count()
+    if n_pairs > _VERIFY_BCAST_MAX_PAIRS:
+        verified = _verify_jaccard_joined(_dedupe_pairs(cand), docs,
+                                          shingle_k, threshold, n_pairs)
+        df = verified.to_pandas().sort_values(["doc_a", "doc_b"])
+        if df.empty:
+            return schema.empty_table()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+    cdf = cand.to_pandas().drop_duplicates()
+    tbl = pa.Table.from_pandas(cdf, preserve_index=False)
+    # split into blocks so the verify stage below actually parallelizes
+    # (from_arrow of ONE table = one block = one busy verify actor)
+    step = max(1, -(-tbl.num_rows // max(concurrency * 2, 1)))
+    cand = rd.from_arrow(
+        [tbl.slice(off, step) for off in range(0, max(tbl.num_rows, 1), step)])
     ids: set[int] = set()
     for b in cand.iter_batches(batch_format="pyarrow", batch_size=65536):
         ids.update(b["doc_a"].to_pylist()); ids.update(b["doc_b"].to_pylist())

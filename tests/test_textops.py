@@ -271,3 +271,22 @@ def test_embedding_neardup_planted(ray_session):
     got = set(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
     assert got == {(j, 1000 + j) for j in range(5)}  # exactly the planted twins
     assert all(c >= 0.95 for c in pairs["cosine"].to_pylist())
+
+
+def test_verify_joined_path_matches_broadcast(ray_session, docs, monkeypatch):
+    """The at-scale verify path (bloom semi-join + bucketed shingle joins,
+    no driver-side shingle dict) must produce byte-identical pairs to the
+    broadcast fast path on the same corpus."""
+    from pttcrawler_ray.textops import dedup
+
+    baseline = dedup.minhash_lsh_pairs(docs, threshold=0.7).to_pandas()
+    assert len(baseline) > 0  # the fixture corpus plants near-dups
+
+    monkeypatch.setattr(dedup, "_VERIFY_BCAST_MAX_PAIRS", 0)  # force joined
+    joined = dedup.minhash_lsh_pairs(docs, threshold=0.7).to_pandas()
+    assert joined.equals(baseline)
+
+    ng_joined = dedup.ngram_jaccard_pairs(docs, threshold=0.7).to_pandas()
+    monkeypatch.setattr(dedup, "_VERIFY_BCAST_MAX_PAIRS", 200_000)
+    ng_base = dedup.ngram_jaccard_pairs(docs, threshold=0.7).to_pandas()
+    assert ng_joined.equals(ng_base)
