@@ -410,6 +410,9 @@ _SCALE_PRESETS = {
     # scaling evidence runs: big enough that fixed per-run overheads
     # (index build, seed, round boundaries) are noise vs the parallel work
     "scaling": dict(total_articles=400000, n_boards=8, n_buckets=32),
+    # stress evidence: a 10^6-URL frontier on the routed scale-default path
+    # (per-worker memory = one url-hash bucket subset, 64 buckets)
+    "stress": dict(total_articles=1000000, n_boards=10, n_buckets=64),
 }
 
 
