@@ -9,8 +9,10 @@ candidate pairs within buckets, then verify pairs exactly.
   distinct text.
 - :func:`minhash_lsh_pairs` / :func:`minhash_dedup` — shingle → minhash
   (vectorized universal hashing) → banded LSH → candidates → exact
-  Jaccard verify; connected components by union-find over the (small)
-  verified pair set, min-id representative kept.
+  Jaccard verify; components by union-find on small pair sets, or by
+  :func:`connected_components` (distributed min-label propagation with
+  pointer jumping, O(log diameter) rounds) + an exact bucketed anti-join
+  beyond _CC_UNIONFIND_MAX pairs.
 - :func:`simhash_pairs` — 64-bit simhash, 4×16-bit band blocking,
   Hamming-distance verification.
 - :func:`embedding_neardup_pairs` — sign-LSH (random hyperplanes) buckets
@@ -421,8 +423,21 @@ def _verify_jaccard_joined(cand: "rd.Dataset", docs: "rd.Dataset",
                                batch_format="pyarrow")
 
 
+_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("jaccard", pa.float64())])
+
+
+def _collect_pairs(verified: "rd.Dataset") -> pa.Table:
+    """Gather a verified-pair dataset (output-sized) to a sorted table."""
+    df = verified.to_pandas().sort_values(["doc_a", "doc_b"])
+    if df.empty:
+        return _PAIR_SCHEMA.empty_table()
+    return pa.Table.from_pandas(df, preserve_index=False).cast(_PAIR_SCHEMA)
+
+
 def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
-                    threshold: float, concurrency: int = 8) -> pa.Table:
+                    threshold: float, concurrency: int = 8,
+                    as_dataset: bool = False):
     """Exact n-gram Jaccard verification of candidate (doc_a, doc_b) pairs.
 
     Fully distributed (round-1 verdict fix): pairs are deduped by a small
@@ -431,11 +446,11 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
     Jaccard check runs as a map_batches stage over the pair dataset.  The
     driver only ever holds candidate-sized data (pairs + their shingles);
     beyond _VERIFY_BCAST_MAX_PAIRS candidates it switches to
-    :func:`_verify_jaccard_joined`, which holds only a bloom filter."""
+    :func:`_verify_jaccard_joined`, which holds only a bloom filter.
+    ``as_dataset=True`` skips the final gather and returns the verified
+    Dataset (the at-scale consumer shape: dedup/CC keep it distributed)."""
     import ray
 
-    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                       ("jaccard", pa.float64())])
     # dedupe pairs discovered via multiple buckets/bands.  Candidate sets
     # are SMALL by construction (LSH selectivity + the degenerate-bucket
     # cap); above _VERIFY_BCAST_MAX_PAIRS (boilerplate-heavy corpora where
@@ -446,10 +461,7 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
     if n_pairs > _VERIFY_BCAST_MAX_PAIRS:
         verified = _verify_jaccard_joined(_dedupe_pairs(cand), docs,
                                           shingle_k, threshold, n_pairs)
-        df = verified.to_pandas().sort_values(["doc_a", "doc_b"])
-        if df.empty:
-            return schema.empty_table()
-        return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+        return verified if as_dataset else _collect_pairs(verified)
     cdf = cand.to_pandas().drop_duplicates()
     tbl = pa.Table.from_pandas(cdf, preserve_index=False)
     # split into blocks so the verify stage below actually parallelizes
@@ -461,7 +473,8 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
     for b in cand.iter_batches(batch_format="pyarrow", batch_size=65536):
         ids.update(b["doc_a"].to_pylist()); ids.update(b["doc_b"].to_pylist())
     if not ids:
-        return schema.empty_table()
+        empty = _PAIR_SCHEMA.empty_table()
+        return rd.from_arrow(empty) if as_dataset else empty
     ids_ref = ray.put(np.fromiter(ids, dtype=np.int64, count=len(ids)))
 
     sh_ds = docs.map_batches(
@@ -478,10 +491,7 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
         _verify_jaccard_batch,
         fn_kwargs={"sh_ref": sh_ref, "threshold": threshold},
         batch_format="pyarrow")
-    df = verified.to_pandas().sort_values(["doc_a", "doc_b"])
-    if df.empty:
-        return schema.empty_table()
-    return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+    return verified if as_dataset else _collect_pairs(verified)
 
 
 class _AnchorShingles:
@@ -503,7 +513,8 @@ class _AnchorShingles:
 
 
 def ngram_jaccard_pairs(docs: "rd.Dataset", threshold: float = 0.5,
-                        shingle_k: int = 3, anchors_m: int = 4) -> pa.Table:
+                        shingle_k: int = 3, anchors_m: int = 4,
+                        as_dataset: bool = False) -> pa.Table:
     """Exact token n-gram Jaccard similarity join.
 
     Blocking: docs sharing one of their ``anchors_m`` smallest shingle
@@ -519,12 +530,13 @@ def ngram_jaccard_pairs(docs: "rd.Dataset", threshold: float = 0.5,
                                batch_format="pyarrow")
     cand = _candidate_pairs(anchors, ["anchor"],
                             _scale_parts(docs.count() * anchors_m))
-    return _verify_jaccard(cand, docs, shingle_k, threshold)
+    return _verify_jaccard(cand, docs, shingle_k, threshold,
+                           as_dataset=as_dataset)
 
 
 def minhash_lsh_pairs(docs: "rd.Dataset", threshold: float = 0.7,
                       num_perm: int = 128, bands: int = 16, shingle_k: int = 3,
-                      concurrency: int = 8) -> pa.Table:
+                      concurrency: int = 8, as_dataset: bool = False) -> pa.Table:
     """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold).
 
     The LSH explode + bucket groupby is fully distributed; candidate pairs
@@ -540,16 +552,239 @@ def minhash_lsh_pairs(docs: "rd.Dataset", threshold: float = 0.7,
         batch_format="pyarrow")
     cand = _candidate_pairs(bands_ds, ["band_id", "band_hash"],
                             _scale_parts(docs.count() * bands))
-    return _verify_jaccard(cand, docs, shingle_k, threshold, concurrency)
+    return _verify_jaccard(cand, docs, shingle_k, threshold, concurrency,
+                           as_dataset=as_dataset)
+
+
+# above this many verified pairs the components step stops being a
+# driver-side union-find and runs as distributed min-label propagation
+# (connected_components) + an exact bucketed anti-join.
+_CC_UNIONFIND_MAX = 500_000
+
+# node ids are split into 31-bit halves for the convergence checksum so
+# the two partial int64 sums cannot overflow below ~2^30 labeled nodes.
+_CC_LO_MASK = np.int64((1 << 31) - 1)
+
+
+def _cc_candidates_partition(g: pa.Table) -> pa.Table:
+    """One label-propagation round for ONE coarse partition of nodes:
+    for every node-run, the round's label is min(its label rows); each
+    edge re-emits that label at the neighbor.  Vectorized (sort +
+    minimum.reduceat), one Python call per partition."""
+    node = g["node"].to_numpy(zero_copy_only=False)
+    nbr = g["nbr"].to_numpy(zero_copy_only=False)    # -1 on label rows
+    comp = g["comp"].to_numpy(zero_copy_only=False)  # 2^62 on edge rows
+    order = np.argsort(node, kind="stable")
+    node_s, nbr_s, comp_s = node[order], nbr[order], comp[order]
+    starts = np.flatnonzero(np.r_[True, node_s[1:] != node_s[:-1]])
+    run_min = np.minimum.reduceat(comp_s, starts)
+    run_id = np.cumsum(np.r_[0, (node_s[1:] != node_s[:-1]).astype(np.int64)])
+    edge_mask = nbr_s >= 0
+    out_node = np.concatenate([nbr_s[edge_mask], node_s[starts]])
+    out_cand = np.concatenate([run_min[run_id[edge_mask]], run_min])
+    return pa.table({"node": pa.array(out_node, pa.int64()),
+                     "cand": pa.array(out_cand, pa.int64())})
+
+
+def _cc_jump_partition(g: pa.Table) -> pa.Table:
+    """Pointer-jump resolution for ONE coarse partition: request rows
+    (tag 0, key=comp, carrying node) look up provider rows (tag 1,
+    key=node, carrying comp) — vectorized via sort + searchsorted."""
+    key = g["key"].to_numpy(zero_copy_only=False)
+    tag = g["tag"].to_numpy(zero_copy_only=False)
+    node = g["node"].to_numpy(zero_copy_only=False)
+    val = g["val"].to_numpy(zero_copy_only=False)
+    prov = tag == 1
+    pk, pv = key[prov], val[prov]
+    order = np.argsort(pk, kind="stable")
+    pk, pv = pk[order], pv[order]
+    rq = ~prov
+    rk, rn = key[rq], node[rq]
+    idx = np.searchsorted(pk, rk)
+    idx_c = np.clip(idx, 0, max(pk.size - 1, 0))
+    hit = (pk.size > 0) & (pk[idx_c] == rk) if pk.size else np.zeros(rk.size, bool)
+    resolved = np.where(hit, pv[idx_c] if pk.size else rk, rk)
+    return pa.table({"node": pa.array(rn, pa.int64()),
+                     "comp": pa.array(resolved, pa.int64())})
+
+
+def _cc_jump(labels: "rd.Dataset", n_buckets: int) -> "rd.Dataset":
+    """L(x) <- L(L(x)) in one coarse-partition groupby: every label row
+    emits a provider (key=node, val=comp) and a request (key=comp,
+    node=x) into the bucket of its key; the partition UDF resolves all
+    lookups vectorized.  comp is always itself a node (it is the min of
+    observed nodes), so every request finds a provider."""
+    def tag(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        comp = t["comp"].to_numpy(zero_copy_only=False)
+        n = node.size
+        key = np.concatenate([comp, node])
+        return pa.table({
+            "bucket": _bucket_partition_col(key.astype(np.uint64), n_buckets),
+            "tag": pa.array(np.r_[np.zeros(n, np.int8), np.ones(n, np.int8)], pa.int8()),
+            "key": pa.array(key, pa.int64()),
+            "node": pa.array(np.concatenate([node, np.full(n, -1, np.int64)]), pa.int64()),
+            "val": pa.array(np.concatenate([np.full(n, -1, np.int64), comp]), pa.int64()),
+        })
+
+    exploded = labels.map_batches(tag, batch_format="pyarrow")
+    return exploded.groupby("bucket").map_groups(_cc_jump_partition,
+                                                 batch_format="pyarrow")
+
+
+def connected_components(pairs: "rd.Dataset", max_iters: int = 32) -> "rd.Dataset":
+    """(node, comp) labels for the undirected graph of (doc_a, doc_b)
+    edges: comp = min node id in the component.
+
+    Distributed min-label propagation with pointer jumping: each round is
+    a 1-hop neighborhood-min (one coarse-partition groupby, vectorized
+    per-partition UDF, + one native groupby-min) followed by one
+    L(x) <- L(L(x)) jump — nothing graph-sized ever sits on the driver.
+    The jump makes convergence O(log diameter) (a k-chain resolves in
+    ~log2 k rounds, not k); LSH near-dup components are near-cliques, so
+    2-3 rounds in practice.  Convergence detects on the (sum_lo, sum_hi)
+    split checksum of labels (labels only decrease, so the true sum
+    strictly decreases until fixpoint)."""
+    pairs = pairs.materialize()
+    n_edges = pairs.count()
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "comp": pa.array([], pa.int64())})
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    n_buckets = _scale_parts(n_edges * 3)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        return pa.table({
+            "bucket": _bucket_partition_col(node.astype(np.uint64), n_buckets),
+            "node": pa.array(node, pa.int64()),
+            "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            "comp": pa.array(np.full(node.size, 1 << 62, np.int64), pa.int64()),
+        })
+
+    und = pairs.map_batches(undirect, batch_format="pyarrow").materialize()
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": _bucket_partition_col(node.astype(np.uint64), n_buckets),
+            "node": t["node"],
+            "nbr": pa.array(np.full(node.size, -1, np.int64), pa.int64()),
+            "comp": t["comp"],
+        })
+
+    # initial labels: L(x) = min(x, min neighbor)
+    labels = und.groupby("node").min("nbr").map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "comp": pc.min_element_wise(t["node"], t["min(nbr)"]),
+        }), batch_format="pyarrow").materialize()
+
+    def checksum(lb: "rd.Dataset") -> tuple:
+        parts = lb.map_batches(
+            lambda t: pa.table({
+                "lo": pc.bit_wise_and(t["comp"], pa.scalar(int(_CC_LO_MASK), pa.int64())),
+                "hi": pc.shift_right(t["comp"], pa.scalar(31, pa.int64())),
+            }), batch_format="pyarrow")
+        agg = parts.sum(["lo", "hi"])
+        return (agg["sum(lo)"], agg["sum(hi)"])
+
+    prev = None
+    for it in range(max_iters):
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+        both = und.union(labels.map_batches(label_rows, batch_format="pyarrow"))
+        cand = both.groupby("bucket").map_groups(_cc_candidates_partition,
+                                                 batch_format="pyarrow")
+        labels = cand.groupby("node").min("cand").map_batches(
+            lambda t: pa.table({"node": t["node"], "comp": t["min(cand)"]}),
+            batch_format="pyarrow")
+        labels = _cc_jump(labels, n_buckets).materialize()
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: max_iters=%d reached before convergence",
+            max_iters)
+    return labels
+
+
+def _anti_join_ids(docs: "rd.Dataset", drop_ds: "rd.Dataset",
+                   id_col: str = "doc_id") -> "rd.Dataset":
+    """Exact distributed anti-join: docs minus rows whose ``id_col`` is in
+    ``drop_ds`` (column ``node``) — the at-scale replacement for a
+    broadcast drop-id value set (tagged-union bucketed, per-task memory =
+    one bucket, ~100k docs per bucket)."""
+    docs = docs.materialize()
+    pa_schema = docs.schema().base_schema
+    carry = [(f.name, f.type) for f in pa_schema]
+    n_buckets = max(_PAIR_PARTITIONS, docs.count() // 100_000 + 1)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        jk = t[id_col].cast(pa.int64())
+        cols = {
+            "bucket": _bucket_partition_col(
+                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
+            "tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            "jk": jk,
+        }
+        for c, _ in carry:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def tag_drops(t: pa.Table) -> pa.Table:
+        jk = t["node"].cast(pa.int64())
+        cols = {
+            "bucket": _bucket_partition_col(
+                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
+            "tag": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            "jk": jk,
+        }
+        for c, typ in carry:
+            cols[c] = pa.nulls(t.num_rows, typ)
+        return pa.table(cols)
+
+    both = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        drop_ds.map_batches(tag_drops, batch_format="pyarrow"))
+
+    def keep_bucket(g: pa.Table) -> pa.Table:
+        tags = g["tag"].to_numpy(zero_copy_only=False)
+        drop_keys = g.filter(pa.array(tags == 1))["jk"].combine_chunks()
+        d = g.filter(pa.array(tags == 0))
+        if len(drop_keys):
+            d = d.filter(pc.invert(pc.is_in(d["jk"], value_set=drop_keys)))
+        return d.select([c for c, _ in carry])
+
+    return both.groupby("bucket").map_groups(keep_bucket, batch_format="pyarrow")
 
 
 def minhash_dedup(docs: "rd.Dataset", threshold: float = 0.7, **kw) -> "rd.Dataset":
     """Drop near-duplicates: connected components over verified pairs,
-    min doc_id kept per component (union-find on the small pair set)."""
+    min doc_id kept per component.  Below _CC_UNIONFIND_MAX pairs the
+    components run as a driver-side union-find over the (output-sized)
+    pair table + a broadcast keep filter; beyond it the whole tail stays
+    distributed: verified pairs remain a Dataset, components come from
+    :func:`connected_components`, and the keep filter is an exact
+    bucketed anti-join."""
     # pin the upstream pipeline once: it is otherwise executed three times
     # (bands pass, jaccard-verify scan, final keep filter)
     docs = docs.materialize()
-    pairs = minhash_lsh_pairs(docs, threshold=threshold, **kw)
+    pairs_ds = minhash_lsh_pairs(docs, threshold=threshold, as_dataset=True,
+                                 **kw).materialize()
+    if pairs_ds.count() > _CC_UNIONFIND_MAX:
+        comp = connected_components(
+            pairs_ds.map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                                 batch_format="pyarrow"))
+        drops = comp.map_batches(
+            lambda t: t.filter(pc.not_equal(t["node"], t["comp"])).select(["node"]),
+            batch_format="pyarrow")
+        return _anti_join_ids(docs, drops)
+
+    pairs = _collect_pairs(pairs_ds)
     parent: dict[int, int] = {}
 
     def find(x):

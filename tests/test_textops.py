@@ -290,3 +290,66 @@ def test_verify_joined_path_matches_broadcast(ray_session, docs, monkeypatch):
     monkeypatch.setattr(dedup, "_VERIFY_BCAST_MAX_PAIRS", 200_000)
     ng_base = dedup.ngram_jaccard_pairs(docs, threshold=0.7).to_pandas()
     assert ng_joined.equals(ng_base)
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed min-label propagation == sequential union-find on a
+    random graph (chains force multi-round propagation)."""
+    from pttcrawler_ray.textops.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    e = rng.integers(0, 1500, size=(1200, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    # add a long chain so convergence needs several propagation rounds
+    chain = np.array([(9000 + i, 9001 + i) for i in range(40)])
+    e = np.vstack([e, chain])
+    pairs = rd.from_arrow(pa.table({"doc_a": pa.array(e[:, 0], pa.int64()),
+                                    "doc_b": pa.array(e[:, 1], pa.int64())}))
+    got = connected_components(pairs).to_pandas()
+    gotmap = dict(zip(got["node"].astype(int), got["comp"].astype(int)))
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in e:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    import collections
+    members = collections.defaultdict(list)
+    for n in set(e.flatten().tolist()):
+        members[find(int(n))].append(int(n))
+    expect = {n: min(ms) for ms in members.values() for n in ms}
+    assert gotmap == expect
+    # the chain is one component rooted at its min id
+    assert all(gotmap[9000 + i] == 9000 for i in range(41))
+
+
+def test_minhash_dedup_distributed_path_matches(ray_session, monkeypatch):
+    """Forcing the CC + anti-join path must keep the exact same survivor
+    set as the driver union-find fast path."""
+    from pttcrawler_ray.textops import dedup
+
+    base = ("spark ray data cluster parquet arrow stream shard crawl frontier "
+            "batch queue index sort merge join filter group window agg " * 3).split()
+    rows = []
+    for i in range(30):
+        rng = np.random.default_rng(1000 + i)
+        rows.append({"doc_id": i,
+                     "text": " ".join(rng.permutation([f"w{i}_{j}" for j in range(60)]))})
+    rows.append({"doc_id": 200, "text": " ".join(base)})
+    near = list(base)
+    near[5] = "changed"
+    rows.append({"doc_id": 201, "text": " ".join(near)})
+    ds = rd.from_items(rows)
+
+    baseline = sorted(dedup.minhash_dedup(ds, threshold=0.6).to_pandas()["doc_id"])
+    monkeypatch.setattr(dedup, "_CC_UNIONFIND_MAX", -1)  # force CC path
+    distributed = sorted(dedup.minhash_dedup(ds, threshold=0.6).to_pandas()["doc_id"])
+    assert distributed == baseline
+    assert 201 not in distributed and 200 in distributed
