@@ -433,6 +433,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return ngram_jaccard_pairs(docs, threshold=0.5).select(["doc_a", "doc_b"])
 
+    def dedup_components(sf_dir):
+        """Connected components over the verified minhash near-dup pairs
+        (distributed min-label propagation with pointer jumping); oracle =
+        transitive closure by recursive CTE over the exact-jaccard pairs."""
+        from pttcrawler_ray.textops.dedup import (connected_components,
+                                                  minhash_lsh_pairs)
+
+        _ctx()
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        pairs = minhash_lsh_pairs(docs, threshold=0.5, as_dataset=True)
+        comp = connected_components(pairs).to_pandas().sort_values("node")
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(comp, preserve_index=False).cast(
+            pa.schema([("node", pa.int64()), ("comp", pa.int64())]))
+
     def simhash_pairs_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import simhash_pairs
@@ -566,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": fingerprint_docs,
         "minhash_pairs_docs": minhash_pairs_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
+        "dedup_components": dedup_components,
         "simhash_pairs_docs": simhash_pairs_docs,
         "embedding_neardup": embedding_neardup,
         "knn_ivf": knn_ivf_q,
@@ -827,6 +845,9 @@ def oracle_sql() -> dict[str, str]:
         # for the candidate-generation + verify composition.
         "minhash_pairs_docs": _SQL_EXACT_JACCARD,
         "ngram_jaccard_docs": _SQL_EXACT_JACCARD,
+        # --- connected components over the same exact pairs: transitive
+        # closure by recursive CTE, comp = min reachable node
+        "dedup_components": _SQL_EXACT_JACCARD_COMPONENTS,
         # --- embedding near-dup with planted twins (see the query docstring)
         "embedding_neardup": """
             WITH aug AS (
@@ -869,6 +890,35 @@ _SQL_LANG_VOCABS = {
 
 # exact token-3-gram Jaccard ≥ 0.5 pairs (shingle sets; short docs collapse
 # to one whole-text shingle; empty-shingle docs pair with nothing)
+_SQL_EXACT_JACCARD_COMPONENTS = """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                  WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+             END AS sh
+      FROM d),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                     AS DOUBLE) >= 0.5),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT re.node, e.v FROM reach re JOIN edges e ON e.u = re.r)
+    SELECT node, MIN(r) AS comp FROM reach GROUP BY node
+"""
+
 _SQL_EXACT_JACCARD = """
     WITH d AS (
       SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\\S+') AS toks
