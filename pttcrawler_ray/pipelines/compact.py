@@ -15,24 +15,16 @@
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data as rd
+
+from ..util.rayops import grouped_topk
 
 
 def rotate_versions(versions: "rd.Dataset", keep: int = 30) -> "rd.Dataset":
     """Per url keep the newest ``keep`` versions by warc_ts (top-k/group)."""
 
-    def topk(group: pa.Table) -> pa.Table:
-        if group.num_rows <= keep:
-            return group
-        idx = pc.array_sort_indices(
-            group["warc_ts"].combine_chunks() if isinstance(group["warc_ts"], pa.ChunkedArray)
-            else group["warc_ts"],
-            order="descending")
-        return group.take(idx[:keep])
-
-    return versions.groupby("url").map_groups(topk, batch_format="pyarrow")
+    return grouped_topk(versions, "url", [("warc_ts", "descending")], k=keep)
 
 
 def board_watermarks(out_dir: str) -> pa.Table:

@@ -47,6 +47,7 @@ from ..parsing.article import parse_articles_batch
 from ..parsing.index import get_last_page, parse_index_batch
 from ..sources.pages import FetchPages, PagesStore, build_shared_index
 from ..state.frontier import FrontierShard, lane_of, shard_of
+from ..util.rayops import grouped_topk
 
 PTT_URL = "https://www.ptt.cc"
 
@@ -721,8 +722,6 @@ def latest_articles(out_dir: str) -> "rd.Dataset":
     ds = ds.map_batches(lambda t: t.filter(pc.is_null(t["error"])),
                         batch_format="pyarrow")
 
-    def newest(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group["warc_ts"])
-        return group.take([idx[len(idx) - 1].as_py()])
-
-    return ds.groupby("url").map_groups(newest, batch_format="pyarrow")
+    # one vectorized task per coarse url-hash partition (grouped_topk),
+    # not one Python call per distinct url
+    return grouped_topk(ds, "url", [("warc_ts", "descending")], k=1)

@@ -72,16 +72,13 @@ def user_last_records(corpus_dir: str) -> "rd.Dataset":
     One groupby-argmax shuffle; groups stay Arrow."""
     import os
 
-    import pyarrow.compute as pc
+    from ..util.rayops import grouped_topk
 
     ds = rd.read_parquet(os.path.join(corpus_dir, "login_records.parquet"))
 
-    def newest(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[("created_at", "descending"),
-                                                ("record_id", "descending")])
-        return group.take(idx[:1])
-
-    return ds.groupby("username").map_groups(newest, batch_format="pyarrow")
+    return grouped_topk(ds, "username",
+                        [("created_at", "descending"), ("record_id", "descending")],
+                        k=1)
 
 
 def users_dataset(corpus_dir: str) -> "rd.Dataset":

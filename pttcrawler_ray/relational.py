@@ -23,7 +23,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from .util.rayops import read_parquet_clean
+from .util.rayops import grouped_topk, partitioned_map_groups, read_parquet_clean
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None,
@@ -39,12 +39,9 @@ def latest_event_per_user(sf_dir: str) -> "rd.Dataset":
     """Latest event per user (ties → max event_id) — the dedupe-latest
     pattern (groupby key, keep max ts), same shape as the crawl sink."""
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
-
-    def newest(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("ts", "descending"), ("event_id", "descending")])
-        return g.take([idx[0].as_py()])
-
-    return ds.groupby("user_id").map_groups(newest, batch_format="pyarrow")
+    # one vectorized task per coarse partition, not one call per user
+    return grouped_topk(ds, "user_id",
+                        [("ts", "descending"), ("event_id", "descending")], k=1)
 
 
 # ----------------------------------------------------------- A2: watermarks
@@ -57,12 +54,8 @@ def event_type_watermarks(sf_dir: str) -> "rd.Dataset":
 # -------------------------------------------------------- O3: top-k / group
 def topk_events_per_user(sf_dir: str, k: int = 3) -> "rd.Dataset":
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
-
-    def topk(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(g, sort_keys=[("ts", "descending"), ("event_id", "descending")])
-        return g.take(idx[:k])
-
-    return ds.groupby("user_id").map_groups(topk, batch_format="pyarrow")
+    return grouped_topk(ds, "user_id",
+                        [("ts", "descending"), ("event_id", "descending")], k=k)
 
 
 class _KeySetFilter:
@@ -316,27 +309,29 @@ def events_asof_orders(sf_dir: str) -> "rd.Dataset":
         orders.map_batches(tag_o, batch_format="pyarrow"))
 
     def asof_bucket(g: pa.Table) -> pa.Table:
+        # one coarse partition holds MANY users; merge_asof(by="key")
+        # does every user's as-of lookup in a single vectorized pass
         import pandas as pd
 
         df = g.to_pandas()
         left = (df[df["side"] == "e"][["key", "event_id", "ts"]]
-                .sort_values(["ts", "event_id"]))
+                .sort_values(["ts", "event_id"], kind="mergesort"))
         right = (df[df["side"] == "o"][["key", "o_orderkey", "o_orderdate"]]
-                 .sort_values(["o_orderdate", "o_orderkey"]))
+                 .sort_values(["o_orderdate", "o_orderkey"], kind="mergesort"))
         if left.empty:
             return pa.table({"event_id": pa.array([], pa.int64()),
                              "o_orderkey": pa.array([], pa.int64())})
         # ties on o_orderdate: keep max o_orderkey (deterministic, matches
         # the oracle's row_number ordering)
         out = pd.merge_asof(left, right, left_on="ts", right_on="o_orderdate",
-                            direction="backward")
+                            by="key", direction="backward")
         out = out[out["o_orderkey"].notna()]  # events before any order drop out
         return pa.table({
             "event_id": pa.array(out["event_id"].astype("int64"), pa.int64()),
             "o_orderkey": pa.array(out["o_orderkey"].astype("int64"), pa.int64()),
         })
 
-    return both.groupby("key").map_groups(asof_bucket, batch_format="pyarrow")
+    return partitioned_map_groups(both, "key", asof_bucket)
 
 
 # ----------------------------------------------------------- range join
@@ -366,23 +361,42 @@ def events_range_orders(sf_dir: str, window_days: int = 30) -> "rd.Dataset":
         orders.map_batches(tag_o, batch_format="pyarrow"))
 
     def range_bucket(g: pa.Table) -> pa.Table:
+        # one coarse partition holds MANY users.  Count-in-window per user
+        # via two merge_asof(by="key") passes against a per-user cumulative
+        # order count: hi = orders with date <= ts (exact matches in),
+        # lo = orders with date < ts - window (exact matches out);
+        # n_orders = hi - lo.  Equivalent to the per-key searchsorted
+        # formulation but vectorized across every user in the partition.
         import numpy as np
+        import pandas as pd
 
         df = g.to_pandas()
-        evs = df[df["side"] == "e"]
+        evs = df[df["side"] == "e"][["key", "event_id", "ts"]]
         if evs.empty:
             return pa.table({"event_id": pa.array([], pa.int64()),
                              "n_orders": pa.array([], pa.int64())})
-        od = np.sort(df[df["side"] == "o"]["o_orderdate"].to_numpy())
-        ts = evs["ts"].to_numpy()
-        lo = np.searchsorted(od, ts - np.timedelta64(window_days, "D"), side="left")
-        hi = np.searchsorted(od, ts, side="right")
+        od = (df[df["side"] == "o"][["key", "o_orderdate"]]
+              .sort_values(["key", "o_orderdate"], kind="mergesort"))
+        od["cum"] = od.groupby("key", sort=False).cumcount() + 1
+        od = od.sort_values("o_orderdate", kind="mergesort")
+        hi = pd.merge_asof(evs.sort_values("ts", kind="mergesort"), od,
+                           left_on="ts", right_on="o_orderdate", by="key",
+                           direction="backward", allow_exact_matches=True)
+        evs_lo = evs.copy()
+        evs_lo["ts_lo"] = (evs_lo["ts"] - pd.Timedelta(days=window_days)) \
+            .astype(evs_lo["ts"].dtype)
+        lo = pd.merge_asof(evs_lo.sort_values("ts_lo", kind="mergesort"), od,
+                           left_on="ts_lo", right_on="o_orderdate", by="key",
+                           direction="backward", allow_exact_matches=False)
+        hi_c = hi.set_index("event_id")["cum"].fillna(0)
+        lo_c = lo.set_index("event_id")["cum"].fillna(0)
+        n = (hi_c - lo_c.reindex(hi_c.index)).astype("int64")
         return pa.table({
-            "event_id": pa.array(evs["event_id"].astype("int64"), pa.int64()),
-            "n_orders": pa.array((hi - lo).astype("int64"), pa.int64()),
+            "event_id": pa.array(n.index.to_numpy().astype("int64"), pa.int64()),
+            "n_orders": pa.array(n.to_numpy(), pa.int64()),
         })
 
-    return both.groupby("key").map_groups(range_bucket, batch_format="pyarrow")
+    return partitioned_map_groups(both, "key", range_bucket)
 
 
 # ------------------------------------------------- gap-based sessionization
@@ -394,14 +408,19 @@ def user_sessions(sf_dir: str, gap_minutes: int = 60) -> "rd.Dataset":
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
     def sessions(g: pa.Table) -> pa.Table:
+        # one vectorized pass over a coarse partition holding MANY users:
+        # sort by (user, ts), session breaks at user boundaries or gaps,
+        # per-user 0-based ids by subtracting each user's first break count
         import numpy as np
         import pandas as pd
 
-        df = g.to_pandas().sort_values(["ts", "event_id"])
+        df = g.to_pandas().sort_values(["user_id", "ts", "event_id"])
+        new_user = df["user_id"].ne(df["user_id"].shift())
         gaps = df["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        df["session_id"] = gaps.cumsum().astype(np.int64)
-        agg = df.groupby("session_id").agg(
-            user_id=("user_id", "first"),
+        new_sess = new_user | gaps
+        glob = new_sess.cumsum()
+        df["session_id"] = (glob - glob.where(new_user).ffill()).astype(np.int64)
+        agg = df.groupby(["user_id", "session_id"], sort=False).agg(
             n_events=("event_id", "count"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
@@ -414,7 +433,9 @@ def user_sessions(sf_dir: str, gap_minutes: int = 60) -> "rd.Dataset":
             "session_end": pa.array(agg["session_end"], pa.timestamp("us")),
         })
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return partitioned_map_groups(ev, "user_id", sessions)
+
+
 def knn_top1(sf_dir: str, n_queries: int = 3) -> pa.Table:
     """Top-1 non-self cosine neighbor for the first n vec_ids (ints only —
     float-free result columns so the hash compare is exact)."""

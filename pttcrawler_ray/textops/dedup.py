@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..util.hashing import hash_u64_many
+from ..util.rayops import grouped_topk
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -43,13 +44,7 @@ def exact_dedup(docs: "rd.Dataset", id_col: str = "doc_id") -> "rd.Dataset":
     """One row per distinct text (min id wins) — groupby on the 64-bit hash."""
     ds = docs.map_batches(add_text_hash, batch_format="pyarrow")
 
-    def first(group: pa.Table) -> pa.Table:
-        idx = pc.array_sort_indices(
-            group[id_col].combine_chunks() if isinstance(group[id_col], pa.ChunkedArray)
-            else group[id_col])
-        return group.take([idx[0].as_py()])
-
-    return ds.groupby("text_hash").map_groups(first, batch_format="pyarrow")
+    return grouped_topk(ds, "text_hash", [(id_col, "ascending")], k=1)
 
 
 # ------------------------------------------------------------------ minhash

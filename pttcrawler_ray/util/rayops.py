@@ -90,3 +90,81 @@ def bcast_get(ref):
     while len(_BCAST_CACHE) > _BCAST_CAPACITY:
         _BCAST_CACHE.popitem(last=False)
     return val
+
+
+# ---------------------------------------------------------- grouped top-k
+# one map_groups UDF call PER DISTINCT KEY does not scale (a dedupe-latest
+# over 10^10 urls = 10^10 Python calls).  grouped_topk instead hashes the
+# key into coarse partitions and runs ONE vectorized pass per partition:
+# an Arrow C++ sort on (key, *sort_keys), run-length key boundaries in
+# numpy, and a single take of the first k rows of every run.
+def _key_hash_col(col: "pa.ChunkedArray", n_parts: int) -> pa.Array:
+    """Coarse partition id from an arbitrary-typed key column."""
+    import numpy as np
+
+    from .hashing import hash_u64_many
+
+    typ = col.type
+    if pa.types.is_integer(typ):
+        k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            k = k * np.uint64(0x9E3779B97F4A7C15)
+            k ^= k >> np.uint64(29)
+    else:
+        k = hash_u64_many([v if v is not None else "" for v in col.to_pylist()])
+    return pa.array((k % np.uint64(n_parts)).astype(np.int32), pa.int32())
+
+
+def grouped_topk(ds, key: str, sort_keys: list[tuple[str, str]], k: int = 1,
+                 n_parts: int = 256):
+    """Top-k rows per ``key`` ordered by ``sort_keys`` (Arrow sort-key
+    tuples, e.g. ``[("ts", "descending"), ("event_id", "descending")]``).
+
+    Equivalent to ``groupby(key).map_groups(take first k of the sorted
+    group)`` but with one vectorized task per coarse partition instead of
+    one Python call per distinct key.  Ties beyond ``sort_keys`` resolve
+    by arrival order (same as the per-group formulation).  Size
+    ``n_parts`` so a partition (~rows/n_parts) fits a worker's heap."""
+    import numpy as np
+
+    part_col = "__gtk_part"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(part_col, _key_hash_col(t[key], n_parts))
+
+    def topk_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([part_col])
+        idx = pc.sort_indices(
+            g, sort_keys=[(key, "ascending"), *sort_keys])
+        s = g.take(idx)
+        keys_np = s[key].to_numpy(zero_copy_only=False)
+        if keys_np.size == 0:
+            return s
+        new_run = np.r_[True, keys_np[1:] != keys_np[:-1]]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run) - 1
+        rank = np.arange(keys_np.size) - starts[run_id]
+        return s.take(pa.array(np.flatnonzero(rank < k), pa.int64()))
+
+    exploded = ds.map_batches(add_part, batch_format="pyarrow")
+    return exploded.groupby(part_col).map_groups(topk_partition,
+                                                 batch_format="pyarrow")
+
+
+def partitioned_map_groups(ds, key: str, fn, n_parts: int = 256):
+    """``groupby(key).map_groups(fn)`` replacement for vectorizable group
+    UDFs: ``fn`` receives a COARSE hash partition containing MANY whole
+    key-groups (every row of a key lands in exactly one partition) and
+    must compute per-key results vectorized (numpy segment ops / pandas
+    groupby).  One Python call per partition instead of one per distinct
+    key — the difference between 256 tasks and 10^8 UDF calls at scale."""
+    part_col = "__pmg_part"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(part_col, _key_hash_col(t[key], n_parts))
+
+    def run(g: pa.Table) -> pa.Table:
+        return fn(g.drop_columns([part_col]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby(
+        part_col).map_groups(run, batch_format="pyarrow")
