@@ -115,38 +115,48 @@ def _key_hash_col(col: "pa.ChunkedArray", n_parts: int) -> pa.Array:
     return pa.array((k % np.uint64(n_parts)).astype(np.int32), pa.int32())
 
 
+def _local_topk(g: pa.Table, key: str, sort_keys, k: int) -> pa.Table:
+    """First k rows per key-run of ``g`` sorted by (key, *sort_keys) —
+    one Arrow C++ sort + numpy run-length boundary pass, no per-key loop."""
+    import numpy as np
+
+    idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), *sort_keys])
+    s = g.take(idx)
+    keys_np = s[key].to_numpy(zero_copy_only=False)
+    if keys_np.size == 0:
+        return s
+    new_run = np.r_[True, keys_np[1:] != keys_np[:-1]]
+    starts = np.flatnonzero(new_run)
+    run_id = np.cumsum(new_run) - 1
+    rank = np.arange(keys_np.size) - starts[run_id]
+    return s.take(pa.array(np.flatnonzero(rank < k), pa.int64()))
+
+
 def grouped_topk(ds, key: str, sort_keys: list[tuple[str, str]], k: int = 1,
                  n_parts: int = 256):
     """Top-k rows per ``key`` ordered by ``sort_keys`` (Arrow sort-key
     tuples, e.g. ``[("ts", "descending"), ("event_id", "descending")]``).
 
     Equivalent to ``groupby(key).map_groups(take first k of the sorted
-    group)`` but with one vectorized task per coarse partition instead of
-    one Python call per distinct key.  Ties beyond ``sort_keys`` resolve
-    by arrival order (same as the per-group formulation).  Size
-    ``n_parts`` so a partition (~rows/n_parts) fits a worker's heap."""
-    import numpy as np
-
+    group)`` but scale-shaped twice over: (1) top-k is algebraic, so a
+    per-batch PARTIAL top-k runs before the shuffle (combiner pattern —
+    shuffle volume drops from all rows to <= k rows per key per input
+    block); (2) the final pass is one vectorized task per coarse hash
+    partition instead of one Python call per distinct key.  Ties beyond
+    ``sort_keys`` resolve arrival-dependently (same as the per-group
+    formulation — give total sort keys for determinism).  Size
+    ``n_parts`` so a partition (~k * keys/n_parts rows) fits a worker's
+    heap."""
     part_col = "__gtk_part"
 
-    def add_part(t: pa.Table) -> pa.Table:
-        return t.append_column(part_col, _key_hash_col(t[key], n_parts))
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.append_column(part_col, _key_hash_col(t[key], n_parts))
+        return _local_topk(t, key, sort_keys, k)
 
     def topk_partition(g: pa.Table) -> pa.Table:
-        g = g.drop_columns([part_col])
-        idx = pc.sort_indices(
-            g, sort_keys=[(key, "ascending"), *sort_keys])
-        s = g.take(idx)
-        keys_np = s[key].to_numpy(zero_copy_only=False)
-        if keys_np.size == 0:
-            return s
-        new_run = np.r_[True, keys_np[1:] != keys_np[:-1]]
-        starts = np.flatnonzero(new_run)
-        run_id = np.cumsum(new_run) - 1
-        rank = np.arange(keys_np.size) - starts[run_id]
-        return s.take(pa.array(np.flatnonzero(rank < k), pa.int64()))
+        return _local_topk(g.drop_columns([part_col]), key, sort_keys, k)
 
-    exploded = ds.map_batches(add_part, batch_format="pyarrow")
+    exploded = ds.map_batches(combine, batch_format="pyarrow")
     return exploded.groupby(part_col).map_groups(topk_partition,
                                                  batch_format="pyarrow")
 

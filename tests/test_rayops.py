@@ -1,0 +1,73 @@
+"""Direct tests for the coarse-partition group helpers in util.rayops.
+
+``grouped_topk`` / ``partitioned_map_groups`` replace every per-distinct-key
+``groupby().map_groups`` in the repo; these tests pin their semantics
+against a pandas reference on multi-block inputs (so the pre-shuffle
+combiner actually runs across block boundaries)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from pttcrawler_ray.util.rayops import grouped_topk, partitioned_map_groups
+
+
+def _events(n=5_000, n_keys=137, seed=7, string_keys=False):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, n_keys, n)
+    df = pd.DataFrame({
+        "key": [f"user-{k}" for k in keys] if string_keys else keys.astype("int64"),
+        "ts": rng.integers(0, 10_000, n).astype("int64"),
+        "uid": np.arange(n, dtype="int64"),  # total tiebreak
+    })
+    return df
+
+
+@pytest.mark.parametrize("k", [1, 3])
+@pytest.mark.parametrize("string_keys", [False, True])
+def test_grouped_topk_matches_pandas(ray_session, k, string_keys):
+    df = _events(string_keys=string_keys)
+    ds = rd.from_pandas(df).repartition(13)  # many blocks → combiner engages
+    out = grouped_topk(ds, "key",
+                       [("ts", "descending"), ("uid", "descending")],
+                       k=k, n_parts=16).to_pandas()
+    ref = (df.sort_values(["key", "ts", "uid"],
+                          ascending=[True, False, False])
+             .groupby("key").head(k))
+    got = out.sort_values(["key", "ts", "uid"]).reset_index(drop=True)
+    want = ref.sort_values(["key", "ts", "uid"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["key", "ts", "uid"]],
+                                  want[["key", "ts", "uid"]])
+
+
+def test_grouped_topk_small_groups_pass_through(ray_session):
+    # k larger than every group: output == input (no row invented/lost)
+    df = _events(n=300, n_keys=250)
+    ds = rd.from_pandas(df).repartition(7)
+    out = grouped_topk(ds, "key", [("ts", "descending")], k=50,
+                       n_parts=8).to_pandas()
+    assert sorted(out["uid"]) == sorted(df["uid"])
+
+
+def test_partitioned_map_groups_key_integrity(ray_session):
+    # every distinct key must arrive WHOLE in exactly one partition call
+    df = _events(n=2_000, n_keys=61)
+    ds = rd.from_pandas(df).repartition(11)
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        pdf = g.to_pandas()
+        agg = pdf.groupby("key").agg(n=("uid", "count")).reset_index()
+        return pa.table({"key": pa.array(agg["key"], pa.int64()),
+                         "n": pa.array(agg["n"], pa.int64())})
+
+    out = partitioned_map_groups(ds, "key", per_partition,
+                                 n_parts=16).to_pandas()
+    # one output row per key (a split key would produce duplicates)...
+    assert out["key"].is_unique
+    # ...and counts equal the global per-key counts
+    want = df.groupby("key").size()
+    got = out.set_index("key")["n"]
+    assert got.sort_index().equals(want.sort_index().astype("int64"))
