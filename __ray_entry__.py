@@ -351,9 +351,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.textops.dedup import exact_dedup
 
         _ctx()
-        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
-        return exact_dedup(docs).select_columns(["doc_id"])
+        from pttcrawler_ray.util.rayops import parquet_rows
+
+        path = os.path.join(sf_dir, "documents.parquet")
+        docs = _rpq(path, columns=["doc_id", "text"])
+        return exact_dedup(docs,
+                           approx_rows=parquet_rows(path)).select_columns(["doc_id"])
 
     def token_counts_docs(sf_dir):
         import ray.data as rd

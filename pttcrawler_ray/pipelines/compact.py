@@ -21,10 +21,20 @@ import ray.data as rd
 from ..util.rayops import grouped_topk
 
 
-def rotate_versions(versions: "rd.Dataset", keep: int = 30) -> "rd.Dataset":
-    """Per url keep the newest ``keep`` versions by warc_ts (top-k/group)."""
+def rotate_versions(versions: "rd.Dataset", keep: int = 30,
+                    tiebreak: list[tuple[str, str]] | None = None,
+                    approx_rows: int | None = None) -> "rd.Dataset":
+    """Per url keep the newest ``keep`` versions by warc_ts (top-k/group).
 
-    return grouped_topk(versions, "url", [("warc_ts", "descending")], k=keep)
+    ``tiebreak`` appends extra sort keys for datasets where warc_ts can
+    repeat per url (article stores pass ``[("index_no", "descending"),
+    ("page_pos", "descending")]``); ``approx_rows`` scales the partition
+    count to the version store (see rayops.grouped_topk)."""
+
+    return grouped_topk(versions, "url",
+                        [("warc_ts", "descending"), *(tiebreak or [])],
+                        k=keep, approx_rows=approx_rows,
+                        target_rows_per_part=32_768)
 
 
 def board_watermarks(out_dir: str) -> pa.Table:

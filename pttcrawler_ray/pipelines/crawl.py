@@ -47,7 +47,7 @@ from ..parsing.article import parse_articles_batch
 from ..parsing.index import get_last_page, parse_index_batch
 from ..sources.pages import FetchPages, PagesStore, build_shared_index
 from ..state.frontier import FrontierShard, lane_of, shard_of
-from ..util.rayops import grouped_topk
+from ..util.rayops import grouped_topk, parquet_rows
 
 PTT_URL = "https://www.ptt.cc"
 
@@ -723,5 +723,13 @@ def latest_articles(out_dir: str) -> "rd.Dataset":
                         batch_format="pyarrow")
 
     # one vectorized task per coarse url-hash partition (grouped_topk),
-    # not one Python call per distinct url
-    return grouped_topk(ds, "url", [("warc_ts", "descending")], k=1)
+    # not one Python call per distinct url.  (index_no, page_pos) break
+    # warc_ts ties deterministically (an upgrade crawl can re-emit the
+    # same snapshot); partition count scales with the version store and
+    # targets ~32k KB-wide article rows per task.
+    return grouped_topk(
+        ds, "url",
+        [("warc_ts", "descending"), ("index_no", "descending"),
+         ("page_pos", "descending")],
+        k=1, approx_rows=parquet_rows(os.path.join(out_dir, "articles")),
+        target_rows_per_part=32_768)

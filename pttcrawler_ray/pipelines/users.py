@@ -72,13 +72,14 @@ def user_last_records(corpus_dir: str) -> "rd.Dataset":
     One groupby-argmax shuffle; groups stay Arrow."""
     import os
 
-    from ..util.rayops import grouped_topk
+    from ..util.rayops import grouped_topk, parquet_rows
 
-    ds = rd.read_parquet(os.path.join(corpus_dir, "login_records.parquet"))
+    path = os.path.join(corpus_dir, "login_records.parquet")
+    ds = rd.read_parquet(path)
 
     return grouped_topk(ds, "username",
                         [("created_at", "descending"), ("record_id", "descending")],
-                        k=1)
+                        k=1, approx_rows=parquet_rows(path))
 
 
 def users_dataset(corpus_dir: str) -> "rd.Dataset":

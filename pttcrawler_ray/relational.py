@@ -23,7 +23,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from .util.rayops import grouped_topk, partitioned_map_groups, read_parquet_clean
+from .util.rayops import (grouped_topk, parquet_rows, partitioned_map_groups,
+                          read_parquet_clean)
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None,
@@ -34,6 +35,11 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None,
                               columns=columns, **kw)
 
 
+def _rows(sf_dir: str, name: str) -> int:
+    """Footer-metadata row count — sizes coarse partition counts."""
+    return parquet_rows(os.path.join(sf_dir, f"{name}.parquet"))
+
+
 # ------------------------------------------------------------ D2/O2: latest
 def latest_event_per_user(sf_dir: str) -> "rd.Dataset":
     """Latest event per user (ties → max event_id) — the dedupe-latest
@@ -41,7 +47,8 @@ def latest_event_per_user(sf_dir: str) -> "rd.Dataset":
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
     # one vectorized task per coarse partition, not one call per user
     return grouped_topk(ds, "user_id",
-                        [("ts", "descending"), ("event_id", "descending")], k=1)
+                        [("ts", "descending"), ("event_id", "descending")], k=1,
+                        approx_rows=_rows(sf_dir, "events"))
 
 
 # ----------------------------------------------------------- A2: watermarks
@@ -55,7 +62,8 @@ def event_type_watermarks(sf_dir: str) -> "rd.Dataset":
 def topk_events_per_user(sf_dir: str, k: int = 3) -> "rd.Dataset":
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
     return grouped_topk(ds, "user_id",
-                        [("ts", "descending"), ("event_id", "descending")], k=k)
+                        [("ts", "descending"), ("event_id", "descending")], k=k,
+                        approx_rows=_rows(sf_dir, "events"))
 
 
 class _KeySetFilter:
@@ -331,7 +339,9 @@ def events_asof_orders(sf_dir: str) -> "rd.Dataset":
             "o_orderkey": pa.array(out["o_orderkey"].astype("int64"), pa.int64()),
         })
 
-    return partitioned_map_groups(both, "key", asof_bucket)
+    return partitioned_map_groups(
+        both, "key", asof_bucket,
+        approx_rows=_rows(sf_dir, "events") + _rows(sf_dir, "orders"))
 
 
 # ----------------------------------------------------------- range join
@@ -396,7 +406,9 @@ def events_range_orders(sf_dir: str, window_days: int = 30) -> "rd.Dataset":
             "n_orders": pa.array(n.to_numpy(), pa.int64()),
         })
 
-    return partitioned_map_groups(both, "key", range_bucket)
+    return partitioned_map_groups(
+        both, "key", range_bucket,
+        approx_rows=_rows(sf_dir, "events") + _rows(sf_dir, "orders"))
 
 
 # ------------------------------------------------- gap-based sessionization
@@ -433,7 +445,8 @@ def user_sessions(sf_dir: str, gap_minutes: int = 60) -> "rd.Dataset":
             "session_end": pa.array(agg["session_end"], pa.timestamp("us")),
         })
 
-    return partitioned_map_groups(ev, "user_id", sessions)
+    return partitioned_map_groups(ev, "user_id", sessions,
+                                  approx_rows=_rows(sf_dir, "events"))
 
 
 def knn_top1(sf_dir: str, n_queries: int = 3) -> pa.Table:

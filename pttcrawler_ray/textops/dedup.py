@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..util.hashing import hash_u64_many
-from ..util.rayops import grouped_topk
+from ..util.rayops import bucket_partition_col, grouped_topk, scale_parts
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -40,11 +40,15 @@ def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
                               pa.uint64()))
 
 
-def exact_dedup(docs: "rd.Dataset", id_col: str = "doc_id") -> "rd.Dataset":
-    """One row per distinct text (min id wins) — groupby on the 64-bit hash."""
+def exact_dedup(docs: "rd.Dataset", id_col: str = "doc_id",
+                approx_rows: int | None = None) -> "rd.Dataset":
+    """One row per distinct text (min id wins) — groupby on the 64-bit
+    hash.  ``approx_rows`` (corpus row count) scales the partition count;
+    doc rows carry full text, so size ~32k rows per partition task."""
     ds = docs.map_batches(add_text_hash, batch_format="pyarrow")
 
-    return grouped_topk(ds, "text_hash", [(id_col, "ascending")], k=1)
+    return grouped_topk(ds, "text_hash", [(id_col, "ascending")], k=1,
+                        approx_rows=approx_rows, target_rows_per_part=32_768)
 
 
 # ------------------------------------------------------------------ minhash
@@ -143,15 +147,12 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 def _scale_parts(exploded_rows: int) -> int:
     """Partition count for ``exploded_rows`` (bucket, doc) rows: enough
     partitions that each map_groups task sees ~_PART_TARGET_ROWS rows."""
-    return max(_PAIR_PARTITIONS,
-               min(65536, exploded_rows // _PART_TARGET_ROWS + 1))
+    return scale_parts(exploded_rows, floor=_PAIR_PARTITIONS,
+                       target_rows=_PART_TARGET_ROWS)
 
 
 def _bucket_partition_col(key: np.ndarray, n_parts: int = _PAIR_PARTITIONS) -> pa.Array:
-    with np.errstate(over="ignore"):
-        mixed = key * _GOLDEN
-        mixed ^= mixed >> np.uint64(29)
-    return pa.array((mixed % np.uint64(n_parts)).astype(np.int32), pa.int32())
+    return bucket_partition_col(key, n_parts)
 
 
 def _mixed_bucket_key(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
@@ -243,11 +244,16 @@ def _dedupe_pairs(cand: "rd.Dataset") -> "rd.Dataset":
 from ..util.rayops import bcast_get as _bcast_get
 
 
+def _ids_to_arrow(ids) -> pa.Array:
+    return pa.array(ids, pa.int64())
+
+
 def _candidate_shingles_batch(batch: pa.Table, *, ids_ref, shingle_k: int) -> pa.Table:
     """Semi-join docs against the broadcast candidate-id set (``pc.is_in``,
     no per-row Python) and emit each candidate doc's shingle-hash set —
     the distributed text gather of the verify stage."""
-    value_set = pa.array(_bcast_get(ids_ref), pa.int64())
+    # cache the CONVERTED Arrow value-set per worker, not per batch
+    value_set = _bcast_get(ids_ref, transform=_ids_to_arrow)
     sub = batch.filter(pc.is_in(batch["doc_id"], value_set=value_set))
     ids = sub["doc_id"].to_pylist()
     sh = [_shingle_hashes(t, shingle_k) for t in sub["text"].to_pylist()]
@@ -292,8 +298,9 @@ def _candidate_shingles_bloom(batch: pa.Table, *, bloom_ref, shingle_k: int) -> 
     fall out of the verify join."""
     from ..state.bloom import BloomFilter
 
-    snap = _bcast_get(bloom_ref)
-    bloom = BloomFilter.restore(snap)
+    # restore() copies the whole bit array — cache the RESTORED filter per
+    # worker process, not per batch (read-only use thereafter)
+    bloom = _bcast_get(bloom_ref, transform=BloomFilter.restore)
     ids_np = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     mask = bloom.contains_many(ids_np)
     sub = batch.filter(pa.array(mask))
@@ -391,6 +398,9 @@ def _verify_jaccard_joined(cand: "rd.Dataset", docs: "rd.Dataset",
 
     from ..state.bloom import BloomFilter
 
+    # cand feeds BOTH the bloom build and the first hash join — pin it so
+    # the upstream pair-dedupe shuffle doesn't execute twice
+    cand = cand.materialize()
     id_ds = cand.map_batches(
         lambda t: pa.table({"doc_id": np.concatenate([
             t["doc_a"].to_numpy(zero_copy_only=False),
@@ -402,10 +412,12 @@ def _verify_jaccard_joined(cand: "rd.Dataset", docs: "rd.Dataset",
         bloom.add_many(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
     bloom_ref = ray.put(bloom.snapshot())
 
+    # candidate-sized after the bloom semi-join — materialize so the
+    # full-corpus shingling pass runs ONCE, not once per join below
     sh_ds = docs.map_batches(
         _candidate_shingles_bloom,
         fn_kwargs={"bloom_ref": bloom_ref, "shingle_k": shingle_k},
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     n_buckets = _scale_parts(n_pairs * 2 + n_ids)
     i64, lst = pa.int64(), pa.list_(pa.uint64())
     with_a = _attach_shingles(cand, sh_ds, "doc_a", "sh_a", n_buckets,

@@ -77,27 +77,54 @@ _BCAST_CACHE: "OrderedDict[str, object]" = OrderedDict()
 _BCAST_CAPACITY = 2
 
 
-def bcast_get(ref):
-    """ray.get(ref), LRU-cached per worker process."""
-    key = ref.hex()
+def bcast_get(ref, transform=None):
+    """ray.get(ref), LRU-cached per worker process.
+
+    With ``transform``, the TRANSFORMED value is cached — e.g. a
+    BloomFilter restored from its broadcast snapshot once per worker
+    process instead of once per batch (restore copies the whole bit
+    array, so per-batch restoration is O(filter bits) per batch)."""
+    key = (ref.hex(), getattr(transform, "__qualname__", "") if transform else "")
     if key in _BCAST_CACHE:
         _BCAST_CACHE.move_to_end(key)
         return _BCAST_CACHE[key]
     import ray
 
     val = ray.get(ref)
+    if transform is not None:
+        val = transform(val)
     _BCAST_CACHE[key] = val
     while len(_BCAST_CACHE) > _BCAST_CAPACITY:
         _BCAST_CACHE.popitem(last=False)
     return val
 
 
-# ---------------------------------------------------------- grouped top-k
-# one map_groups UDF call PER DISTINCT KEY does not scale (a dedupe-latest
-# over 10^10 urls = 10^10 Python calls).  grouped_topk instead hashes the
-# key into coarse partitions and runs ONE vectorized pass per partition:
-# an Arrow C++ sort on (key, *sort_keys), run-length key boundaries in
-# numpy, and a single take of the first k rows of every run.
+# ------------------------------------------------- coarse hash partitioning
+# THE shared partitioner: every coarse-partition stage in the repo (LSH
+# pair generation in textops.dedup, grouped top-k, partitioned map-groups)
+# routes through this one golden-ratio mixer so the partitioning behavior
+# can never silently diverge between subsystems.
+PART_TARGET_ROWS = 2_000_000  # ~50 MB of narrow rows per partition task
+
+
+def scale_parts(rows: int, floor: int = 64,
+                target_rows: int = PART_TARGET_ROWS) -> int:
+    """Partition count sized to the data: enough partitions that one
+    map_groups task sees ~``target_rows`` rows (narrow rows → the default
+    2M ≈ 50 MB; pass a smaller target for KB-wide rows)."""
+    return max(floor, min(65536, rows // target_rows + 1))
+
+
+def bucket_partition_col(key: "np.ndarray", n_parts: int) -> pa.Array:
+    """uint64 key array → int32 partition-id column (golden-ratio mix)."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        mixed = key * np.uint64(0x9E3779B97F4A7C15)
+        mixed ^= mixed >> np.uint64(29)
+    return pa.array((mixed % np.uint64(n_parts)).astype(np.int32), pa.int32())
+
+
 def _key_hash_col(col: "pa.ChunkedArray", n_parts: int) -> pa.Array:
     """Coarse partition id from an arbitrary-typed key column."""
     import numpy as np
@@ -107,12 +134,31 @@ def _key_hash_col(col: "pa.ChunkedArray", n_parts: int) -> pa.Array:
     typ = col.type
     if pa.types.is_integer(typ):
         k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            k = k * np.uint64(0x9E3779B97F4A7C15)
-            k ^= k >> np.uint64(29)
-    else:
-        k = hash_u64_many([v if v is not None else "" for v in col.to_pylist()])
+        return bucket_partition_col(k, n_parts)
+    k = hash_u64_many([v if v is not None else "" for v in col.to_pylist()])
     return pa.array((k % np.uint64(n_parts)).astype(np.int32), pa.int32())
+
+
+def parquet_rows(path: str) -> int:
+    """Total row count under ``path`` (a parquet file or a directory tree)
+    from footer metadata only — no data pages are read.  Cheap enough to
+    size partition counts before building a pipeline."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = ([path] if os.path.isfile(path) else
+             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+# ---------------------------------------------------------- grouped top-k
+# one map_groups UDF call PER DISTINCT KEY does not scale (a dedupe-latest
+# over 10^10 urls = 10^10 Python calls).  grouped_topk instead hashes the
+# key into coarse partitions and runs ONE vectorized pass per partition:
+# an Arrow C++ sort on (key, *sort_keys), run-length key boundaries in
+# numpy, and a single take of the first k rows of every run.
 
 
 def _local_topk(g: pa.Table, key: str, sort_keys, k: int) -> pa.Table:
@@ -132,8 +178,18 @@ def _local_topk(g: pa.Table, key: str, sort_keys, k: int) -> pa.Table:
     return s.take(pa.array(np.flatnonzero(rank < k), pa.int64()))
 
 
+def _resolve_parts(n_parts, approx_rows, target_rows_per_part) -> int:
+    if n_parts is not None:
+        return n_parts
+    if approx_rows is not None:
+        return scale_parts(approx_rows, floor=256,
+                           target_rows=target_rows_per_part)
+    return 256
+
+
 def grouped_topk(ds, key: str, sort_keys: list[tuple[str, str]], k: int = 1,
-                 n_parts: int = 256):
+                 n_parts: int | None = None, approx_rows: int | None = None,
+                 target_rows_per_part: int = PART_TARGET_ROWS):
     """Top-k rows per ``key`` ordered by ``sort_keys`` (Arrow sort-key
     tuples, e.g. ``[("ts", "descending"), ("event_id", "descending")]``).
 
@@ -144,9 +200,14 @@ def grouped_topk(ds, key: str, sort_keys: list[tuple[str, str]], k: int = 1,
     block); (2) the final pass is one vectorized task per coarse hash
     partition instead of one Python call per distinct key.  Ties beyond
     ``sort_keys`` resolve arrival-dependently (same as the per-group
-    formulation — give total sort keys for determinism).  Size
-    ``n_parts`` so a partition (~k * keys/n_parts rows) fits a worker's
-    heap."""
+    formulation — give total sort keys for determinism).
+
+    Partition sizing: pass ``approx_rows`` (e.g. ``parquet_rows(path)``)
+    so the partition count scales with the input instead of the fixed
+    256 floor; pass a smaller ``target_rows_per_part`` for KB-wide rows
+    (full article rows want ~32k rows/task, not the 2M narrow-row
+    default)."""
+    n_parts = _resolve_parts(n_parts, approx_rows, target_rows_per_part)
     part_col = "__gtk_part"
 
     def combine(t: pa.Table) -> pa.Table:
@@ -161,13 +222,19 @@ def grouped_topk(ds, key: str, sort_keys: list[tuple[str, str]], k: int = 1,
                                                  batch_format="pyarrow")
 
 
-def partitioned_map_groups(ds, key: str, fn, n_parts: int = 256):
+def partitioned_map_groups(ds, key: str, fn, n_parts: int | None = None,
+                           approx_rows: int | None = None,
+                           target_rows_per_part: int = PART_TARGET_ROWS):
     """``groupby(key).map_groups(fn)`` replacement for vectorizable group
     UDFs: ``fn`` receives a COARSE hash partition containing MANY whole
     key-groups (every row of a key lands in exactly one partition) and
     must compute per-key results vectorized (numpy segment ops / pandas
     groupby).  One Python call per partition instead of one per distinct
-    key — the difference between 256 tasks and 10^8 UDF calls at scale."""
+    key — the difference between 256 tasks and 10^8 UDF calls at scale.
+    Partition sizing as in :func:`grouped_topk` (``approx_rows`` scales
+    the count; here every input row reaches its partition, so size to the
+    FULL dataset)."""
+    n_parts = _resolve_parts(n_parts, approx_rows, target_rows_per_part)
     part_col = "__pmg_part"
 
     def add_part(t: pa.Table) -> pa.Table:
