@@ -26,10 +26,12 @@ def rotate_versions(versions: "rd.Dataset", keep: int = 30,
                     approx_rows: int | None = None) -> "rd.Dataset":
     """Per url keep the newest ``keep`` versions by warc_ts (top-k/group).
 
-    ``tiebreak`` appends extra sort keys for datasets where warc_ts can
-    repeat per url (article stores pass ``[("index_no", "descending"),
-    ("page_pos", "descending")]``); ``approx_rows`` scales the partition
-    count to the version store (see rayops.grouped_topk)."""
+    Pass ``tiebreak`` extra sort keys when warc_ts can repeat per url —
+    e.g. ``[("index_no", "descending"), ("page_pos", "descending")]`` for
+    article stores (crawl.latest_articles uses those keys via grouped_topk
+    directly); without it, ties resolve arrival-dependently.
+    ``approx_rows`` scales the partition count to the version store (see
+    rayops.grouped_topk)."""
 
     return grouped_topk(versions, "url",
                         [("warc_ts", "descending"), *(tiebreak or [])],

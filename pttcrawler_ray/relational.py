@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -145,19 +146,23 @@ def customers_balance_by_nation(sf_dir: str) -> "rd.Dataset":
         """Pre-aggregate inside the batch: one row per nation per batch."""
 
         def __init__(self, nref):
-            self.nmap = ray.get(nref)
+            nmap = ray.get(nref)
+            self.index = pd.Index(list(nmap))
+            self.names = np.array([nmap[k] for k in self.index], dtype=object)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["c_nationkey"].to_pylist()
-            pos = pc.greater(t["c_acctbal"], 0.0).to_pylist()
-            agg: dict[str, list[int]] = {}
-            for k, p in zip(keys, pos):
-                row = agg.setdefault(self.nmap[k], [0, 0])
-                row[0 if p else 1] += 1
+            # vectorized conditional count: hash-indexer + two bincounts,
+            # no per-row Python
+            pos_ix = self.index.get_indexer(
+                t["c_nationkey"].to_numpy(zero_copy_only=False))
+            p = pc.greater(t["c_acctbal"], 0.0).to_numpy(zero_copy_only=False)
+            npos = np.bincount(pos_ix[p], minlength=len(self.index))
+            nneg = np.bincount(pos_ix[~p], minlength=len(self.index))
+            seen = (npos + nneg) > 0
             return pa.table({
-                "nation": pa.array(list(agg), pa.string()),
-                "positive_bal": pa.array([v[0] for v in agg.values()], pa.int64()),
-                "non_positive_bal": pa.array([v[1] for v in agg.values()], pa.int64()),
+                "nation": pa.array(self.names[seen], pa.string()),
+                "positive_bal": pa.array(npos[seen], pa.int64()),
+                "non_positive_bal": pa.array(nneg[seen], pa.int64()),
             })
 
     partials = cust.map_batches(Partial, fn_constructor_kwargs={"nref": ref},
@@ -183,25 +188,28 @@ def top_orders(sf_dir: str, k: int = 10) -> "rd.Dataset":
 def orders_denorm(sf_dir: str) -> "rd.Dataset":
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cmap = {r.c_custkey: (r.c_name, r.c_nationkey) for r in cust.itertuples()}
-    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    ref = ray.put((cmap, nmap))
+    # pre-join nation onto the customer dim ONCE (vectorized), broadcast
+    # the flat arrays; per batch the lookup is one hash-indexer call + two
+    # numpy takes — no per-row Python in the hot path
+    nmap = pd.Series(nation["n_name"].values, index=nation["n_nationkey"])
+    cust["n_name"] = nmap.reindex(cust["c_nationkey"]).values
+    ref = ray.put((cust["c_custkey"].to_numpy(), cust["c_name"].to_numpy(),
+                   cust["n_name"].to_numpy()))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     class Denorm:
         def __init__(self, r):
-            self.cmap, self.nmap = ray.get(r)
+            keys, names, nations = ray.get(r)
+            self.index = pd.Index(keys)
+            self.names, self.nations = names, nations
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names, nations = [], []
-            for k in t["o_custkey"].to_pylist():
-                cname, nk = self.cmap[k]
-                names.append(cname)
-                nations.append(self.nmap[nk])
+            pos = self.index.get_indexer(
+                t["o_custkey"].to_numpy(zero_copy_only=False))
             return pa.table({
                 "o_orderkey": t["o_orderkey"],
-                "c_name": pa.array(names, pa.string()),
-                "n_name": pa.array(nations, pa.string()),
+                "c_name": pa.array(self.names[pos], pa.string()),
+                "n_name": pa.array(self.nations[pos], pa.string()),
                 "o_totalprice": t["o_totalprice"],
             })
 

@@ -28,7 +28,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..util.hashing import hash_u64_many
-from ..util.rayops import bucket_partition_col, grouped_topk, scale_parts
+from ..util.rayops import (GOLDEN64, bucket_partition_col, grouped_topk,
+                           scale_parts)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -141,7 +142,7 @@ MAX_BUCKET_DOCS = 256
 # (~50 MB), not 1/64 of an arbitrarily large dataset.
 _PAIR_PARTITIONS = 64          # floor (also the fixed count when size unknown)
 _PART_TARGET_ROWS = 2_000_000  # ~50 MB of (bkey, doc_id, simhash) per task
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_GOLDEN = np.uint64(GOLDEN64)  # shared mixer constant (util.rayops)
 
 
 def _scale_parts(exploded_rows: int) -> int:
@@ -325,43 +326,43 @@ def _attach_shingles(pairs: "rd.Dataset", sh_ds: "rd.Dataset", key_col: str,
     def tag_pairs(t: pa.Table) -> pa.Table:
         jk = t[key_col].cast(pa.int64())
         cols = {
-            "bucket": _bucket_partition_col(
+            "__jn_bucket": _bucket_partition_col(
                 jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
-            "jk": jk,
+            "__jn_tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            "__jn_jk": jk,
         }
         for c, _ in carry:
             cols[c] = t[c]
-        cols["sh_join"] = pa.nulls(t.num_rows, pa.list_(pa.uint64()))
+        cols["__jn_sh"] = pa.nulls(t.num_rows, pa.list_(pa.uint64()))
         return pa.table(cols)
 
     def tag_sh(t: pa.Table) -> pa.Table:
         jk = t["doc_id"].cast(pa.int64())
         cols = {
-            "bucket": _bucket_partition_col(
+            "__jn_bucket": _bucket_partition_col(
                 jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "tag": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
-            "jk": jk,
+            "__jn_tag": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            "__jn_jk": jk,
         }
         for c, typ in carry:
             cols[c] = pa.nulls(t.num_rows, typ)
-        cols["sh_join"] = t["shingles"]
+        cols["__jn_sh"] = t["shingles"]
         return pa.table(cols)
 
     both = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
         sh_ds.map_batches(tag_sh, batch_format="pyarrow"))
 
     def join_bucket(g: pa.Table) -> pa.Table:
-        tags = g["tag"].to_numpy(zero_copy_only=False)
+        tags = g["__jn_tag"].to_numpy(zero_copy_only=False)
         sh_rows = g.filter(pa.array(tags == 1))
-        lut = dict(zip(sh_rows["jk"].to_pylist(), sh_rows["sh_join"].to_pylist()))
+        lut = dict(zip(sh_rows["__jn_jk"].to_pylist(), sh_rows["__jn_sh"].to_pylist()))
         p = g.filter(pa.array(tags == 0))
-        joined = [lut.get(k) for k in p["jk"].to_pylist()]
+        joined = [lut.get(k) for k in p["__jn_jk"].to_pylist()]
         cols = {c: p[c] for c, _ in carry}
         cols[out_col] = pa.array(joined, pa.list_(pa.uint64()))
         return pa.table(cols)
 
-    return both.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
+    return both.groupby("__jn_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def _jaccard_from_lists(batch: pa.Table, *, threshold: float) -> pa.Table:
@@ -521,7 +522,7 @@ class _AnchorShingles:
 
 def ngram_jaccard_pairs(docs: "rd.Dataset", threshold: float = 0.5,
                         shingle_k: int = 3, anchors_m: int = 4,
-                        as_dataset: bool = False) -> pa.Table:
+                        as_dataset: bool = False) -> "pa.Table | rd.Dataset":
     """Exact token n-gram Jaccard similarity join.
 
     Blocking: docs sharing one of their ``anchors_m`` smallest shingle
@@ -543,7 +544,8 @@ def ngram_jaccard_pairs(docs: "rd.Dataset", threshold: float = 0.5,
 
 def minhash_lsh_pairs(docs: "rd.Dataset", threshold: float = 0.7,
                       num_perm: int = 128, bands: int = 16, shingle_k: int = 3,
-                      concurrency: int = 8, as_dataset: bool = False) -> pa.Table:
+                      concurrency: int = 8,
+                      as_dataset: bool = False) -> "pa.Table | rd.Dataset":
     """Verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold).
 
     The LSH explode + bucket groupby is fully distributed; candidate pairs
@@ -726,7 +728,9 @@ def _anti_join_ids(docs: "rd.Dataset", drop_ds: "rd.Dataset",
     ``drop_ds`` (column ``node``) — the at-scale replacement for a
     broadcast drop-id value set (tagged-union bucketed, per-task memory =
     one bucket, ~100k docs per bucket)."""
-    docs = docs.materialize()
+    # normalize blocks to Arrow (zero-copy for parquet-born datasets;
+    # pandas-backed blocks would report a non-Arrow base_schema)
+    docs = docs.map_batches(lambda t: t, batch_format="pyarrow").materialize()
     pa_schema = docs.schema().base_schema
     carry = [(f.name, f.type) for f in pa_schema]
     n_buckets = max(_PAIR_PARTITIONS, docs.count() // 100_000 + 1)
@@ -734,10 +738,10 @@ def _anti_join_ids(docs: "rd.Dataset", drop_ds: "rd.Dataset",
     def tag_docs(t: pa.Table) -> pa.Table:
         jk = t[id_col].cast(pa.int64())
         cols = {
-            "bucket": _bucket_partition_col(
+            "__jn_bucket": _bucket_partition_col(
                 jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
-            "jk": jk,
+            "__jn_tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            "__jn_jk": jk,
         }
         for c, _ in carry:
             cols[c] = t[c]
@@ -746,10 +750,10 @@ def _anti_join_ids(docs: "rd.Dataset", drop_ds: "rd.Dataset",
     def tag_drops(t: pa.Table) -> pa.Table:
         jk = t["node"].cast(pa.int64())
         cols = {
-            "bucket": _bucket_partition_col(
+            "__jn_bucket": _bucket_partition_col(
                 jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "tag": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
-            "jk": jk,
+            "__jn_tag": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            "__jn_jk": jk,
         }
         for c, typ in carry:
             cols[c] = pa.nulls(t.num_rows, typ)
@@ -759,14 +763,14 @@ def _anti_join_ids(docs: "rd.Dataset", drop_ds: "rd.Dataset",
         drop_ds.map_batches(tag_drops, batch_format="pyarrow"))
 
     def keep_bucket(g: pa.Table) -> pa.Table:
-        tags = g["tag"].to_numpy(zero_copy_only=False)
-        drop_keys = g.filter(pa.array(tags == 1))["jk"].combine_chunks()
+        tags = g["__jn_tag"].to_numpy(zero_copy_only=False)
+        drop_keys = g.filter(pa.array(tags == 1))["__jn_jk"].combine_chunks()
         d = g.filter(pa.array(tags == 0))
         if len(drop_keys):
-            d = d.filter(pc.invert(pc.is_in(d["jk"], value_set=drop_keys)))
+            d = d.filter(pc.invert(pc.is_in(d["__jn_jk"], value_set=drop_keys)))
         return d.select([c for c, _ in carry])
 
-    return both.groupby("bucket").map_groups(keep_bucket, batch_format="pyarrow")
+    return both.groupby("__jn_bucket").map_groups(keep_bucket, batch_format="pyarrow")
 
 
 def minhash_dedup(docs: "rd.Dataset", threshold: float = 0.7, **kw) -> "rd.Dataset":

@@ -83,8 +83,21 @@ def bcast_get(ref, transform=None):
     With ``transform``, the TRANSFORMED value is cached — e.g. a
     BloomFilter restored from its broadcast snapshot once per worker
     process instead of once per batch (restore copies the whole bit
-    array, so per-batch restoration is O(filter bits) per batch)."""
-    key = (ref.hex(), getattr(transform, "__qualname__", "") if transform else "")
+    array, so per-batch restoration is O(filter bits) per batch).
+    ``transform`` must be a MODULE-LEVEL named callable: the cache key is
+    (module, qualname) because the function object itself is deserialized
+    fresh per task (id() would never hit), and two lambdas from one
+    enclosing function would share a qualname and collide."""
+    if transform is None:
+        key = (ref.hex(), "", "")
+    else:
+        qn = getattr(transform, "__qualname__", "")
+        if "<lambda>" in qn or "<locals>" in qn:
+            raise TypeError(
+                "bcast_get transform must be a module-level named callable "
+                f"(got {qn!r}) — closure-local functions collide in the "
+                "per-worker cache key")
+        key = (ref.hex(), getattr(transform, "__module__", ""), qn)
     if key in _BCAST_CACHE:
         _BCAST_CACHE.move_to_end(key)
         return _BCAST_CACHE[key]
@@ -105,6 +118,7 @@ def bcast_get(ref, transform=None):
 # routes through this one golden-ratio mixer so the partitioning behavior
 # can never silently diverge between subsystems.
 PART_TARGET_ROWS = 2_000_000  # ~50 MB of narrow rows per partition task
+GOLDEN64 = 0x9E3779B97F4A7C15  # 64-bit golden-ratio multiplier (Fibonacci hashing)
 
 
 def scale_parts(rows: int, floor: int = 64,
@@ -120,21 +134,33 @@ def bucket_partition_col(key: "np.ndarray", n_parts: int) -> pa.Array:
     import numpy as np
 
     with np.errstate(over="ignore"):
-        mixed = key * np.uint64(0x9E3779B97F4A7C15)
+        mixed = key * np.uint64(GOLDEN64)
         mixed ^= mixed >> np.uint64(29)
     return pa.array((mixed % np.uint64(n_parts)).astype(np.int32), pa.int32())
 
 
 def _key_hash_col(col: "pa.ChunkedArray", n_parts: int) -> pa.Array:
-    """Coarse partition id from an arbitrary-typed key column."""
+    """Coarse partition id from an arbitrary-typed key column.  Nulls all
+    hash to one partition (groupby semantics: nulls form ONE group), via
+    fill_null(0) on the int path and ""-substitution on the string path."""
     import numpy as np
 
     from .hashing import hash_u64_many
 
     typ = col.type
     if pa.types.is_integer(typ):
-        k = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        # fill nulls BEFORE to_numpy: a nullable int column otherwise
+        # converts to float64-with-NaN, and NaN.astype(uint64) is UB
+        k = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
         return bucket_partition_col(k, n_parts)
+    if pa.types.is_floating(typ):
+        # (common via pandas: an int column with nulls arrives as float64)
+        # hash the bit pattern; normalize null/NaN -> 0.0 and -0.0 -> 0.0
+        # so equal keys always land in one partition
+        k = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        k = np.nan_to_num(k, nan=0.0, posinf=np.inf, neginf=-np.inf)
+        k = np.where(k == 0.0, 0.0, k)
+        return bucket_partition_col(k.view(np.uint64), n_parts)
     k = hash_u64_many([v if v is not None else "" for v in col.to_pylist()])
     return pa.array((k % np.uint64(n_parts)).astype(np.int32), pa.int32())
 
@@ -163,15 +189,24 @@ def parquet_rows(path: str) -> int:
 
 def _local_topk(g: pa.Table, key: str, sort_keys, k: int) -> pa.Table:
     """First k rows per key-run of ``g`` sorted by (key, *sort_keys) —
-    one Arrow C++ sort + numpy run-length boundary pass, no per-key loop."""
+    one Arrow C++ sort + numpy run-length boundary pass, no per-key loop.
+    Null keys form ONE run (groupby semantics): a nullable int key
+    converts to float-with-NaN where NaN != NaN would otherwise make
+    every null row its own group."""
     import numpy as np
 
     idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), *sort_keys])
     s = g.take(idx)
-    keys_np = s[key].to_numpy(zero_copy_only=False)
+    key_arr = s[key]
+    keys_np = key_arr.to_numpy(zero_copy_only=False)
     if keys_np.size == 0:
         return s
-    new_run = np.r_[True, keys_np[1:] != keys_np[:-1]]
+    neq = keys_np[1:] != keys_np[:-1]
+    if key_arr.null_count:
+        nulls = pc.is_null(key_arr).to_numpy(zero_copy_only=False)
+        # adjacent nulls: same run; null vs non-null: always a boundary
+        neq = (neq & ~(nulls[1:] & nulls[:-1])) | (nulls[1:] ^ nulls[:-1])
+    new_run = np.r_[True, neq]
     starts = np.flatnonzero(new_run)
     run_id = np.cumsum(new_run) - 1
     rank = np.arange(keys_np.size) - starts[run_id]

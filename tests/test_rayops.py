@@ -71,3 +71,45 @@ def test_partitioned_map_groups_key_integrity(ray_session):
     want = df.groupby("key").size()
     got = out.set_index("key")["n"]
     assert got.sort_index().equals(want.sort_index().astype("int64"))
+
+
+@pytest.mark.parametrize("string_keys", [False, True])
+def test_grouped_topk_nullable_keys_one_group(ray_session, string_keys):
+    # nulls in the key column must form ONE group (groupby semantics), not
+    # one group per null row (NaN != NaN) — and must not trip NaN->uint64
+    # conversion in the partition hash
+    df = _events(n=1_200, n_keys=40, string_keys=string_keys)
+    df.loc[df.index % 7 == 0, "key"] = None
+    ds = rd.from_pandas(df).repartition(5)
+    out = grouped_topk(ds, "key", [("ts", "descending"), ("uid", "descending")],
+                       k=1, n_parts=8).to_pandas()
+
+    want = (df.sort_values(["ts", "uid"], ascending=False)
+              .groupby("key", dropna=False).head(1))
+    assert len(out) == len(want)
+    assert out["key"].isna().sum() == 1  # exactly one winner for the null group
+    null_want = want[want["key"].isna()]["uid"].iloc[0]
+    assert out[out["key"].isna()]["uid"].iloc[0] == null_want
+    a = out.dropna(subset=["key"]).sort_values("uid")["uid"].tolist()
+    b = want.dropna(subset=["key"]).sort_values("uid")["uid"].tolist()
+    assert a == b
+
+
+def test_anti_join_ids_survives_reserved_column_names(ray_session):
+    # user schemas may legitimately contain columns named tag/bucket/jk —
+    # the join scaffolding must not collide with them
+    from pttcrawler_ray.textops.dedup import _anti_join_ids
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(20, dtype="int64"),
+        "tag": np.arange(20, dtype="int64") * 10,
+        "bucket": ["b"] * 20,
+        "jk": np.ones(20, dtype="int64"),
+    })
+    drops = pd.DataFrame({"node": np.array([3, 7, 11], dtype="int64")})
+    out = _anti_join_ids(rd.from_pandas(docs).repartition(3),
+                         rd.from_pandas(drops)).to_pandas()
+    assert sorted(out["doc_id"]) == [i for i in range(20) if i not in (3, 7, 11)]
+    kept = out.sort_values("doc_id")
+    assert (kept["tag"].to_numpy() == kept["doc_id"].to_numpy() * 10).all()
+    assert set(out.columns) == {"doc_id", "tag", "bucket", "jk"}
