@@ -18,7 +18,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..util.rayops import grouped_topk
+from ..util.rayops import grouped_topk, parquet_grouped_topk
 
 
 def rotate_versions(versions: "rd.Dataset", keep: int = 30,
@@ -31,12 +31,28 @@ def rotate_versions(versions: "rd.Dataset", keep: int = 30,
     article stores (crawl.latest_articles uses those keys via grouped_topk
     directly); without it, ties resolve arrival-dependently.
     ``approx_rows`` scales the partition count to the version store (see
-    rayops.grouped_topk)."""
+    rayops.grouped_topk).  For a parquet-backed store prefer
+    :func:`rotate_versions_store`, which goes payload-light at scale."""
 
     return grouped_topk(versions, "url",
                         [("warc_ts", "descending"), *(tiebreak or [])],
                         k=keep, approx_rows=approx_rows,
                         target_rows_per_part=32_768)
+
+
+def rotate_versions_store(store_dir: str, keep: int = 30,
+                          tiebreak: list[tuple[str, str]] | None = None,
+                          payload_light: bool | None = None) -> "rd.Dataset":
+    """:func:`rotate_versions` over a parquet version store by path.
+
+    Above 500k store rows (or with ``payload_light=True``) the winners
+    are selected over a column-pruned narrow read and only output-sized
+    payloads ever cross the shuffle (rayops.parquet_grouped_topk) — at a
+    30-version store the one-pass plan moves ~versions/keep times the
+    output through the object store."""
+    return parquet_grouped_topk(
+        store_dir, "url", [("warc_ts", "descending"), *(tiebreak or [])],
+        k=keep, payload_light=payload_light, target_rows_per_part=32_768)
 
 
 def board_watermarks(out_dir: str) -> pa.Table:

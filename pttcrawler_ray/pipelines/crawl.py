@@ -47,7 +47,7 @@ from ..parsing.article import parse_articles_batch
 from ..parsing.index import get_last_page, parse_index_batch
 from ..sources.pages import FetchPages, PagesStore, build_shared_index
 from ..state.frontier import FrontierShard, lane_of, shard_of
-from ..util.rayops import grouped_topk, parquet_rows
+from ..util.rayops import parquet_grouped_topk
 
 PTT_URL = "https://www.ptt.cc"
 
@@ -714,93 +714,6 @@ def materialize_latest(out_dir: str) -> str:
 # upgrade crawl can re-emit the same snapshot)
 _LATEST_SORT = [("warc_ts", "descending"), ("index_no", "descending"),
                 ("page_pos", "descending")]
-_LATEST_KEY_COLS = ["url", "warc_ts", "index_no", "page_pos"]
-# payload-light kicks in automatically when the version store has enough
-# rows that shuffling full article payloads dominates the narrow pass
-_PAYLOAD_LIGHT_MIN_ROWS = 500_000
-
-
-def _latest_fingerprints(batch: pa.Table) -> "np.ndarray":
-    """uint64 fingerprint of each row's (url, warc_ts, index_no, page_pos)
-    winner key — vectorized golden-ratio mixing over the int columns on
-    top of the url hash."""
-    import numpy as np
-
-    from ..util.hashing import hash_u64_many
-    from ..util.rayops import GOLDEN64
-
-    h = hash_u64_many(batch["url"].to_pylist())
-    with np.errstate(over="ignore"):
-        g = np.uint64(GOLDEN64)
-        for col in ("warc_ts", "index_no", "page_pos"):
-            v = pc.fill_null(batch[col].cast(pa.int64()), -1) \
-                  .to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = (h ^ v) * g
-            h ^= h >> np.uint64(29)
-    return h
-
-
-def _bloom_filter_batch(batch: pa.Table, *, bloom_ref) -> pa.Table:
-    """Keep rows whose winner-key fingerprint is in the broadcast bloom
-    (no false negatives: every true winner survives; rare false positives
-    are eliminated by the exact re-check pass downstream)."""
-    from ..state.bloom import BloomFilter
-    from ..util.rayops import bcast_get
-
-    bloom = bcast_get(bloom_ref, transform=BloomFilter.restore)
-    return batch.filter(pa.array(bloom.contains_many(_latest_fingerprints(batch))))
-
-
-def _latest_payload_light(out_dir: str, approx_rows: int) -> "rd.Dataset":
-    """Dedupe-latest without shuffling article payloads (the scale path).
-
-    The one-pass formulation shuffles every version's FULL row (KB of
-    content + pushes) to its url partition; at a 30-version store that is
-    30x the output size through the object store.  Instead:
-
-    1. winner selection over a COLUMN-PRUNED read (url + sort keys only,
-       ~40 B/row) — the only all-to-all shuffle handles narrow rows;
-    2. winners' (url, warc_ts, index_no, page_pos) fingerprints go into a
-       bloom filter (vector add of per-batch uint64 arrays; snapshot
-       broadcast once via ray.put);
-    3. the full-payload read is filtered LOCALLY per batch by bloom
-       membership — no shuffle, survivors ~= winners + rare false
-       positives;
-    4. an exact top-1 re-check over the (output-sized) survivors removes
-       false positives.  Exact by construction: blooms have no false
-       negatives, so every true winner reaches step 4, and step 4 applies
-       the same total order as the one-pass formulation.
-
-    On a multi-node cluster step 2's driver-side bloom build becomes a
-    per-partition bloom OR-merge (bitwise union); at sandbox scale the
-    driver adds ~1e6 fingerprints/s which is not the bottleneck."""
-    from ..state.bloom import BloomFilter
-
-    art_dir = os.path.join(out_dir, "articles")
-    narrow = rd.read_parquet(art_dir, columns=_LATEST_KEY_COLS + ["error"])
-    narrow = narrow.map_batches(
-        lambda t: t.filter(pc.is_null(t["error"])).drop_columns(["error"]),
-        batch_format="pyarrow")
-    winners = grouped_topk(narrow, "url", _LATEST_SORT, k=1,
-                           approx_rows=approx_rows)
-    fp_ds = winners.map_batches(
-        lambda t: pa.table({"fp": pa.array(_latest_fingerprints(t), pa.uint64())}),
-        batch_format="pyarrow")
-    bloom = BloomFilter(capacity=max(approx_rows, 1024), bits_per_key=12)
-    n_winners = 0
-    for b in fp_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        arr = b["fp"].to_numpy(zero_copy_only=False)
-        bloom.add_many(arr)
-        n_winners += len(arr)
-    bloom_ref = ray.put(bloom.snapshot())
-
-    full = articles_dataset(out_dir).map_batches(
-        lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow")
-    survivors = full.map_batches(_bloom_filter_batch,
-                                 fn_kwargs={"bloom_ref": bloom_ref},
-                                 batch_format="pyarrow")
-    return grouped_topk(survivors, "url", _LATEST_SORT, k=1,
-                        approx_rows=n_winners, target_rows_per_part=32_768)
 
 
 def latest_articles(out_dir: str, payload_light: bool | None = None) -> "rd.Dataset":
@@ -810,25 +723,15 @@ def latest_articles(out_dir: str, payload_light: bool | None = None) -> "rd.Data
     end-to-end (nested messages/message_count columns never round-trip
     through pandas).  Reads the materialized view when present.
 
-    ``payload_light`` (default: auto by store size) switches to the
-    two-phase winner-selection plan that never shuffles article payloads
-    — see :func:`_latest_payload_light`.  Both plans produce identical
-    rows."""
+    ``payload_light`` (default: auto above 500k store rows) switches to
+    the two-phase winner-selection plan that never shuffles article
+    payloads: narrow winner shuffle + bloom prefilter of the full read +
+    exact output-sized re-check — see rayops.parquet_grouped_topk.  Both
+    plans produce identical rows."""
     dest = os.path.join(out_dir, "latest")
     if os.path.isdir(dest):
         return rd.read_parquet(dest)
-    approx_rows = parquet_rows(os.path.join(out_dir, "articles"))
-    if payload_light is None:
-        payload_light = approx_rows >= _PAYLOAD_LIGHT_MIN_ROWS
-    if payload_light:
-        return _latest_payload_light(out_dir, approx_rows)
-    ds = articles_dataset(out_dir)
-    ds = ds.map_batches(lambda t: t.filter(pc.is_null(t["error"])),
-                        batch_format="pyarrow")
-
-    # one vectorized task per coarse url-hash partition (grouped_topk),
-    # not one Python call per distinct url; ~32k KB-wide article rows
-    # per task.
-    return grouped_topk(ds, "url", _LATEST_SORT, k=1,
-                        approx_rows=approx_rows,
-                        target_rows_per_part=32_768)
+    return parquet_grouped_topk(
+        os.path.join(out_dir, "articles"), "url", _LATEST_SORT, k=1,
+        drop_where_not_null="error", payload_light=payload_light,
+        target_rows_per_part=32_768)

@@ -257,6 +257,120 @@ def grouped_topk(ds, key: str, sort_keys: list[tuple[str, str]], k: int = 1,
                                                  batch_format="pyarrow")
 
 
+# ------------------------------------------------- payload-light top-k
+# grouped_topk shuffles FULL rows to their key partition; over a store of
+# KB-wide rows (article payloads) that is versions/keep times the output
+# size through the object store.  parquet_grouped_topk instead:
+#   1. selects winners over a COLUMN-PRUNED read (key + sort columns,
+#      ~tens of bytes/row) — the only all-to-all handles narrow rows;
+#   2. puts winner-tuple fingerprints in a bloom filter (vector adds of
+#      per-batch uint64 arrays; snapshot broadcast once via ray.put);
+#   3. filters the full-payload read LOCALLY per batch by membership —
+#      no shuffle; survivors ~= winners + rare false positives;
+#   4. runs the exact top-k over the (output-sized) survivors.
+# Exact by construction: blooms have no false negatives, so every true
+# winner reaches step 4, which applies the same total order as the
+# one-pass plan.  On a multi-node cluster step 2's driver-side build
+# becomes a per-partition bloom OR-merge (bitwise union); at sandbox
+# scale the driver adds ~1e6 fingerprints/s, not the bottleneck.
+
+
+def _col_as_u64(c: "pa.ChunkedArray") -> "np.ndarray":
+    """Any column → uint64 array for fingerprint mixing (nulls stable)."""
+    import numpy as np
+
+    from .hashing import hash_u64_many
+
+    t = c.type
+    if pa.types.is_integer(t) or pa.types.is_timestamp(t):
+        return (pc.fill_null(c.cast(pa.int64()), -1)
+                  .to_numpy(zero_copy_only=False).astype(np.uint64))
+    return hash_u64_many([v if v is not None else "" for v in c.to_pylist()])
+
+
+def winner_fingerprints(batch: pa.Table, key: str,
+                        sort_cols: list[str]) -> "np.ndarray":
+    """uint64 fingerprint of each row's (key, *sort_cols) winner tuple."""
+    import numpy as np
+
+    h = _col_as_u64(batch[key])
+    with np.errstate(over="ignore"):
+        g = np.uint64(GOLDEN64)
+        for c in sort_cols:
+            h = (h ^ _col_as_u64(batch[c])) * g
+            h ^= h >> np.uint64(29)
+    return h
+
+
+def _bloom_member_batch(batch: pa.Table, *, bloom_ref, key: str,
+                        sort_cols: list[str]) -> pa.Table:
+    """Keep rows whose winner-tuple fingerprint is in the broadcast bloom."""
+    from ..state.bloom import BloomFilter
+
+    bloom = bcast_get(bloom_ref, transform=BloomFilter.restore)
+    return batch.filter(
+        pa.array(bloom.contains_many(winner_fingerprints(batch, key, sort_cols))))
+
+
+def parquet_grouped_topk(path: str, key: str,
+                         sort_keys: list[tuple[str, str]], k: int = 1,
+                         drop_where_not_null: str | None = None,
+                         payload_light: bool | None = None,
+                         payload_light_min_rows: int = 500_000,
+                         target_rows_per_part: int = 32_768):
+    """Top-k rows per ``key`` over a parquet store, payload-light at scale
+    (see the block comment above).  ``drop_where_not_null`` names a column
+    (e.g. a crawl ``error`` column) whose non-null rows are excluded
+    before selection; ``payload_light=None`` auto-enables the two-phase
+    plan above ``payload_light_min_rows`` store rows.  Both plans produce
+    identical rows (ties beyond ``sort_keys`` arrival-dependent in both)."""
+    import ray
+    import ray.data as rd
+
+    rows = parquet_rows(path)
+    flt = drop_where_not_null
+
+    def read(columns: list[str] | None = None) -> "rd.Dataset":
+        ds = rd.read_parquet(path, columns=columns)
+        if flt:
+            drop = [flt] if columns is not None else []
+            ds = ds.map_batches(
+                lambda t: t.filter(pc.is_null(t[flt])).drop_columns(drop),
+                batch_format="pyarrow")
+        return ds
+
+    if payload_light is None:
+        payload_light = rows >= payload_light_min_rows
+    if not payload_light:
+        return grouped_topk(read(), key, sort_keys, k, approx_rows=rows,
+                            target_rows_per_part=target_rows_per_part)
+
+    from ..state.bloom import BloomFilter
+
+    sort_cols = [c for c, _ in sort_keys]
+    narrow_cols = [key, *sort_cols] + ([flt] if flt else [])
+    winners = grouped_topk(read(narrow_cols), key, sort_keys, k,
+                           approx_rows=rows)
+    fp_ds = winners.map_batches(
+        lambda t: pa.table({"fp": pa.array(winner_fingerprints(t, key, sort_cols),
+                                           pa.uint64())}),
+        batch_format="pyarrow")
+    bloom = BloomFilter(capacity=max(rows, 1024), bits_per_key=12)
+    n_winners = 0
+    for b in fp_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        arr = b["fp"].to_numpy(zero_copy_only=False)
+        bloom.add_many(arr)
+        n_winners += len(arr)
+    bloom_ref = ray.put(bloom.snapshot())
+
+    survivors = read().map_batches(
+        _bloom_member_batch,
+        fn_kwargs={"bloom_ref": bloom_ref, "key": key, "sort_cols": sort_cols},
+        batch_format="pyarrow")
+    return grouped_topk(survivors, key, sort_keys, k, approx_rows=n_winners,
+                        target_rows_per_part=target_rows_per_part)
+
+
 def partitioned_map_groups(ds, key: str, fn, n_parts: int | None = None,
                            approx_rows: int | None = None,
                            target_rows_per_part: int = PART_TARGET_ROWS):

@@ -42,6 +42,37 @@ def version_store(tmp_path):
     return out
 
 
+def test_rotation_payload_light_parity(ray_session, version_store):
+    # k=3 over the same store: payload-light rotation == one-pass rotation
+    from pttcrawler_ray.pipelines.compact import rotate_versions_store
+
+    store = os.path.join(version_store, "articles")
+    tiebreak = [("index_no", "descending"), ("page_pos", "descending")]
+
+    def run(payload_light):
+        df = rotate_versions_store(store, keep=2, tiebreak=tiebreak,
+                                   payload_light=payload_light).to_pandas()
+        cols = sorted(df.columns)
+        return df.sort_values(["url", "warc_ts"]).reset_index(drop=True)[cols]
+
+    pd.testing.assert_frame_equal(run(False), run(True))
+    got = run(True)
+    # rotation keeps error rows too (it compacts the raw store): at most
+    # `keep` rows per url, no url lost, and per url exactly the newest
+    # `keep` warc_ts values are retained
+    assert got.groupby("url").size().max() <= 2
+    import glob
+    raw = pd.concat([pq.read_table(f).to_pandas() for f in
+                     glob.glob(os.path.join(store, "**", "*.parquet"),
+                               recursive=True)])
+    want = (raw.sort_values(["url", "warc_ts"], ascending=[True, False])
+               .groupby("url").head(2))
+    assert set(got["url"]) == set(want["url"])
+    got_ts = got.groupby("url")["warc_ts"].apply(lambda s: sorted(s))
+    want_ts = want.groupby("url")["warc_ts"].apply(lambda s: sorted(s))
+    pd.testing.assert_series_equal(got_ts, want_ts)
+
+
 def test_payload_light_parity(ray_session, version_store):
     def run(payload_light):
         df = latest_articles(version_store, payload_light=payload_light).to_pandas()
