@@ -316,14 +316,24 @@ def parquet_grouped_topk(path: str, key: str,
                          sort_keys: list[tuple[str, str]], k: int = 1,
                          drop_where_not_null: str | None = None,
                          payload_light: bool | None = None,
-                         payload_light_min_rows: int = 500_000,
+                         payload_light_min_rows: int = 4_000_000,
                          target_rows_per_part: int = 32_768):
     """Top-k rows per ``key`` over a parquet store, payload-light at scale
     (see the block comment above).  ``drop_where_not_null`` names a column
     (e.g. a crawl ``error`` column) whose non-null rows are excluded
     before selection; ``payload_light=None`` auto-enables the two-phase
     plan above ``payload_light_min_rows`` store rows.  Both plans produce
-    identical rows (ties beyond ``sort_keys`` arrival-dependent in both)."""
+    identical rows (ties beyond ``sort_keys`` arrival-dependent in both).
+
+    Measured crossover (BASELINE.md): single-node, where the payload
+    shuffle is local object-store memory, one-pass wins until the shuffle
+    approaches spill territory (600k KB-wide rows: 29.8 s one-pass vs
+    41.2 s payload-light — the second read + fingerprint pass costs more
+    than the local shuffle saves), hence the 4M-row auto threshold
+    (~4 GB+ of shuffled payload).  On a multi-node cluster the payload
+    shuffle crosses the NETWORK while the bloom prefilter stays local to
+    each block, so the crossover drops sharply — set
+    ``payload_light=True`` explicitly there."""
     import ray
     import ray.data as rd
 
