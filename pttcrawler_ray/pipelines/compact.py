@@ -45,8 +45,9 @@ def rotate_versions_store(store_dir: str, keep: int = 30,
                           payload_light: bool | None = None) -> "rd.Dataset":
     """:func:`rotate_versions` over a parquet version store by path.
 
-    Above 4M store rows (or with ``payload_light=True``; see the measured
-    crossover in rayops.parquet_grouped_topk) the winners
+    With ``payload_light=True`` (or adaptively, when the narrow-pass
+    probe measures version multiplicity ≥ 6 — see
+    rayops.parquet_grouped_topk) the winners
     are selected over a column-pruned narrow read and only output-sized
     payloads ever cross the shuffle (rayops.parquet_grouped_topk) — at a
     30-version store the one-pass plan moves ~versions/keep times the

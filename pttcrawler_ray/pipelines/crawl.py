@@ -723,8 +723,9 @@ def latest_articles(out_dir: str, payload_light: bool | None = None) -> "rd.Data
     end-to-end (nested messages/message_count columns never round-trip
     through pandas).  Reads the materialized view when present.
 
-    ``payload_light`` (default: auto above 4M store rows — see the measured
-    single-node crossover in rayops.parquet_grouped_topk) switches to
+    ``payload_light`` (default: adaptive — above 500k store rows the
+    narrow winner pass probes version multiplicity; see
+    rayops.parquet_grouped_topk) switches to
     the two-phase winner-selection plan that never shuffles article
     payloads: narrow winner shuffle + bloom prefilter of the full read +
     exact output-sized re-check — see rayops.parquet_grouped_topk.  Both

@@ -316,24 +316,27 @@ def parquet_grouped_topk(path: str, key: str,
                          sort_keys: list[tuple[str, str]], k: int = 1,
                          drop_where_not_null: str | None = None,
                          payload_light: bool | None = None,
-                         payload_light_min_rows: int = 4_000_000,
+                         probe_min_rows: int = 500_000,
+                         min_multiplicity: float = 6.0,
                          target_rows_per_part: int = 32_768):
     """Top-k rows per ``key`` over a parquet store, payload-light at scale
     (see the block comment above).  ``drop_where_not_null`` names a column
     (e.g. a crawl ``error`` column) whose non-null rows are excluded
-    before selection; ``payload_light=None`` auto-enables the two-phase
-    plan above ``payload_light_min_rows`` store rows.  Both plans produce
-    identical rows (ties beyond ``sort_keys`` arrival-dependent in both).
+    before selection.  Both plans produce identical rows (ties beyond
+    ``sort_keys`` arrival-dependent in both).
 
-    Measured crossover (BASELINE.md): single-node, where the payload
-    shuffle is local object-store memory, one-pass wins until the shuffle
-    approaches spill territory (600k KB-wide rows: 29.8 s one-pass vs
-    41.2 s payload-light — the second read + fingerprint pass costs more
-    than the local shuffle saves), hence the 4M-row auto threshold
-    (~4 GB+ of shuffled payload).  On a multi-node cluster the payload
-    shuffle crosses the NETWORK while the bloom prefilter stays local to
-    each block, so the crossover drops sharply — set
-    ``payload_light=True`` explicitly there."""
+    ``payload_light=None`` decides ADAPTIVELY: above ``probe_min_rows``
+    store rows, the narrow winner pass runs first (it is the cheap,
+    column-pruned half of either plan) and payload-light proceeds only
+    when the measured version multiplicity rows/winners ≥
+    ``min_multiplicity`` — below that the probe is discarded (one wasted
+    narrow read) and the one-pass plan runs.  Measured single-node
+    crossover behind the default (BASELINE.md, 8 cpus, 1 KB payloads):
+    multiplicity 3 → one-pass wins 1.4× (29.8 s vs 41.2 s); multiplicity
+    12 → payload-light wins 1.5× (22.5 s vs 34.0 s).  On a multi-node
+    cluster the payload shuffle crosses the NETWORK while the bloom
+    prefilter stays block-local, so the crossover drops — set
+    ``payload_light=True`` or lower ``min_multiplicity`` there."""
     import ray
     import ray.data as rd
 
@@ -349,28 +352,31 @@ def parquet_grouped_topk(path: str, key: str,
                 batch_format="pyarrow")
         return ds
 
-    if payload_light is None:
-        payload_light = rows >= payload_light_min_rows
-    if not payload_light:
+    def one_pass():
         return grouped_topk(read(), key, sort_keys, k, approx_rows=rows,
                             target_rows_per_part=target_rows_per_part)
 
-    from ..state.bloom import BloomFilter
+    if payload_light is False or (payload_light is None and rows < probe_min_rows):
+        return one_pass()
 
     sort_cols = [c for c, _ in sort_keys]
     narrow_cols = [key, *sort_cols] + ([flt] if flt else [])
+    # narrow winner pass: the only all-to-all, over ~tens of bytes/row
     winners = grouped_topk(read(narrow_cols), key, sort_keys, k,
-                           approx_rows=rows)
+                           approx_rows=rows).materialize()
+    n_winners = winners.count()
+    if payload_light is None and rows < min_multiplicity * max(n_winners, 1):
+        return one_pass()  # low multiplicity: local payload shuffle is cheaper
+
+    from ..state.bloom import BloomFilter
+
     fp_ds = winners.map_batches(
         lambda t: pa.table({"fp": pa.array(winner_fingerprints(t, key, sort_cols),
                                            pa.uint64())}),
         batch_format="pyarrow")
-    bloom = BloomFilter(capacity=max(rows, 1024), bits_per_key=12)
-    n_winners = 0
+    bloom = BloomFilter(capacity=max(n_winners, 1024), bits_per_key=12)
     for b in fp_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-        arr = b["fp"].to_numpy(zero_copy_only=False)
-        bloom.add_many(arr)
-        n_winners += len(arr)
+        bloom.add_many(b["fp"].to_numpy(zero_copy_only=False))
     bloom_ref = ray.put(bloom.snapshot())
 
     survivors = read().map_batches(
