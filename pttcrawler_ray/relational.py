@@ -155,7 +155,11 @@ def customers_balance_by_nation(sf_dir: str) -> "rd.Dataset":
             # no per-row Python
             pos_ix = self.index.get_indexer(
                 t["c_nationkey"].to_numpy(zero_copy_only=False))
-            p = pc.greater(t["c_acctbal"], 0.0).to_numpy(zero_copy_only=False)
+            # fill_null(False): a null balance counts as non-positive (the
+            # per-row formulation's falsy-None behavior), and keeps the
+            # mask bool-dtyped instead of object-with-None
+            p = pc.fill_null(pc.greater(t["c_acctbal"], 0.0),
+                             False).to_numpy(zero_copy_only=False)
             npos = np.bincount(pos_ix[p], minlength=len(self.index))
             nneg = np.bincount(pos_ix[~p], minlength=len(self.index))
             seen = (npos + nneg) > 0
@@ -206,6 +210,11 @@ def orders_denorm(sf_dir: str) -> "rd.Dataset":
         def __call__(self, t: pa.Table) -> pa.Table:
             pos = self.index.get_indexer(
                 t["o_custkey"].to_numpy(zero_copy_only=False))
+            if pos.min(initial=0) < 0:
+                # get_indexer's -1 would silently fancy-index the LAST
+                # customer; fail loudly like the dict lookup it replaced
+                bad = t["o_custkey"].to_numpy(zero_copy_only=False)[pos < 0]
+                raise KeyError(f"o_custkey not in customer dim: {bad[:5]}")
             return pa.table({
                 "o_orderkey": t["o_orderkey"],
                 "c_name": pa.array(self.names[pos], pa.string()),

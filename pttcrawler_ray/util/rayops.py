@@ -92,12 +92,15 @@ def bcast_get(ref, transform=None):
         key = (ref.hex(), "", "")
     else:
         qn = getattr(transform, "__qualname__", "")
-        if "<lambda>" in qn or "<locals>" in qn:
+        mod = getattr(transform, "__module__", "")
+        if not qn or not mod or "<lambda>" in qn or "<locals>" in qn:
+            # no/empty qualname (functools.partial, callable instances)
+            # would degenerate to the no-transform key and collide
             raise TypeError(
                 "bcast_get transform must be a module-level named callable "
-                f"(got {qn!r}) — closure-local functions collide in the "
-                "per-worker cache key")
-        key = (ref.hex(), getattr(transform, "__module__", ""), qn)
+                f"(got {transform!r}) — closure-local or anonymous callables "
+                "collide in the per-worker cache key")
+        key = (ref.hex(), mod, qn)
     if key in _BCAST_CACHE:
         _BCAST_CACHE.move_to_end(key)
         return _BCAST_CACHE[key]
@@ -190,22 +193,43 @@ def parquet_rows(path: str) -> int:
 def _local_topk(g: pa.Table, key: str, sort_keys, k: int) -> pa.Table:
     """First k rows per key-run of ``g`` sorted by (key, *sort_keys) —
     one Arrow C++ sort + numpy run-length boundary pass, no per-key loop.
-    Null keys form ONE run (groupby semantics): a nullable int key
-    converts to float-with-NaN where NaN != NaN would otherwise make
-    every null row its own group."""
+    Null keys (and float-NaN keys) form ONE run (groupby semantics).
+
+    Exactness notes: a nullable int64 key must NOT be compared in its
+    to_numpy float64 form — distinct keys above 2^53 collapse to the
+    same float and would silently merge groups — so the int path compares
+    exact fill_null values with a separate null mask; the float path
+    treats NaN (whether from nulls or genuine NaN values) as one run."""
     import numpy as np
 
     idx = pc.sort_indices(g, sort_keys=[(key, "ascending"), *sort_keys])
     s = g.take(idx)
     key_arr = s[key]
-    keys_np = key_arr.to_numpy(zero_copy_only=False)
+    typ = key_arr.type
+    miss = None  # rows whose key is "missing" (null / NaN) — one group
+    if pa.types.is_integer(typ):
+        # exact int compare (float64 round-trip is lossy above 2^53)
+        filled = pc.fill_null(key_arr, 0)
+        filled = filled.cast(pa.uint64() if pa.types.is_unsigned_integer(typ)
+                             else pa.int64())
+        keys_np = filled.to_numpy(zero_copy_only=False)
+        if key_arr.null_count:
+            miss = pc.is_null(key_arr).to_numpy(zero_copy_only=False)
+    else:
+        keys_np = key_arr.to_numpy(zero_copy_only=False)
+        if keys_np.dtype.kind == "f":
+            # covers Arrow nulls (→ NaN) AND genuine NaN values
+            miss = np.isnan(keys_np)
+        elif key_arr.null_count:
+            nulls = pc.is_null(key_arr).to_numpy(zero_copy_only=False)
+            keys_np = np.where(nulls, "", keys_np)  # object dtype: stable compare
+            miss = nulls
     if keys_np.size == 0:
         return s
     neq = keys_np[1:] != keys_np[:-1]
-    if key_arr.null_count:
-        nulls = pc.is_null(key_arr).to_numpy(zero_copy_only=False)
-        # adjacent nulls: same run; null vs non-null: always a boundary
-        neq = (neq & ~(nulls[1:] & nulls[:-1])) | (nulls[1:] ^ nulls[:-1])
+    if miss is not None and miss.any():
+        # adjacent missing: same run; missing vs present: always a boundary
+        neq = (neq & ~(miss[1:] & miss[:-1])) | (miss[1:] ^ miss[:-1])
     new_run = np.r_[True, neq]
     starts = np.flatnonzero(new_run)
     run_id = np.cumsum(new_run) - 1
@@ -276,15 +300,26 @@ def grouped_topk(ds, key: str, sort_keys: list[tuple[str, str]], k: int = 1,
 
 
 def _col_as_u64(c: "pa.ChunkedArray") -> "np.ndarray":
-    """Any column → uint64 array for fingerprint mixing (nulls stable)."""
+    """Any column → uint64 array for fingerprint mixing.  Deterministic
+    per value (the only requirement: the winner pass and the full pass
+    must fingerprint equal values equally); nulls/NaN map to a stable
+    sentinel."""
     import numpy as np
 
     from .hashing import hash_u64_many
 
     t = c.type
+    if pa.types.is_unsigned_integer(t):
+        return (pc.fill_null(c, 0).cast(pa.uint64())
+                  .to_numpy(zero_copy_only=False).astype(np.uint64))
     if pa.types.is_integer(t) or pa.types.is_timestamp(t):
         return (pc.fill_null(c.cast(pa.int64()), -1)
                   .to_numpy(zero_copy_only=False).astype(np.uint64))
+    if pa.types.is_floating(t):
+        k = c.to_numpy(zero_copy_only=False).astype(np.float64)
+        k = np.nan_to_num(k, nan=0.0, posinf=np.inf, neginf=-np.inf)
+        k = np.where(k == 0.0, 0.0, k)  # normalize -0.0
+        return k.view(np.uint64)
     return hash_u64_many([v if v is not None else "" for v in c.to_pylist()])
 
 
@@ -362,10 +397,19 @@ def parquet_grouped_topk(path: str, key: str,
     sort_cols = [c for c, _ in sort_keys]
     narrow_cols = [key, *sort_cols] + ([flt] if flt else [])
     # narrow winner pass: the only all-to-all, over ~tens of bytes/row
-    winners = grouped_topk(read(narrow_cols), key, sort_keys, k,
+    narrow = read(narrow_cols)
+    eligible = rows
+    if flt and payload_light is None:
+        # the multiplicity probe must compare ELIGIBLE rows (error rows
+        # excluded) to winners, or an error-heavy store overstates
+        # multiplicity; pin the filtered projection so counting it does
+        # not re-run the read for the winner pass
+        narrow = narrow.materialize()
+        eligible = narrow.count()
+    winners = grouped_topk(narrow, key, sort_keys, k,
                            approx_rows=rows).materialize()
     n_winners = winners.count()
-    if payload_light is None and rows < min_multiplicity * max(n_winners, 1):
+    if payload_light is None and eligible < min_multiplicity * max(n_winners, 1):
         return one_pass()  # low multiplicity: local payload shuffle is cheaper
 
     from ..state.bloom import BloomFilter

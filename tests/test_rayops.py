@@ -113,3 +113,78 @@ def test_anti_join_ids_survives_reserved_column_names(ray_session):
     kept = out.sort_values("doc_id")
     assert (kept["tag"].to_numpy() == kept["doc_id"].to_numpy() * 10).all()
     assert set(out.columns) == {"doc_id", "tag", "bucket", "jk"}
+
+
+def test_grouped_topk_large_int_keys_with_nulls_stay_distinct(ray_session):
+    # nullable int64 keys above 2^53: the float64 to_numpy form collapses
+    # 2^60 and 2^60+1 to the same value — exact int compare must not
+    df = pd.DataFrame({
+        "key": pd.array([2**60, 2**60, 2**60 + 1, 2**60 + 1, None, None],
+                        dtype="Int64"),
+        "ts": [1, 2, 1, 5, 3, 9],
+        "uid": [0, 1, 2, 3, 4, 5],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    out = grouped_topk(ds, "key", [("ts", "descending")], k=1,
+                       n_parts=4).to_pandas()
+    assert len(out) == 3  # 2^60, 2^60+1, null — three distinct groups
+    assert sorted(out["uid"]) == [1, 3, 5]
+
+
+def test_grouped_topk_nan_float_keys_one_group(ray_session):
+    # GENUINE NaN keys (null_count == 0 in Arrow) must form one group too
+    tbl = pa.table({
+        "key": pa.array(np.array([1.5, np.nan, np.nan, 1.5, np.nan]),
+                        from_pandas=False),
+        "ts": pa.array([1, 2, 9, 5, 4], pa.int64()),
+        "uid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    })
+    assert tbl["key"].null_count == 0
+    out = grouped_topk(rd.from_arrow(tbl), "key", [("ts", "descending")],
+                       k=1, n_parts=4).to_pandas()
+    assert len(out) == 2
+    assert sorted(out["uid"]) == [2, 3]  # NaN group -> uid 2; 1.5 group -> uid 3
+
+
+def test_parquet_grouped_topk_float_sort_column(ray_session, tmp_path):
+    # payload-light fingerprints must handle float sort columns (and the
+    # plans must agree) — previously crashed in hash_u64_many
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pttcrawler_ray.util.rayops import parquet_grouped_topk
+
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    n = 3_000
+    rng = np.random.default_rng(5)
+    pq.write_table(pa.table({
+        "key": pa.array((np.arange(n) % 500).astype("int64")),
+        "score": pa.array(rng.random(n)),
+        "payload": pa.array(["x" * 50] * n),
+    }), os.path.join(d, "part-0.parquet"))
+    kw = dict(k=1, probe_min_rows=1)
+    a = parquet_grouped_topk(d, "key", [("score", "descending")],
+                             payload_light=True, **kw).to_pandas()
+    b = parquet_grouped_topk(d, "key", [("score", "descending")],
+                             payload_light=False, **kw).to_pandas()
+    a = a.sort_values("key").reset_index(drop=True)
+    b = b.sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 500
+
+
+def test_bcast_get_rejects_anonymous_transforms(ray_session):
+    import functools
+
+    import ray
+
+    from pttcrawler_ray.util.rayops import bcast_get
+
+    ref = ray.put({"x": 1})
+    with pytest.raises(TypeError):
+        bcast_get(ref, transform=lambda s: s)
+    with pytest.raises(TypeError):
+        bcast_get(ref, transform=functools.partial(dict))
+    assert bcast_get(ref) == {"x": 1}
