@@ -24,8 +24,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from .util.rayops import (grouped_topk, parquet_rows, partitioned_map_groups,
-                          read_parquet_clean)
+from .util.rayops import (bucketed_membership_join, grouped_topk, parquet_rows,
+                          partitioned_map_groups, read_parquet_clean)
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None,
@@ -99,14 +99,22 @@ def _distinct_key_set(ds: "rd.Dataset", col: str) -> frozenset:
 
 
 # ------------------------------------------------------------- J1: anti-join
-def customers_without_orders(sf_dir: str, min_total: float = 400_000.0) -> "rd.Dataset":
-    """Broadcast anti-join: customers with no order above ``min_total``.
-    The distinct qualifying custkey set rides the object store once.  The
-    filter is pushed into the orders read (row-group pruning)."""
+def customers_without_orders(sf_dir: str, min_total: float = 400_000.0,
+                             distributed: bool = False) -> "rd.Dataset":
+    """Anti-join: customers with no order above ``min_total``.  Default
+    plan broadcasts the distinct qualifying custkey set (rides the object
+    store once; the filter is pushed into the orders read for row-group
+    pruning).  ``distributed=True`` switches to the exact bucketed
+    membership join (rayops.bucketed_membership_join) for key sets too
+    large to broadcast — a bloom cannot substitute here: an FP would
+    wrongly DROP a customer."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
                    filter=(pc.field("o_totalprice") > min_total))
-    ref = ray.put(_distinct_key_set(orders, "o_custkey"))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    if distributed:
+        return bucketed_membership_join(cust, orders, "c_custkey", "o_custkey",
+                                        keep_members=False)
+    ref = ray.put(_distinct_key_set(orders, "o_custkey"))
     return cust.map_batches(
         _KeySetFilter,
         fn_constructor_kwargs={"key_ref": ref, "col": "c_custkey", "keep_members": False},
@@ -114,13 +122,20 @@ def customers_without_orders(sf_dir: str, min_total: float = 400_000.0) -> "rd.D
 
 
 # ------------------------------------------------------------- J4: semi-join
-def orders_of_segment(sf_dir: str, segment: str = "BUILDING") -> "rd.Dataset":
+def orders_of_segment(sf_dir: str, segment: str = "BUILDING",
+                      distributed: bool = False) -> "rd.Dataset":
+    """Semi-join: orders of one customer segment.  Plans as in
+    :func:`customers_without_orders` (broadcast set vs exact bucketed
+    membership join at scale)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     seg = cust.map_batches(
         lambda t, s=segment: t.filter(pc.equal(t["c_mktsegment"], s)),
         batch_format="pyarrow")
-    ref = ray.put(_distinct_key_set(seg, "c_custkey"))
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    if distributed:
+        return bucketed_membership_join(orders, seg, "o_custkey", "c_custkey",
+                                        keep_members=True)
+    ref = ray.put(_distinct_key_set(seg, "c_custkey"))
     return orders.map_batches(
         _KeySetFilter,
         fn_constructor_kwargs={"key_ref": ref, "col": "o_custkey", "keep_members": True},

@@ -726,51 +726,12 @@ def _anti_join_ids(docs: "rd.Dataset", drop_ds: "rd.Dataset",
                    id_col: str = "doc_id") -> "rd.Dataset":
     """Exact distributed anti-join: docs minus rows whose ``id_col`` is in
     ``drop_ds`` (column ``node``) — the at-scale replacement for a
-    broadcast drop-id value set (tagged-union bucketed, per-task memory =
-    one bucket, ~100k docs per bucket)."""
-    # normalize blocks to Arrow (zero-copy for parquet-born datasets;
-    # pandas-backed blocks would report a non-Arrow base_schema)
-    docs = docs.map_batches(lambda t: t, batch_format="pyarrow").materialize()
-    pa_schema = docs.schema().base_schema
-    carry = [(f.name, f.type) for f in pa_schema]
-    n_buckets = max(_PAIR_PARTITIONS, docs.count() // 100_000 + 1)
+    broadcast drop-id value set (rayops.bucketed_membership_join:
+    tagged-union bucketed, per-task memory = one bucket)."""
+    from ..util.rayops import bucketed_membership_join
 
-    def tag_docs(t: pa.Table) -> pa.Table:
-        jk = t[id_col].cast(pa.int64())
-        cols = {
-            "__jn_bucket": _bucket_partition_col(
-                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "__jn_tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
-            "__jn_jk": jk,
-        }
-        for c, _ in carry:
-            cols[c] = t[c]
-        return pa.table(cols)
-
-    def tag_drops(t: pa.Table) -> pa.Table:
-        jk = t["node"].cast(pa.int64())
-        cols = {
-            "__jn_bucket": _bucket_partition_col(
-                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "__jn_tag": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
-            "__jn_jk": jk,
-        }
-        for c, typ in carry:
-            cols[c] = pa.nulls(t.num_rows, typ)
-        return pa.table(cols)
-
-    both = docs.map_batches(tag_docs, batch_format="pyarrow").union(
-        drop_ds.map_batches(tag_drops, batch_format="pyarrow"))
-
-    def keep_bucket(g: pa.Table) -> pa.Table:
-        tags = g["__jn_tag"].to_numpy(zero_copy_only=False)
-        drop_keys = g.filter(pa.array(tags == 1))["__jn_jk"].combine_chunks()
-        d = g.filter(pa.array(tags == 0))
-        if len(drop_keys):
-            d = d.filter(pc.invert(pc.is_in(d["__jn_jk"], value_set=drop_keys)))
-        return d.select([c for c, _ in carry])
-
-    return both.groupby("__jn_bucket").map_groups(keep_bucket, batch_format="pyarrow")
+    return bucketed_membership_join(docs, drop_ds, id_col, "node",
+                                    keep_members=False)
 
 
 def minhash_dedup(docs: "rd.Dataset", threshold: float = 0.7, **kw) -> "rd.Dataset":

@@ -281,6 +281,63 @@ def grouped_topk(ds, key: str, sort_keys: list[tuple[str, str]], k: int = 1,
                                                  batch_format="pyarrow")
 
 
+# ------------------------------------- exact bucketed membership join
+# The at-scale replacement for a broadcast key-set semi/anti join when
+# the key side no longer fits a broadcast: tagged-union shape (the
+# relational.lineitem_order_join pattern) — both sides bucket by key
+# hash, one groupby, an is_in filter inside each bucket task.  Per-task
+# memory = one bucket; nothing materializes on the driver.  Exact (no
+# bloom FP semantics to reason about) — a bloom would wrongly DROP rows
+# in the anti case and wrongly KEEP rows in the semi case.
+
+
+def bucketed_membership_join(data, keys_ds, data_key: str, keys_col: str,
+                             keep_members: bool,
+                             rows_per_bucket: int = 100_000):
+    """Keep (``keep_members=True``, semi join) or drop (False, anti join)
+    the rows of ``data`` whose integer ``data_key`` appears in column
+    ``keys_col`` of ``keys_ds``.  Full input schema carried through;
+    row multiplicity preserved (no dedup of data rows)."""
+    import numpy as np
+
+    # normalize blocks to Arrow (zero-copy for parquet-born datasets;
+    # pandas-backed blocks report a non-Arrow base_schema)
+    data = data.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+    carry = [(f.name, f.type) for f in data.schema().base_schema]
+    n_buckets = max(64, data.count() // rows_per_bucket + 1)
+
+    def tag(t: pa.Table, src_col: str, tag_val: int) -> pa.Table:
+        jk = t[src_col].cast(pa.int64())
+        cols = {
+            "__jn_bucket": bucket_partition_col(
+                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
+            "__jn_tag": pa.array(np.full(t.num_rows, tag_val, np.int8), pa.int8()),
+            "__jn_jk": jk,
+        }
+        for c, typ in carry:
+            cols[c] = t[c] if tag_val == 0 else pa.nulls(t.num_rows, typ)
+        return pa.table(cols)
+
+    both = data.map_batches(lambda t: tag(t, data_key, 0),
+                            batch_format="pyarrow").union(
+        keys_ds.map_batches(lambda t: tag(t, keys_col, 1),
+                            batch_format="pyarrow"))
+
+    def filter_bucket(g: pa.Table) -> pa.Table:
+        tags = g["__jn_tag"].to_numpy(zero_copy_only=False)
+        keys = g.filter(pa.array(tags == 1))["__jn_jk"].combine_chunks()
+        d = g.filter(pa.array(tags == 0))
+        if len(keys):
+            mask = pc.is_in(d["__jn_jk"], value_set=keys)
+            d = d.filter(mask if keep_members else pc.invert(mask))
+        elif keep_members:
+            d = d.slice(0, 0)
+        return d.select([c for c, _ in carry])
+
+    return both.groupby("__jn_bucket").map_groups(filter_bucket,
+                                                  batch_format="pyarrow")
+
+
 # ------------------------------------------------- payload-light top-k
 # grouped_topk shuffles FULL rows to their key partition; over a store of
 # KB-wide rows (article payloads) that is versions/keep times the output

@@ -188,3 +188,28 @@ def test_bcast_get_rejects_anonymous_transforms(ray_session):
     with pytest.raises(TypeError):
         bcast_get(ref, transform=functools.partial(dict))
     assert bcast_get(ref) == {"x": 1}
+
+
+def test_membership_join_plans_agree(ray_session):
+    # the exact bucketed membership join (scale plan) must equal the
+    # broadcast key-set plan for both the semi and the anti join
+    from pttcrawler_ray.relational import (customers_without_orders,
+                                           orders_of_segment)
+
+    sf = "/root/testdata/sf0.001"
+
+    def norm(ds, cols):
+        return (ds.to_pandas()[cols].sort_values(cols)
+                  .reset_index(drop=True))
+
+    a = norm(customers_without_orders(sf), ["c_custkey", "c_name"])
+    b = norm(customers_without_orders(sf, distributed=True),
+             ["c_custkey", "c_name"])
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    a = norm(orders_of_segment(sf), cols)
+    b = norm(orders_of_segment(sf, distributed=True), cols)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
