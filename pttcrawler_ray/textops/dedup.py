@@ -316,53 +316,16 @@ def _attach_shingles(pairs: "rd.Dataset", sh_ds: "rd.Dataset", key_col: str,
                      out_col: str, n_buckets: int,
                      carry: list[tuple[str, "pa.DataType"]]) -> "rd.Dataset":
     """Bucketed hash join: add column ``out_col`` (shingle list of the doc
-    in ``key_col``) to the pair dataset.  Tagged-union shape (the
-    relational.lineitem_order_join pattern): both sides bucket by the join
-    key, one groupby, dict-join inside each bucket task — per-task memory
-    is bucket-sized, nothing on the driver.  ``carry`` lists the pair-side
-    (column, type) to keep (declared, not inferred: Dataset.schema() on the
-    lazy pair pipeline would force an extra execution)."""
+    in ``key_col``) to the pair dataset (rayops.bucketed_lookup_join —
+    per-task memory is bucket-sized, nothing on the driver).  ``carry``
+    lists the pair-side (column, type) to keep (declared, not inferred:
+    Dataset.schema() on the lazy pair pipeline would force an extra
+    execution)."""
+    from ..util.rayops import bucketed_lookup_join
 
-    def tag_pairs(t: pa.Table) -> pa.Table:
-        jk = t[key_col].cast(pa.int64())
-        cols = {
-            "__jn_bucket": _bucket_partition_col(
-                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "__jn_tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
-            "__jn_jk": jk,
-        }
-        for c, _ in carry:
-            cols[c] = t[c]
-        cols["__jn_sh"] = pa.nulls(t.num_rows, pa.list_(pa.uint64()))
-        return pa.table(cols)
-
-    def tag_sh(t: pa.Table) -> pa.Table:
-        jk = t["doc_id"].cast(pa.int64())
-        cols = {
-            "__jn_bucket": _bucket_partition_col(
-                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "__jn_tag": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
-            "__jn_jk": jk,
-        }
-        for c, typ in carry:
-            cols[c] = pa.nulls(t.num_rows, typ)
-        cols["__jn_sh"] = t["shingles"]
-        return pa.table(cols)
-
-    both = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
-        sh_ds.map_batches(tag_sh, batch_format="pyarrow"))
-
-    def join_bucket(g: pa.Table) -> pa.Table:
-        tags = g["__jn_tag"].to_numpy(zero_copy_only=False)
-        sh_rows = g.filter(pa.array(tags == 1))
-        lut = dict(zip(sh_rows["__jn_jk"].to_pylist(), sh_rows["__jn_sh"].to_pylist()))
-        p = g.filter(pa.array(tags == 0))
-        joined = [lut.get(k) for k in p["__jn_jk"].to_pylist()]
-        cols = {c: p[c] for c, _ in carry}
-        cols[out_col] = pa.array(joined, pa.list_(pa.uint64()))
-        return pa.table(cols)
-
-    return both.groupby("__jn_bucket").map_groups(join_bucket, batch_format="pyarrow")
+    return bucketed_lookup_join(pairs, sh_ds, key_col, "doc_id", "shingles",
+                                out_col, pa.list_(pa.uint64()), carry,
+                                n_buckets)
 
 
 def _jaccard_from_lists(batch: pa.Table, *, threshold: float) -> pa.Table:

@@ -338,6 +338,61 @@ def bucketed_membership_join(data, keys_ds, data_key: str, keys_col: str,
                                                   batch_format="pyarrow")
 
 
+def bucketed_lookup_join(data, lookup_ds, data_key: str, lookup_key: str,
+                         value_col: str, out_col: str, value_type,
+                         carry: list, n_buckets: int):
+    """Same tagged-union bucketed shape as
+    :func:`bucketed_membership_join`, but a LOOKUP join: append column
+    ``out_col`` (= ``value_col`` of the ``lookup_ds`` row whose
+    ``lookup_key`` equals the data row's integer ``data_key``; null when
+    absent) to every data row.  ``carry`` declares the data-side
+    (column, type) pairs to keep — declared rather than inferred so a
+    lazy data pipeline is not forced just to read its schema."""
+    import numpy as np
+
+    def tag_data(t: pa.Table) -> pa.Table:
+        jk = t[data_key].cast(pa.int64())
+        cols = {
+            "__jn_bucket": bucket_partition_col(
+                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
+            "__jn_tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            "__jn_jk": jk,
+        }
+        for c, _ in carry:
+            cols[c] = t[c]
+        cols["__jn_val"] = pa.nulls(t.num_rows, value_type)
+        return pa.table(cols)
+
+    def tag_lookup(t: pa.Table) -> pa.Table:
+        jk = t[lookup_key].cast(pa.int64())
+        cols = {
+            "__jn_bucket": bucket_partition_col(
+                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
+            "__jn_tag": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            "__jn_jk": jk,
+        }
+        for c, typ in carry:
+            cols[c] = pa.nulls(t.num_rows, typ)
+        cols["__jn_val"] = t[value_col]
+        return pa.table(cols)
+
+    both = data.map_batches(tag_data, batch_format="pyarrow").union(
+        lookup_ds.map_batches(tag_lookup, batch_format="pyarrow"))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        tags = g["__jn_tag"].to_numpy(zero_copy_only=False)
+        l_rows = g.filter(pa.array(tags == 1))
+        lut = dict(zip(l_rows["__jn_jk"].to_pylist(), l_rows["__jn_val"].to_pylist()))
+        d = g.filter(pa.array(tags == 0))
+        joined = [lut.get(k) for k in d["__jn_jk"].to_pylist()]
+        cols = {c: d[c] for c, _ in carry}
+        cols[out_col] = pa.array(joined, value_type)
+        return pa.table(cols)
+
+    return both.groupby("__jn_bucket").map_groups(join_bucket,
+                                                  batch_format="pyarrow")
+
+
 # ------------------------------------------------- payload-light top-k
 # grouped_topk shuffles FULL rows to their key partition; over a store of
 # KB-wide rows (article payloads) that is versions/keep times the output
