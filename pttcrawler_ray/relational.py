@@ -112,8 +112,11 @@ def customers_without_orders(sf_dir: str, min_total: float = 400_000.0,
                    filter=(pc.field("o_totalprice") > min_total))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     if distributed:
-        return bucketed_membership_join(cust, orders, "c_custkey", "o_custkey",
-                                        keep_members=False)
+        # declared carry + footer row count keep the fact pipeline lazy
+        return bucketed_membership_join(
+            cust, orders, "c_custkey", "o_custkey", keep_members=False,
+            carry=[("c_custkey", pa.int64()), ("c_name", pa.string())],
+            approx_rows=_rows(sf_dir, "customer"))
     ref = ray.put(_distinct_key_set(orders, "o_custkey"))
     return cust.map_batches(
         _KeySetFilter,
@@ -133,8 +136,11 @@ def orders_of_segment(sf_dir: str, segment: str = "BUILDING",
         batch_format="pyarrow")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     if distributed:
-        return bucketed_membership_join(orders, seg, "o_custkey", "c_custkey",
-                                        keep_members=True)
+        return bucketed_membership_join(
+            orders, seg, "o_custkey", "c_custkey", keep_members=True,
+            carry=[("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                   ("o_totalprice", pa.float64())],
+            approx_rows=_rows(sf_dir, "orders"))
     ref = ray.put(_distinct_key_set(seg, "c_custkey"))
     return orders.map_batches(
         _KeySetFilter,

@@ -151,9 +151,13 @@ def _key_hash_col(col: "pa.ChunkedArray", n_parts: int) -> pa.Array:
     from .hashing import hash_u64_many
 
     typ = col.type
-    if pa.types.is_integer(typ):
+    if pa.types.is_integer(typ) or pa.types.is_timestamp(typ):
         # fill nulls BEFORE to_numpy: a nullable int column otherwise
-        # converts to float64-with-NaN, and NaN.astype(uint64) is UB
+        # converts to float64-with-NaN, and NaN.astype(uint64) is UB;
+        # temporal keys hash via their int64 representation (unsigned
+        # ints stay unsigned — casting uint64 >= 2^63 to int64 raises)
+        if not pa.types.is_unsigned_integer(typ):
+            col = col.cast(pa.int64())
         k = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(np.uint64)
         return bucket_partition_col(k, n_parts)
     if pa.types.is_floating(typ):
@@ -207,11 +211,11 @@ def _local_topk(g: pa.Table, key: str, sort_keys, k: int) -> pa.Table:
     key_arr = s[key]
     typ = key_arr.type
     miss = None  # rows whose key is "missing" (null / NaN) — one group
-    if pa.types.is_integer(typ):
-        # exact int compare (float64 round-trip is lossy above 2^53)
-        filled = pc.fill_null(key_arr, 0)
-        filled = filled.cast(pa.uint64() if pa.types.is_unsigned_integer(typ)
-                             else pa.int64())
+    if pa.types.is_integer(typ) or pa.types.is_timestamp(typ):
+        # exact int compare (float64 round-trip is lossy above 2^53);
+        # temporal keys ride the same path via their int64 representation
+        filled = pc.fill_null(key_arr.cast(
+            pa.uint64() if pa.types.is_unsigned_integer(typ) else pa.int64()), 0)
         keys_np = filled.to_numpy(zero_copy_only=False)
         if key_arr.null_count:
             miss = pc.is_null(key_arr).to_numpy(zero_copy_only=False)
@@ -221,9 +225,12 @@ def _local_topk(g: pa.Table, key: str, sort_keys, k: int) -> pa.Table:
             # covers Arrow nulls (→ NaN) AND genuine NaN values
             miss = np.isnan(keys_np)
         elif key_arr.null_count:
-            nulls = pc.is_null(key_arr).to_numpy(zero_copy_only=False)
-            keys_np = np.where(nulls, "", keys_np)  # object dtype: stable compare
-            miss = nulls
+            miss = pc.is_null(key_arr).to_numpy(zero_copy_only=False)
+            if keys_np.dtype == object:
+                # stable compare for None-holding object arrays
+                keys_np = np.where(miss, "", keys_np)
+            # non-object numpy dtypes (datetime64/NaT residue): compare
+            # directly — the miss corrections below unify missing rows
     if keys_np.size == 0:
         return s
     neq = keys_np[1:] != keys_np[:-1]
@@ -290,45 +297,84 @@ def grouped_topk(ds, key: str, sort_keys: list[tuple[str, str]], k: int = 1,
 # bloom FP semantics to reason about) — a bloom would wrongly DROP rows
 # in the anti case and wrongly KEEP rows in the semi case.
 
+_JN_RESERVED = ("__jn_bucket", "__jn_tag", "__jn_jk", "__jn_val")
+
+
+def _tag_side(t: pa.Table, src_col: str, tag_val: int, carry: list,
+              n_buckets: int, value_col: str | None = None,
+              value_type=None) -> pa.Table:
+    """One side of the tagged union: bucket id from the (null-filled)
+    int64 join key, int8 tag, the key itself, null-padded carry columns,
+    and — for lookup joins — the value column.  Null keys all bucket
+    together (fill_null(0)) so their handling is deterministic."""
+    import numpy as np
+
+    jk = t[src_col].cast(pa.int64())
+    cols = {
+        "__jn_bucket": bucket_partition_col(
+            pc.fill_null(jk, 0).to_numpy(zero_copy_only=False)
+              .astype(np.uint64), n_buckets),
+        "__jn_tag": pa.array(np.full(t.num_rows, tag_val, np.int8), pa.int8()),
+        "__jn_jk": jk,
+    }
+    for c, typ in carry:
+        cols[c] = t[c] if tag_val == 0 else pa.nulls(t.num_rows, typ)
+    if value_type is not None:
+        cols["__jn_val"] = (pa.nulls(t.num_rows, value_type)
+                            if value_col is None else t[value_col])
+    return pa.table(cols)
+
+
+def _check_carry(carry: list) -> None:
+    clash = [c for c, _ in carry if c in _JN_RESERVED]
+    if clash:
+        raise ValueError(
+            f"input schema uses reserved join column names {clash}; rename "
+            "them before a bucketed join")
+
 
 def bucketed_membership_join(data, keys_ds, data_key: str, keys_col: str,
                              keep_members: bool,
-                             rows_per_bucket: int = 100_000):
+                             rows_per_bucket: int = 100_000,
+                             carry: list | None = None,
+                             approx_rows: int | None = None):
     """Keep (``keep_members=True``, semi join) or drop (False, anti join)
     the rows of ``data`` whose integer ``data_key`` appears in column
-    ``keys_col`` of ``keys_ds``.  Full input schema carried through;
-    row multiplicity preserved (no dedup of data rows)."""
-    import numpy as np
+    ``keys_col`` of ``keys_ds``.  Full input schema carried through; row
+    multiplicity preserved (no dedup of data rows).  A null ``data_key``
+    never matches (dropped by the semi join, kept by the anti join) —
+    deterministic, unlike hashing NaN.
 
-    # normalize blocks to Arrow (zero-copy for parquet-born datasets;
-    # pandas-backed blocks report a non-Arrow base_schema)
-    data = data.map_batches(lambda t: t, batch_format="pyarrow").materialize()
-    carry = [(f.name, f.type) for f in data.schema().base_schema]
-    n_buckets = max(64, data.count() // rows_per_bucket + 1)
+    Pass ``carry`` ((column, type) pairs of the data schema) and
+    ``approx_rows`` to keep the data side LAZY — without them the data
+    pipeline is materialized just to infer its schema and row count,
+    which defeats the at-scale purpose for parquet-born inputs whose
+    schema the caller already knows."""
+    if carry is None or approx_rows is None:
+        # normalize blocks to Arrow (zero-copy for parquet-born datasets;
+        # pandas-backed blocks report a non-Arrow base_schema)
+        data = data.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+        if carry is None:
+            carry = [(f.name, f.type) for f in data.schema().base_schema]
+        if approx_rows is None:
+            approx_rows = data.count()
+    _check_carry(carry)
+    n_buckets = max(64, approx_rows // rows_per_bucket + 1)
 
-    def tag(t: pa.Table, src_col: str, tag_val: int) -> pa.Table:
-        jk = t[src_col].cast(pa.int64())
-        cols = {
-            "__jn_bucket": bucket_partition_col(
-                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "__jn_tag": pa.array(np.full(t.num_rows, tag_val, np.int8), pa.int8()),
-            "__jn_jk": jk,
-        }
-        for c, typ in carry:
-            cols[c] = t[c] if tag_val == 0 else pa.nulls(t.num_rows, typ)
-        return pa.table(cols)
-
-    both = data.map_batches(lambda t: tag(t, data_key, 0),
-                            batch_format="pyarrow").union(
-        keys_ds.map_batches(lambda t: tag(t, keys_col, 1),
-                            batch_format="pyarrow"))
+    both = data.map_batches(
+        lambda t: _tag_side(t, data_key, 0, carry, n_buckets),
+        batch_format="pyarrow").union(keys_ds.map_batches(
+        lambda t: _tag_side(t, keys_col, 1, carry, n_buckets),
+        batch_format="pyarrow"))
 
     def filter_bucket(g: pa.Table) -> pa.Table:
         tags = g["__jn_tag"].to_numpy(zero_copy_only=False)
         keys = g.filter(pa.array(tags == 1))["__jn_jk"].combine_chunks()
+        keys = keys.drop_null()  # null keys on the keys side match nothing
         d = g.filter(pa.array(tags == 0))
         if len(keys):
-            mask = pc.is_in(d["__jn_jk"], value_set=keys)
+            # fill_null(False): a null data key is a NON-member always
+            mask = pc.fill_null(pc.is_in(d["__jn_jk"], value_set=keys), False)
             d = d.filter(mask if keep_members else pc.invert(mask))
         elif keep_members:
             d = d.slice(0, 0)
@@ -345,44 +391,25 @@ def bucketed_lookup_join(data, lookup_ds, data_key: str, lookup_key: str,
     :func:`bucketed_membership_join`, but a LOOKUP join: append column
     ``out_col`` (= ``value_col`` of the ``lookup_ds`` row whose
     ``lookup_key`` equals the data row's integer ``data_key``; null when
-    absent) to every data row.  ``carry`` declares the data-side
-    (column, type) pairs to keep — declared rather than inferred so a
-    lazy data pipeline is not forced just to read its schema."""
-    import numpy as np
+    absent or when the key is null) to every data row.  ``carry``
+    declares the data-side (column, type) pairs to keep — declared
+    rather than inferred so a lazy data pipeline is not forced just to
+    read its schema."""
+    _check_carry(carry)
 
-    def tag_data(t: pa.Table) -> pa.Table:
-        jk = t[data_key].cast(pa.int64())
-        cols = {
-            "__jn_bucket": bucket_partition_col(
-                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "__jn_tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
-            "__jn_jk": jk,
-        }
-        for c, _ in carry:
-            cols[c] = t[c]
-        cols["__jn_val"] = pa.nulls(t.num_rows, value_type)
-        return pa.table(cols)
-
-    def tag_lookup(t: pa.Table) -> pa.Table:
-        jk = t[lookup_key].cast(pa.int64())
-        cols = {
-            "__jn_bucket": bucket_partition_col(
-                jk.to_numpy(zero_copy_only=False).astype(np.uint64), n_buckets),
-            "__jn_tag": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
-            "__jn_jk": jk,
-        }
-        for c, typ in carry:
-            cols[c] = pa.nulls(t.num_rows, typ)
-        cols["__jn_val"] = t[value_col]
-        return pa.table(cols)
-
-    both = data.map_batches(tag_data, batch_format="pyarrow").union(
-        lookup_ds.map_batches(tag_lookup, batch_format="pyarrow"))
+    both = data.map_batches(
+        lambda t: _tag_side(t, data_key, 0, carry, n_buckets,
+                            value_col=None, value_type=value_type),
+        batch_format="pyarrow").union(lookup_ds.map_batches(
+        lambda t: _tag_side(t, lookup_key, 1, carry, n_buckets,
+                            value_col=value_col, value_type=value_type),
+        batch_format="pyarrow"))
 
     def join_bucket(g: pa.Table) -> pa.Table:
         tags = g["__jn_tag"].to_numpy(zero_copy_only=False)
         l_rows = g.filter(pa.array(tags == 1))
         lut = dict(zip(l_rows["__jn_jk"].to_pylist(), l_rows["__jn_val"].to_pylist()))
+        lut.pop(None, None)  # a null data key joins to null, not to a null key row
         d = g.filter(pa.array(tags == 0))
         joined = [lut.get(k) for k in d["__jn_jk"].to_pylist()]
         cols = {c: d[c] for c, _ in carry}
@@ -508,17 +535,16 @@ def parquet_grouped_topk(path: str, key: str,
 
     sort_cols = [c for c, _ in sort_keys]
     narrow_cols = [key, *sort_cols] + ([flt] if flt else [])
-    # narrow winner pass: the only all-to-all, over ~tens of bytes/row
-    narrow = read(narrow_cols)
     eligible = rows
     if flt and payload_light is None:
         # the multiplicity probe must compare ELIGIBLE rows (error rows
         # excluded) to winners, or an error-heavy store overstates
-        # multiplicity; pin the filtered projection so counting it does
-        # not re-run the read for the winner pass
-        narrow = narrow.materialize()
-        eligible = narrow.count()
-    winners = grouped_topk(narrow, key, sort_keys, k,
+        # multiplicity.  Streaming count — a second metadata-cheap read
+        # of the narrow columns, NOT a materialization pinning the whole
+        # projection in the object store
+        eligible = read(narrow_cols).count()
+    # narrow winner pass: the only all-to-all, over ~tens of bytes/row
+    winners = grouped_topk(read(narrow_cols), key, sort_keys, k,
                            approx_rows=rows).materialize()
     n_winners = winners.count()
     if payload_light is None and eligible < min_multiplicity * max(n_winners, 1):

@@ -213,3 +213,54 @@ def test_membership_join_plans_agree(ray_session):
     b = norm(orders_of_segment(sf, distributed=True), cols)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_grouped_topk_nullable_timestamp_key(ray_session):
+    # nullable timestamp keys ride the exact-int path (previously the
+    # ""-substitution crashed on datetime64 promotion)
+    tbl = pa.table({
+        "key": pa.array([1_000_000, 1_000_000, None, 2_000_000, None],
+                        pa.timestamp("us")),
+        "ts": pa.array([1, 5, 2, 3, 9], pa.int64()),
+        "uid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    })
+    out = grouped_topk(rd.from_arrow(tbl), "key", [("ts", "descending")],
+                       k=1, n_parts=4).to_pandas()
+    assert len(out) == 3  # two timestamps + one null group
+    assert sorted(out["uid"]) == [1, 3, 4]
+
+
+def test_membership_join_null_keys_deterministic(ray_session):
+    # null data keys never match: dropped by semi, kept by anti —
+    # regardless of bucket count (previously NaN->uint64 UB bucketing)
+    from pttcrawler_ray.util.rayops import bucketed_membership_join
+
+    data = pa.table({
+        "k": pa.array([1, 2, None, 3, None], pa.int64()),
+        "v": pa.array(list("abcde")),
+    })
+    keys = pa.table({"key": pa.array([2, 3, None], pa.int64())})
+    for buckets in (1, 7):
+        semi = bucketed_membership_join(
+            rd.from_arrow(data), rd.from_arrow(keys), "k", "key",
+            keep_members=True, rows_per_bucket=max(1, 5 // buckets),
+            carry=[("k", pa.int64()), ("v", pa.string())],
+            approx_rows=5).to_pandas()
+        assert sorted(semi["v"]) == ["b", "d"]
+        anti = bucketed_membership_join(
+            rd.from_arrow(data), rd.from_arrow(keys), "k", "key",
+            keep_members=False, rows_per_bucket=max(1, 5 // buckets),
+            carry=[("k", pa.int64()), ("v", pa.string())],
+            approx_rows=5).to_pandas()
+        assert sorted(anti["v"]) == ["a", "c", "e"]
+
+
+def test_membership_join_rejects_reserved_columns(ray_session):
+    from pttcrawler_ray.util.rayops import bucketed_membership_join
+
+    data = pa.table({"__jn_jk": pa.array([1], pa.int64()),
+                     "k": pa.array([1], pa.int64())})
+    keys = pa.table({"key": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        bucketed_membership_join(rd.from_arrow(data), rd.from_arrow(keys),
+                                 "k", "key", keep_members=True)
