@@ -264,3 +264,36 @@ def test_membership_join_rejects_reserved_columns(ray_session):
     with pytest.raises(ValueError):
         bucketed_membership_join(rd.from_arrow(data), rd.from_arrow(keys),
                                  "k", "key", keep_members=True)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_keys = st.one_of(st.integers(min_value=-5, max_value=5), st.none())
+
+
+@given(data_keys=st.lists(_keys, min_size=1, max_size=30),
+       member_keys=st.lists(_keys, min_size=0, max_size=10),
+       keep=st.booleans())
+@settings(max_examples=8, deadline=None)
+def test_membership_join_matches_pandas_reference(ray_session, data_keys,
+                                                  member_keys, keep):
+    # randomized parity vs the obvious pandas formulation: null keys
+    # never match, duplicates preserved, both join directions
+    from pttcrawler_ray.util.rayops import bucketed_membership_join
+
+    data = pa.table({"k": pa.array(data_keys, pa.int64()),
+                     "row": pa.array(range(len(data_keys)), pa.int64())})
+    keys = pa.table({"key": pa.array(member_keys, pa.int64())})
+    out = bucketed_membership_join(
+        rd.from_arrow(data), rd.from_arrow(keys), "k", "key",
+        keep_members=keep, rows_per_bucket=7,
+        carry=[("k", pa.int64()), ("row", pa.int64())],
+        approx_rows=len(data_keys)).to_pandas()
+
+    members = {k for k in member_keys if k is not None}
+    want = [i for i, k in enumerate(data_keys)
+            if (k is not None and k in members) == keep]
+    # Ray quirk: to_pandas of a 0-row Dataset drops the columns entirely
+    got = sorted(out["row"]) if "row" in out.columns else []
+    assert got == want
