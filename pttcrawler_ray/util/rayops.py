@@ -186,6 +186,32 @@ def parquet_rows(path: str) -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def parquet_null_count(path: str, col: str) -> int | None:
+    """Total null count of ``col`` under ``path`` from parquet footer
+    statistics only (no data pages).  Returns None when any row group
+    lacks statistics for the column — callers fall back to a scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = ([path] if os.path.isfile(path) else
+             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            ci = md.schema.names.index(col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or st.null_count is None:
+                return None
+            total += st.null_count
+    return total
+
+
 # ---------------------------------------------------------- grouped top-k
 # one map_groups UDF call PER DISTINCT KEY does not scale (a dedupe-latest
 # over 10^10 urls = 10^10 Python calls).  grouped_topk instead hashes the
@@ -304,12 +330,17 @@ def _tag_side(t: pa.Table, src_col: str, tag_val: int, carry: list,
               n_buckets: int, value_col: str | None = None,
               value_type=None) -> pa.Table:
     """One side of the tagged union: bucket id from the (null-filled)
-    int64 join key, int8 tag, the key itself, null-padded carry columns,
-    and — for lookup joins — the value column.  Null keys all bucket
-    together (fill_null(0)) so their handling is deterministic."""
+    integer join key, int8 tag, the key itself, null-padded carry
+    columns, and — for lookup joins — the value column.  Null keys all
+    bucket together (fill_null(0)) so their handling is deterministic.
+    uint64 keys keep their unsigned representation (casting >= 2^63 to
+    int64 raises); mixing signedness ACROSS the two sides fails loudly
+    at the union (schema mismatch), never silently."""
     import numpy as np
 
-    jk = t[src_col].cast(pa.int64())
+    typ = t[src_col].type
+    jk = (t[src_col] if pa.types.is_unsigned_integer(typ) and typ.bit_width == 64
+          else t[src_col].cast(pa.int64()))
     cols = {
         "__jn_bucket": bucket_partition_col(
             pc.fill_null(jk, 0).to_numpy(zero_copy_only=False)
@@ -337,7 +368,8 @@ def bucketed_membership_join(data, keys_ds, data_key: str, keys_col: str,
                              keep_members: bool,
                              rows_per_bucket: int = 100_000,
                              carry: list | None = None,
-                             approx_rows: int | None = None):
+                             approx_rows: int | None = None,
+                             n_buckets: int | None = None):
     """Keep (``keep_members=True``, semi join) or drop (False, anti join)
     the rows of ``data`` whose integer ``data_key`` appears in column
     ``keys_col`` of ``keys_ds``.  Full input schema carried through; row
@@ -349,8 +381,10 @@ def bucketed_membership_join(data, keys_ds, data_key: str, keys_col: str,
     ``approx_rows`` to keep the data side LAZY — without them the data
     pipeline is materialized just to infer its schema and row count,
     which defeats the at-scale purpose for parquet-born inputs whose
-    schema the caller already knows."""
-    if carry is None or approx_rows is None:
+    schema the caller already knows.  ``n_buckets`` overrides the
+    row-count-derived bucket count (tests / callers with better
+    knowledge)."""
+    if carry is None or (approx_rows is None and n_buckets is None):
         # normalize blocks to Arrow (zero-copy for parquet-born datasets;
         # pandas-backed blocks report a non-Arrow base_schema)
         data = data.map_batches(lambda t: t, batch_format="pyarrow").materialize()
@@ -359,8 +393,16 @@ def bucketed_membership_join(data, keys_ds, data_key: str, keys_col: str,
         if approx_rows is None:
             approx_rows = data.count()
     _check_carry(carry)
-    n_buckets = max(64, approx_rows // rows_per_bucket + 1)
+    if n_buckets is None:
+        n_buckets = scale_parts(approx_rows, floor=64,
+                                target_rows=rows_per_bucket)
 
+    # per-block distinct of the keys side before anything crosses the
+    # shuffle: only distinct key values matter to is_in, and the keys
+    # side is often a fact table (many rows per key)
+    keys_ds = keys_ds.map_batches(
+        lambda t: pa.table({keys_col: pc.unique(t[keys_col])}),
+        batch_format="pyarrow")
     both = data.map_batches(
         lambda t: _tag_side(t, data_key, 0, carry, n_buckets),
         batch_format="pyarrow").union(keys_ds.map_batches(
@@ -539,10 +581,13 @@ def parquet_grouped_topk(path: str, key: str,
     if flt and payload_light is None:
         # the multiplicity probe must compare ELIGIBLE rows (error rows
         # excluded) to winners, or an error-heavy store overstates
-        # multiplicity.  Streaming count — a second metadata-cheap read
-        # of the narrow columns, NOT a materialization pinning the whole
-        # projection in the object store
-        eligible = read(narrow_cols).count()
+        # multiplicity.  eligible == null_count(flt), read from parquet
+        # footer statistics alone; a streaming count is the fallback when
+        # stats are absent (never a materialization pinning the whole
+        # projection)
+        eligible = parquet_null_count(path, flt)
+        if eligible is None:
+            eligible = read(narrow_cols).count()
     # narrow winner pass: the only all-to-all, over ~tens of bytes/row
     winners = grouped_topk(read(narrow_cols), key, sort_keys, k,
                            approx_rows=rows).materialize()

@@ -240,19 +240,17 @@ def test_membership_join_null_keys_deterministic(ray_session):
         "v": pa.array(list("abcde")),
     })
     keys = pa.table({"key": pa.array([2, 3, None], pa.int64())})
-    for buckets in (1, 7):
+    for buckets in (1, 2, 7):  # n_buckets override: keys genuinely split
         semi = bucketed_membership_join(
             rd.from_arrow(data), rd.from_arrow(keys), "k", "key",
-            keep_members=True, rows_per_bucket=max(1, 5 // buckets),
-            carry=[("k", pa.int64()), ("v", pa.string())],
-            approx_rows=5).to_pandas()
-        assert sorted(semi["v"]) == ["b", "d"]
+            keep_members=True, n_buckets=buckets,
+            carry=[("k", pa.int64()), ("v", pa.string())]).to_pandas()
+        assert sorted(semi["v"]) == ["b", "d"], buckets
         anti = bucketed_membership_join(
             rd.from_arrow(data), rd.from_arrow(keys), "k", "key",
-            keep_members=False, rows_per_bucket=max(1, 5 // buckets),
-            carry=[("k", pa.int64()), ("v", pa.string())],
-            approx_rows=5).to_pandas()
-        assert sorted(anti["v"]) == ["a", "c", "e"]
+            keep_members=False, n_buckets=buckets,
+            carry=[("k", pa.int64()), ("v", pa.string())]).to_pandas()
+        assert sorted(anti["v"]) == ["a", "c", "e"], buckets
 
 
 def test_membership_join_rejects_reserved_columns(ray_session):

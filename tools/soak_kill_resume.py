@@ -47,18 +47,22 @@ def articles(out):
     return t
 
 shutil.rmtree("/tmp/soak", ignore_errors=True)
-# reference: uninterrupted run
+# reference: uninterrupted run (timed — the kill point scales to it, so
+# the soak stays meaningful across this host's 8-28-core load regimes)
 ref_out = "/tmp/soak/ref"
+t0 = time.time()
 r = subprocess.run([sys.executable, "/tmp/soak_worker.py", ref_out, "fresh"],
                    capture_output=True, text=True, timeout=900)
+ref_wall = time.time() - t0
 assert "POPPED" in r.stdout, r.stderr[-2000:]
-print("reference run done:", r.stdout.strip().splitlines()[-1])
+print("reference run done:", r.stdout.strip().splitlines()[-1],
+      f"({ref_wall:.1f}s)")
 
-# victim: SIGKILL ~55% through the reference wall time, then resume
+# victim: SIGKILL at ~55% of the measured reference wall, then resume
 kill_out = "/tmp/soak/kill"
 p = subprocess.Popen([sys.executable, "/tmp/soak_worker.py", kill_out, "fresh"],
                      stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-time.sleep(14)
+time.sleep(max(6.0, 0.55 * ref_wall))
 p.send_signal(signal.SIGKILL)
 p.wait()
 print("killed mid-run; checkpoints:", len(glob.glob(os.path.join(kill_out, "checkpoint", "*"))))
