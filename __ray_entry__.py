@@ -182,43 +182,32 @@ def _crawl_out(scale: str) -> str:
 _ROBOTS_RULES = "User-agent: *\nDisallow: /bbs/board1/M.\nDisallow: /bbs/board2/\n"
 
 
-def _robots_out() -> str:
-    """Crawl a robots-gated corpus once (fixed-size, sf-independent) and
-    write the sequential oracle's error table beside it (cached like
-    ``_crawl_out``, keyed on corpus params + engine version)."""
-    if "robots" in _CRAWL_CACHE:
-        return _CRAWL_CACHE["robots"]
-    _ctx()
+def _ensure_robots_oracle() -> str:
+    """Generate the robots-gated corpus and write the SEQUENTIAL oracle's
+    error table — entirely Ray-free (generate_corpus + sequential_crawl are
+    pure Python/pyarrow), so the oracle_sql() preamble can call it no
+    matter whether the driver evaluates SQL before or after the ray
+    queries (round-2 ADVICE fix).  Cached on corpus params + oracle
+    version."""
     import glob as _glob
 
     import pyarrow.parquet as _pq
 
     from pttcrawler_ray.fixtures import generate_corpus
-    from pttcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from pttcrawler_ray.oracle.queryoracle import ORACLE_VERSION
 
     corpus = "/tmp/ptt_corpus/robots"
     generate_corpus(corpus, robots_txt=_ROBOTS_RULES)
-    out = "/tmp/ptt_crawl/robots"
-    from pttcrawler_ray.oracle.queryoracle import ORACLE_VERSION
-
+    oracle_file = os.path.join(_ORACLE_BASE, "robots", "errors.parquet")
+    marker = os.path.join(_ORACLE_BASE, "robots", "done.json")
     with open(os.path.join(corpus, "manifest.json")) as f:
         key = {"params": json.load(f)["params"],
-               "engine_version": _CRAWL_ENGINE_VERSION,
                "oracle_version": ORACLE_VERSION}
-    marker = os.path.join(out, "corpus_params.json")
-    oracle_file = os.path.join(_ORACLE_BASE, "robots", "errors.parquet")
     stale = True
-    if os.path.exists(os.path.join(out, "summary.json")) and os.path.exists(marker):
+    if os.path.exists(oracle_file) and os.path.exists(marker):
         with open(marker) as f:
             stale = json.load(f) != key
-    if stale or not os.path.exists(oracle_file):
-        import shutil
-
-        shutil.rmtree(out, ignore_errors=True)
-        run_crawl(corpus, out, CrawlConfig(
-            num_shards=2, strict_order=False, round_seconds=3600.0,
-            fetch_concurrency=2, process_concurrency=2,
-            engine="actors", seen_capacity=100_000))
+    if stale:
         from pttcrawler_ray.oracle.refcrawl import sequential_crawl
 
         pages = pa.concat_tables(
@@ -232,6 +221,38 @@ def _robots_out() -> str:
             pa.table({"url": pa.array([u for u, _ in errs], pa.string()),
                       "error": pa.array([e for _, e in errs], pa.string())}),
             oracle_file)
+        with open(marker, "w") as f:
+            json.dump(key, f)
+    return corpus
+
+
+def _robots_out() -> str:
+    """Crawl the robots-gated corpus once with the ENGINE (cached like
+    ``_crawl_out``, keyed on corpus params + engine version); the oracle
+    side is written Ray-free by :func:`_ensure_robots_oracle`."""
+    if "robots" in _CRAWL_CACHE:
+        return _CRAWL_CACHE["robots"]
+    _ctx()
+    from pttcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    corpus = _ensure_robots_oracle()
+    out = "/tmp/ptt_crawl/robots"
+    with open(os.path.join(corpus, "manifest.json")) as f:
+        key = {"params": json.load(f)["params"],
+               "engine_version": _CRAWL_ENGINE_VERSION}
+    marker = os.path.join(out, "corpus_params.json")
+    stale = True
+    if os.path.exists(os.path.join(out, "summary.json")) and os.path.exists(marker):
+        with open(marker) as f:
+            stale = json.load(f) != key
+    if stale:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        run_crawl(corpus, out, CrawlConfig(
+            num_shards=2, strict_order=False, round_seconds=3600.0,
+            fetch_concurrency=2, process_concurrency=2,
+            engine="actors", seen_capacity=100_000))
         with open(marker, "w") as f:
             json.dump(key, f)
     _CRAWL_CACHE["robots"] = out
@@ -619,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
     try:
         _ensure_crawl_oracle("t2")
         _ensure_docs_oracle("/root/testdata/sf0.01")
+        _ensure_robots_oracle()
     except (FileNotFoundError, OSError):
         pass
     return {

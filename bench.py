@@ -61,18 +61,22 @@ def effective_cores(num_cpus: int) -> int:
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
+    # fresh queue per phase; collect EXACTLY the expected result count with
+    # blocking gets — Queue.empty() is unreliable even after join() (the
+    # feeder-thread flush race can undercount the aggregate throughput and
+    # undersize every pool for the run)
+    q1 = ctx.Queue()
+    p = ctx.Process(target=_burn, args=(q1, 0.4))
+    p.start()
+    single = q1.get(timeout=30)
+    p.join()
     q = ctx.Queue()
-    p = ctx.Process(target=_burn, args=(q, 0.4))
-    p.start(); p.join()
-    single = q.get()
     procs = [ctx.Process(target=_burn, args=(q, 0.4)) for _ in range(32)]
     for p in procs:
         p.start()
-    total = 0
+    total = sum(q.get(timeout=60) for _ in procs)
     for p in procs:
         p.join()
-    while not q.empty():
-        total += q.get()
     eff = max(2, min(32, round(total / max(single, 1))))
     _EFFECTIVE_CACHE.append(eff)
     return min(num_cpus, eff)

@@ -413,19 +413,61 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
 
     # the engine caps degenerate LSH buckets at MAX_BUCKET_DOCS; these
     # sequential oracles do NOT (they are exact).  The comparison is only
-    # fair while no duplicate class exceeds the cap — assert that loudly
-    # instead of producing a baffling driver mismatch.
+    # fair while no ACTUAL bucket key exceeds the cap — guard on the keys
+    # the engine buckets by, not merely identical text (round-2 ADVICE):
+    # (a) identical shingle SETS agree on every minhash band (covers short
+    # docs collapsing to one whole-text shingle); (b) a 16-bit simhash
+    # band value shared by more than the cap truncates simhash pairs.
+    # Assert loudly instead of producing a baffling driver mismatch.
     from collections import Counter
 
     from ..textops.dedup import MAX_BUCKET_DOCS
 
-    biggest = max(Counter(t or "" for t in texts).values(), default=0)
-    if biggest > MAX_BUCKET_DOCS:
+    sims = [_oracle_simhash(t) for t in texts]
+    sh_sets = [_oracle_shingle_set(t) for t in texts]
+    big_shingle = max(Counter(sh_sets).values(), default=0)
+    band_counts: Counter = Counter()
+    for s in sims:
+        for band in range(4):
+            band_counts[(band, (s >> (band * 16)) & 0xFFFF)] += 1
+    big_band = max(band_counts.values(), default=0)
+    if max(big_shingle, big_band) > MAX_BUCKET_DOCS:
         raise AssertionError(
-            f"documents in {sf_dir} contain a duplicate-text class of "
-            f"{biggest} > MAX_BUCKET_DOCS={MAX_BUCKET_DOCS}: the engine's "
-            "degenerate-bucket cap would truncate pairs the exact oracles "
-            "emit — raise the cap or exclude the class before comparing")
+            f"documents in {sf_dir} contain a degenerate bucket class "
+            f"(identical-shingle-set class of {big_shingle}, largest simhash "
+            f"band bucket {big_band}) > MAX_BUCKET_DOCS={MAX_BUCKET_DOCS}: "
+            "the engine's degenerate-bucket cap would truncate pairs the "
+            "exact oracles emit — raise the cap or exclude the class "
+            "before comparing")
+
+    # the minhash_pairs/ngram_jaccard/dedup_components oracles are exact
+    # jaccard >= 0.5 SQL; LSH banding recall at j = 0.5 is only ~6%, so the
+    # side-by-side comparison relies on every TRUE pair sitting in the
+    # high-recall band (j >= 0.85 → banding P(miss) < 1e-3, anchor blocking
+    # likewise).  Assert the data property loudly (round-2 ADVICE) so a
+    # testdata refresh that plants mid-band pairs fails here, not as a
+    # baffling driver hash mismatch.  Candidates via an inverted shingle
+    # index — only pairs sharing a shingle can reach j >= 0.5.
+    inv: dict = {}
+    for i, s in enumerate(sh_sets):
+        for x in s:
+            inv.setdefault(x, []).append(i)
+    cand_pairs = {(ii, jj)
+                  for group in inv.values() if len(group) > 1
+                  for n_, ii in enumerate(group) for jj in group[n_ + 1:]}
+    for ii, jj in cand_pairs:
+        sa, sb = sh_sets[ii], sh_sets[jj]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if 0.5 <= j < 0.85:
+            raise AssertionError(
+                f"documents in {sf_dir}: pair (doc_id {ids[ii]}, {ids[jj]}) "
+                f"has exact jaccard {j:.3f} in the low-LSH-recall band "
+                "[0.5, 0.85) — the exact-jaccard SQL oracle would no longer "
+                "be a fair stand-in for banded candidate generation; "
+                "regenerate the testdata pair outside this band")
 
     # --- fingerprint_docs: (doc_id, text_hash) ------------------------------
     fingerprint = pa.table({
@@ -435,8 +477,8 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
 
     # --- simhash_pairs_docs: brute-force Hamming ≤ 3 ------------------------
     # (exact: 3 bit flips cannot touch all 4 16-bit bands, so banding recall
-    # for hamming ≤ 3 is 100% by pigeonhole — brute force IS the band spec)
-    sims = [_oracle_simhash(t) for t in texts]
+    # for hamming ≤ 3 is 100% by pigeonhole — brute force IS the band spec;
+    # sims computed above for the degenerate-bucket guard)
     sp_a, sp_b, sp_h = [], [], []
     order = sorted(range(len(ids)), key=lambda i: ids[i])
     for ii in range(len(order)):

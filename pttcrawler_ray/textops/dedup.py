@@ -748,6 +748,10 @@ class SimHash:
     """map_batches fn-object: adds a 64-bit simhash + 4×16-bit band columns."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # metadata strip: pandas-born parquet blocks carry an unhashable
+        # schema blob that disables Ray's reduce-side schema dedup on the
+        # downstream pair shuffles
+        batch = batch.replace_schema_metadata(None)
         texts = batch["text"].to_pylist()
         sims = np.zeros(len(texts), dtype=np.uint64)
         for i, t in enumerate(texts):
@@ -822,14 +826,27 @@ def _simhash_explode(batch: pa.Table, n_parts: int = _PAIR_PARTITIONS) -> pa.Tab
     return pa.concat_tables(parts)
 
 
+_SIMHASH_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                                  ("hamming", pa.int32())])
+
+
+def _rename_min_hamming(t: pa.Table) -> pa.Table:
+    return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                     "hamming": t["min(hamming)"].cast(pa.int32())})
+
+
 def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
-                  id_col: str = "doc_id") -> pa.Table:
+                  id_col: str = "doc_id",
+                  as_dataset: bool = False) -> "pa.Table | rd.Dataset":
     """Near-dup pairs by simhash banding (a pair within Hamming ≤ 3 of a
     64-bit simhash must agree on ≥1 of 4 16-bit bands).  One explode +
     one coarse-partition groupby covers all four bands; each partition
     verifies its own buckets' pairs vectorized (simhash carried through
     the shuffle), and duplicate discoveries collapse in a vectorized
-    aggregate — the driver only ever sees the final verified pair set."""
+    aggregate.  ``as_dataset=True`` returns the deduped verified-pair
+    Dataset without any driver gather (the at-scale consumer shape,
+    matching :func:`minhash_lsh_pairs`); the default gathers the
+    verified (output-sized) set into a sorted table."""
     import functools
 
     ds = docs.map_batches(SimHash(), batch_format="pyarrow")
@@ -847,8 +864,14 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
     cand = exp.groupby("part").map_groups(
         fn, batch_format="pyarrow").materialize()
     # a pair rediscovered in another band has the SAME hamming (same
-    # simhashes), so dedupe is a plain distinct: driver-side for the
-    # (small-by-construction) common case, distributed groupby beyond
+    # simhashes), so dedupe is a plain distinct.  The Dataset shape stays
+    # fully distributed (groupby-min, no driver collect); only the small
+    # table default gathers, and below 2M raw candidates it skips the
+    # distinct shuffle for a driver-side drop_duplicates of the
+    # (already-verified, output-sized) set.
+    if as_dataset:
+        return cand.groupby(["doc_a", "doc_b"]).min("hamming").map_batches(
+            _rename_min_hamming, batch_format="pyarrow")
     if cand.count() <= 2_000_000:
         df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"]) \
                  .sort_values(["doc_a", "doc_b"])
@@ -857,11 +880,9 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
         df = (dedup.to_pandas()
               .rename(columns={"min(hamming)": "hamming"})
               .sort_values(["doc_a", "doc_b"]))
-    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                        ("hamming", pa.int32())])
     if df.empty:
-        return schema.empty_table()
-    return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+        return _SIMHASH_PAIR_SCHEMA.empty_table()
+    return pa.Table.from_pandas(df, preserve_index=False).cast(_SIMHASH_PAIR_SCHEMA)
 
 
 # ------------------------------------------------- embedding cosine near-dup
@@ -877,6 +898,7 @@ class SignLSH:
         self.tables = tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.replace_schema_metadata(None)  # see SimHash.__call__
         emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         parts = []
@@ -892,12 +914,24 @@ class SignLSH:
         return pa.concat_tables(parts)
 
 
+_EMB_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                              ("cosine", pa.float64())])
+
+
+def _rename_max_cosine(t: pa.Table) -> pa.Table:
+    return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                     "cosine": t["max(cosine)"]})
+
+
 def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0.95,
                             bits: int = 12, tables: int = 2,
-                            concurrency: int = 4) -> pa.Table:
+                            concurrency: int = 4,
+                            as_dataset: bool = False) -> "pa.Table | rd.Dataset":
     """Pairs with cosine ≥ threshold among same-bucket embeddings (one
     matmul per bucket inside map_groups; pairs deduped across tables by a
-    vectorized aggregate)."""
+    vectorized aggregate).  ``as_dataset=True`` returns the deduped
+    verified-pair Dataset with no driver gather (the at-scale consumer
+    shape); the default gathers the output-sized set sorted."""
     ds = emb_ds.map_batches(SignLSH,
                             fn_constructor_kwargs={"dim": dim, "bits": bits,
                                                    "tables": tables},
@@ -931,7 +965,11 @@ def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0
 
     pairs = ds.groupby(["lsh_table", "lsh_bucket"]).map_groups(
         bucket_pairs, batch_format="pyarrow").materialize()
-    # identical cosine on rediscovery (same vectors) → plain distinct
+    # identical cosine on rediscovery (same vectors) → plain distinct.
+    # as_dataset: distributed groupby-max distinct, no driver collect.
+    if as_dataset:
+        return pairs.groupby(["doc_a", "doc_b"]).max("cosine").map_batches(
+            _rename_max_cosine, batch_format="pyarrow")
     if pairs.count() <= 2_000_000:
         df = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]) \
                   .sort_values(["doc_a", "doc_b"])
@@ -940,8 +978,6 @@ def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0
         df = (dedup.to_pandas()
               .rename(columns={"max(cosine)": "cosine"})
               .sort_values(["doc_a", "doc_b"]))
-    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
-                        ("cosine", pa.float64())])
     if df.empty:
-        return schema.empty_table()
-    return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+        return _EMB_PAIR_SCHEMA.empty_table()
+    return pa.Table.from_pandas(df, preserve_index=False).cast(_EMB_PAIR_SCHEMA)

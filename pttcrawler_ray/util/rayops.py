@@ -303,10 +303,15 @@ def grouped_topk(ds, key: str, sort_keys: list[tuple[str, str]], k: int = 1,
     part_col = "__gtk_part"
 
     def combine(t: pa.Table) -> pa.Table:
+        # strip pandas schema metadata BEFORE the shuffle: an unhashable
+        # schema disables Ray's reduce-side schema dedup on exactly this
+        # hot path (one "Failed to hash the schemas" log line per task)
+        t = t.replace_schema_metadata(None)
         t = t.append_column(part_col, _key_hash_col(t[key], n_parts))
         return _local_topk(t, key, sort_keys, k)
 
     def topk_partition(g: pa.Table) -> pa.Table:
+        g = g.replace_schema_metadata(None)
         return _local_topk(g.drop_columns([part_col]), key, sort_keys, k)
 
     exploded = ds.map_batches(combine, batch_format="pyarrow")
@@ -448,14 +453,38 @@ def bucketed_lookup_join(data, lookup_ds, data_key: str, lookup_key: str,
         batch_format="pyarrow"))
 
     def join_bucket(g: pa.Table) -> pa.Table:
+        import numpy as np
+
         tags = g["__jn_tag"].to_numpy(zero_copy_only=False)
         l_rows = g.filter(pa.array(tags == 1))
-        lut = dict(zip(l_rows["__jn_jk"].to_pylist(), l_rows["__jn_val"].to_pylist()))
-        lut.pop(None, None)  # a null data key joins to null, not to a null key row
+        # a null LOOKUP key provides nothing (a null data key joins to
+        # null, never to a null key row)
+        l_rows = l_rows.filter(pc.is_valid(l_rows["__jn_jk"]))
         d = g.filter(pa.array(tags == 0))
-        joined = [lut.get(k) for k in d["__jn_jk"].to_pylist()]
         cols = {c: d[c] for c, _ in carry}
-        cols[out_col] = pa.array(joined, value_type)
+        vals = l_rows["__jn_val"].combine_chunks()
+        pk = l_rows["__jn_jk"].to_numpy(zero_copy_only=False)
+        if pk.size == 0:
+            cols[out_col] = pa.nulls(d.num_rows, value_type)
+            return pa.table(cols)
+        # vectorized hash lookup: sort provider keys once, searchsorted the
+        # data keys (no per-row Python; values taken straight from the Arrow
+        # array, so list values never round-trip through Python objects).
+        # side="right"-1 lands on the LAST occurrence of a duplicated lookup
+        # key under the stable sort — the dict-build semantics this replaced.
+        order = np.argsort(pk, kind="stable")
+        pk_sorted = pk[order]
+        dk_col = d["__jn_jk"]
+        dk = pc.fill_null(dk_col, 0).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk_sorted, dk, side="right") - 1
+        pos_c = np.maximum(pos, 0)
+        hit = (pos >= 0) & (pk_sorted[pos_c] == dk)
+        if dk_col.null_count:
+            hit &= pc.is_valid(dk_col).to_numpy(zero_copy_only=False)
+        # misses point at an appended null slot — one Arrow take, no branch
+        vals_ext = pa.concat_arrays([vals, pa.nulls(1, value_type)])
+        take_idx = np.where(hit, order[pos_c], len(vals))
+        cols[out_col] = vals_ext.take(pa.array(take_idx, pa.int64()))
         return pa.table(cols)
 
     return both.groupby("__jn_bucket").map_groups(join_bucket,
@@ -630,6 +659,9 @@ def partitioned_map_groups(ds, key: str, fn, n_parts: int | None = None,
     part_col = "__pmg_part"
 
     def add_part(t: pa.Table) -> pa.Table:
+        # metadata strip: see grouped_topk.combine (keeps the shuffle's
+        # reduce-side schema dedup working over pandas-born blocks)
+        t = t.replace_schema_metadata(None)
         return t.append_column(part_col, _key_hash_col(t[key], n_parts))
 
     def run(g: pa.Table) -> pa.Table:
