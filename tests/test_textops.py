@@ -353,3 +353,86 @@ def test_minhash_dedup_distributed_path_matches(ray_session, monkeypatch):
     distributed = sorted(dedup.minhash_dedup(ds, threshold=0.6).to_pandas()["doc_id"])
     assert distributed == baseline
     assert 201 not in distributed and 200 in distributed
+
+
+def test_joined_verify_engages_beyond_200k_pairs_e2e(ray_session, monkeypatch):
+    """End-to-end pin of the at-scale verify branch (round-2 verdict item 1):
+    planted boilerplate classes generate >200k RAW candidate pairs, so
+    minhash_dedup must route through _verify_jaccard_joined (bloom semi-join
+    + two bucketed hash joins — no driver shingle dict) and still produce
+    the exactly predictable kept set, including the MAX_BUCKET_DOCS cap
+    semantics (smallest 256 ids per degenerate bucket participate in pairs;
+    identical docs beyond the cap survive by design)."""
+    import pyarrow as pa
+
+    from pttcrawler_ray.textops import dedup
+
+    calls = {}
+    orig = dedup._verify_jaccard_joined
+
+    def spy(cand, docs, shingle_k, threshold, n_pairs):
+        calls["n_pairs"] = n_pairs
+        return orig(cand, docs, shingle_k, threshold, n_pairs)
+
+    monkeypatch.setattr(dedup, "_verify_jaccard_joined", spy)
+
+    # 3 identical classes of 300 docs: every LSH band bucket is a whole
+    # class, capped to its 256 smallest ids -> 3 * 16 bands * C(256,2)
+    # = 1,566,720 raw candidate rows (>> the 200k broadcast ceiling),
+    # deduping to 3 * 32,640 = 97,920 verified pairs (jaccard 1.0)
+    ids, texts = [], []
+    for k in range(3):
+        t = " ".join(f"k{k}w{j}" for j in range(40))
+        for i in range(300):
+            ids.append(k * 300 + i)
+            texts.append(t)
+    for i in range(100):  # plus uniques that must pass through untouched
+        ids.append(10_000 + i)
+        texts.append(" ".join(f"u{i}x{j}" for j in range(40)))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(8)
+
+    kept = dedup.minhash_dedup(docs, threshold=0.8, num_perm=64,
+                               bands=16).to_pandas()
+    assert calls["n_pairs"] > 200_000, calls  # the joined path really ran
+    # per class: min id kept + the 44 beyond-cap docs; all uniques kept
+    expected = sorted(
+        [k * 300 for k in range(3)]
+        + [k * 300 + i for k in range(3) for i in range(256, 300)]
+        + [10_000 + i for i in range(100)])
+    assert sorted(kept["doc_id"]) == expected
+
+
+def test_ivf_persisted_index_prunes_reads_and_matches_oneshot(ray_session,
+                                                              tmp_path):
+    """The persisted IVF index must (a) read ONLY probed cluster
+    partitions — asserted on actual file counts — and (b) return exactly
+    the one-shot knn_ivf results (same seeded centroids → same probes →
+    same candidate rows)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from pttcrawler_ray.textops.similarity import (build_ivf_index, knn_ivf,
+                                                   knn_ivf_indexed)
+
+    embs = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(embs, index_dir, n_clusters=8)
+
+    q = np.stack(embs.limit(1).to_pandas()["embedding"])
+    stats: dict = {}
+    got = knn_ivf_indexed(index_dir, q, k=5, nprobe=2,
+                          stats_out=stats).to_pandas()
+    # one query, nprobe=2 → at most 2 partition dirs touched, strictly
+    # fewer files than the whole store (8 clusters exist)
+    assert stats["partition_dirs_read"] <= 2
+    assert stats["files_read"] < stats["files_total"], stats
+    assert stats["n_clusters"] == 8
+
+    want = knn_ivf(embs, q, k=5, n_clusters=8, nprobe=2).to_pandas()
+    cols = ["query_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(got[cols].reset_index(drop=True),
+                                  want[cols].reset_index(drop=True))
