@@ -497,12 +497,42 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
     stalls = 0
     drained = False  # True only when the frontier emptied naturally
     seen_write_refs: list = []
+    # end-of-round stats resolve while the NEXT round pops (actor tasks
+    # run FIFO per caller, so a get_stats submitted before the next
+    # pop_round captures exactly this round's end state) — strict mode
+    # makes rounds tiny, so blocking RPC barriers per round dominate;
+    # this plus the fused pop+stats call cuts them to pop + write-commit.
+    pending_stats: list[tuple[int, int, list]] = []
+    prof = {"pop_s": 0.0, "write_s": 0.0, "commit_s": 0.0}
+
+    def _drain_stats():
+        for rn, n_, refs in pending_stats:
+            stats = ray.get(refs)
+            rounds_log.append({
+                "round": rn, "popped": n_,
+                "depth": sum(s["depth"] for s in stats),
+                "enqueued": sum(s["enqueued"] for s in stats),
+                "dedup_hits": sum(s["dedup_hits"] for s in stats),
+                # per-partition lineage (cumulative as of that round's end)
+                "shards": [{
+                    "shard_id": s["shard_id"], "popped": s["popped"],
+                    "enqueued": s["enqueued"], "depth": s["depth"],
+                    "dedup_hits": s["dedup_hits"],
+                    "dedup_hit_rate": round(
+                        s["dedup_hits"] / max(1, s["dedup_hits"] + s["enqueued"]), 6),
+                } for s in stats],
+            })
+        pending_stats.clear()
+
     while round_no < cfg.max_rounds:
-        popped = ray.get([s.pop_round.remote() for s in shards])
-        popped = [t for t in popped if t.num_rows]
+        t_phase = time.monotonic()
+        results = ray.get([s.pop_round_with_stats.remote() for s in shards])
+        prof["pop_s"] += time.monotonic() - t_phase
+        popped = [t for t, _ in results if t.num_rows]
         n = sum(t.num_rows for t in popped)
         if n == 0:
-            depth = sum(ray.get([s.depth.remote() for s in shards]))
+            # depth rides the fused pop+stats call — no extra RPC round
+            depth = sum(st["depth"] for _, st in results)
             if depth == 0:
                 drained = True
                 break
@@ -554,7 +584,9 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
                         os.path.join(tmp_dir, f"part-{i}.parquet")))
             # workers wrote their own part files; the driver only gathers
             # row counts and commits the directory rename
+            t_phase = time.monotonic()
             ray.get(refs)
+            prof["write_s"] += time.monotonic() - t_phase
         else:
             # split into >=concurrency blocks so the actor pool fills
             # (from_arrow of one table yields one block → one busy actor)
@@ -582,6 +614,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             os.makedirs(tmp_dir, exist_ok=True)
             ds.write_parquet(tmp_dir)
 
+        t_phase = time.monotonic()
         shutil.rmtree(art_dir, ignore_errors=True)
         os.replace(tmp_dir, art_dir)  # atomic partition commit
 
@@ -593,28 +626,17 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         seen_write_refs.append(_write_seen_task.remote(
             batch.select(["url", "url_hash"]),
             os.path.join(seen_dir, "part-0.parquet")))
+        prof["commit_s"] += time.monotonic() - t_phase
 
-        stats = ray.get([s.get_stats.remote() for s in shards])
-        rounds_log.append({
-            "round": round_no, "popped": n,
-            "depth": sum(s["depth"] for s in stats),
-            "enqueued": sum(s["enqueued"] for s in stats),
-            "dedup_hits": sum(s["dedup_hits"] for s in stats),
-            # per-partition lineage (cumulative as of this round's end):
-            # fetch counts, frontier depth, and dedupe hit rate per shard
-            "shards": [{
-                "shard_id": s["shard_id"], "popped": s["popped"],
-                "enqueued": s["enqueued"], "depth": s["depth"],
-                "dedup_hits": s["dedup_hits"],
-                "dedup_hit_rate": round(
-                    s["dedup_hits"] / max(1, s["dedup_hits"] + s["enqueued"]), 6),
-            } for s in stats],
-        })
+        # non-blocking: resolved by _drain_stats (see above)
+        pending_stats.append(
+            (round_no, n, [s.get_stats.remote() for s in shards]))
         if cfg.checkpoint_every and round_no % cfg.checkpoint_every == 0:
             # seen partitions up to this round must be durable before the
             # checkpoint claims the rounds complete
             ray.get(seen_write_refs)
             seen_write_refs.clear()
+            _drain_stats()  # rounds_log must be complete in the checkpoint
             _checkpoint(shards, ckpt_dir, round_no, rounds_log, cfg.num_shards)
         if cfg.realtime:
             remaining = cfg.round_seconds - (time.monotonic() - round_t0)
@@ -623,6 +645,7 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
 
     if seen_write_refs:
         ray.get(seen_write_refs)
+    _drain_stats()
     if cfg.start_date is not None and drained:
         # date-filter reconciliation: held undated rows survive unless
         # their page triggered the cutoff swap (reference
@@ -662,6 +685,9 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
         "urls_per_sec": total_popped / elapsed if elapsed > 0 else 0.0,
         "shard_stats": final_stats,
         "out_dir": out_dir,
+        # driver-side blocking time per phase (the strict-mode floor
+        # question: pop RPC barrier vs worker write barrier vs fs commit)
+        "driver_profile": {k: round(v, 3) for k, v in prof.items()},
     }
     if order_logs is not None:
         summary["order_logs"] = order_logs

@@ -255,6 +255,15 @@ class FrontierShard:
             }
         )
 
+    def pop_round_with_stats(self) -> tuple[pa.Table, dict]:
+        """One-RPC round: :meth:`pop_round` plus :meth:`get_stats` in a
+        single actor call.  Strict mode makes rounds SMALL (the index
+        barrier caps a lane at one index page per round), so the driver's
+        per-round fixed cost is dominated by shard RPC round-trips — this
+        halves them (round-2 verdict item 7)."""
+        tbl = self.pop_round()
+        return tbl, self.get_stats()
+
     def cut_below(self, board: str, index_no: int,
                   pages: list[tuple[str, int]] | None = None) -> int:
         """Date-filter crawl cutoff (M8, reference crawler/article.py:501-502):

@@ -29,7 +29,7 @@ import ray.data as rd
 
 from ..util.hashing import hash_u64_many
 from ..util.rayops import (GOLDEN64, bucket_partition_col, grouped_topk,
-                           scale_parts)
+                           normalize_blocks, scale_parts)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -363,8 +363,11 @@ def _verify_jaccard_joined(cand: "rd.Dataset", docs: "rd.Dataset",
     from ..state.bloom import BloomFilter
 
     # cand feeds BOTH the bloom build and the first hash join — pin it so
-    # the upstream pair-dedupe shuffle doesn't execute twice
-    cand = cand.materialize()
+    # the upstream pair-dedupe shuffle doesn't execute twice; block-count
+    # normalized (the upstream aggregate emits one tiny block per input
+    # block, which would fan every join shuffle below into thousands of
+    # empty-partition tasks — see rayops.normalize_blocks)
+    cand = normalize_blocks(cand.materialize())
     id_ds = cand.map_batches(
         lambda t: pa.table({"doc_id": np.concatenate([
             t["doc_a"].to_numpy(zero_copy_only=False),
@@ -378,10 +381,12 @@ def _verify_jaccard_joined(cand: "rd.Dataset", docs: "rd.Dataset",
 
     # candidate-sized after the bloom semi-join — materialize so the
     # full-corpus shingling pass runs ONCE, not once per join below
-    sh_ds = docs.map_batches(
+    # (blocks normalized: the semi-join leaves one small block per corpus
+    # read block)
+    sh_ds = normalize_blocks(docs.map_batches(
         _candidate_shingles_bloom,
         fn_kwargs={"bloom_ref": bloom_ref, "shingle_k": shingle_k},
-        batch_format="pyarrow").materialize()
+        batch_format="pyarrow").materialize())
     n_buckets = _scale_parts(n_pairs * 2 + n_ids)
     i64, lst = pa.int64(), pa.list_(pa.uint64())
     with_a = _attach_shingles(cand, sh_ds, "doc_a", "sh_a", n_buckets,
@@ -612,12 +617,16 @@ def connected_components(pairs: "rd.Dataset", max_iters: int = 32) -> "rd.Datase
     a 1-hop neighborhood-min (one coarse-partition groupby, vectorized
     per-partition UDF, + one native groupby-min) followed by one
     L(x) <- L(L(x)) jump — nothing graph-sized ever sits on the driver.
+    The edge input's block count is normalized first: every round's sort
+    fans out one partition per input block, so an over-fragmented pair
+    set (e.g. straight out of the verify join) would multiply every
+    round's task count (measured 273 s/round vs 13 s at 621k edges).
     The jump makes convergence O(log diameter) (a k-chain resolves in
     ~log2 k rounds, not k); LSH near-dup components are near-cliques, so
     2-3 rounds in practice.  Convergence detects on the (sum_lo, sum_hi)
     split checksum of labels (labels only decrease, so the true sum
     strictly decreases until fixpoint)."""
-    pairs = pairs.materialize()
+    pairs = normalize_blocks(pairs.materialize())
     n_edges = pairs.count()
     empty = pa.table({"node": pa.array([], pa.int64()),
                       "comp": pa.array([], pa.int64())})
@@ -708,8 +717,9 @@ def minhash_dedup(docs: "rd.Dataset", threshold: float = 0.7, **kw) -> "rd.Datas
     # pin the upstream pipeline once: it is otherwise executed three times
     # (bands pass, jaccard-verify scan, final keep filter)
     docs = docs.materialize()
-    pairs_ds = minhash_lsh_pairs(docs, threshold=threshold, as_dataset=True,
-                                 **kw).materialize()
+    pairs_ds = normalize_blocks(
+        minhash_lsh_pairs(docs, threshold=threshold, as_dataset=True,
+                          **kw).materialize())
     if pairs_ds.count() > _CC_UNIONFIND_MAX:
         comp = connected_components(
             pairs_ds.map_batches(lambda t: t.select(["doc_a", "doc_b"]),
@@ -861,8 +871,8 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
         functools.partial(_simhash_explode, n_parts=_scale_parts(ds.count() * 4)),
         batch_format="pyarrow")
     fn = functools.partial(_simhash_pairs_partition, max_hamming=max_hamming)
-    cand = exp.groupby("part").map_groups(
-        fn, batch_format="pyarrow").materialize()
+    cand = normalize_blocks(exp.groupby("part").map_groups(
+        fn, batch_format="pyarrow").materialize())
     # a pair rediscovered in another band has the SAME hamming (same
     # simhashes), so dedupe is a plain distinct.  The Dataset shape stays
     # fully distributed (groupby-min, no driver collect); only the small

@@ -172,6 +172,28 @@ def _key_hash_col(col: "pa.ChunkedArray", n_parts: int) -> pa.Array:
     return pa.array((k % np.uint64(n_parts)).astype(np.int32), pa.int32())
 
 
+def normalize_blocks(mat_ds, target_rows_per_block: int = 50_000,
+                     floor: int = 16):
+    """Cap a MATERIALIZED dataset's block count.
+
+    Ray 2.49's sort-based groupby/aggregate fans out one partition per
+    INPUT BLOCK, and map_groups/aggregate stages emit one block per task —
+    so chained shuffles snowball fragmentation: a 621k-row pair set came
+    out of the verify join as 600 × ~1k-row blocks, making every
+    downstream shuffle (CC rounds, the keep anti-join) run ~1,200 tiny
+    tasks for 64 bucket keys (measured 273 s for one CC round that runs
+    in ~13 s with sane blocks; the empty sort partitions are also what
+    sprays the "new schema: ." warnings).  One cheap narrow-data
+    repartition at a materialize point resets the fan-out for the whole
+    downstream chain.  No-op when the input is not over-fragmented."""
+    rows = mat_ds.count()
+    blocks = mat_ds.num_blocks()
+    want = max(floor, min(4096, rows // target_rows_per_block + 1))
+    if blocks > want * 2:
+        return mat_ds.repartition(want).materialize()
+    return mat_ds
+
+
 def parquet_rows(path: str) -> int:
     """Total row count under ``path`` (a parquet file or a directory tree)
     from footer metadata only — no data pages are read.  Cheap enough to

@@ -104,6 +104,15 @@ def gen_corpus(out_dir: str, n_docs: int, chunk: int = 50_000,
                               + n_classes * (256 * 255 // 2)}
 
 
+def _rss_gb() -> float:
+    """Current driver VmRSS in GB (peak is reported separately)."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return round(int(line.split()[1]) / 1e6, 2)
+    return -1.0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
@@ -146,6 +155,7 @@ def main():
     from pttcrawler_ray.util.rayops import read_parquet_clean
 
     docs = read_parquet_clean(corpus)
+    rss_phases = {"start": _rss_gb()}
     t0 = time.time()
     if args.curate:
         import pyarrow.compute as pc
@@ -168,6 +178,7 @@ def main():
                                 as_dataset=True).materialize()
     n_pairs = pairs.count()
     t_pairs = time.time() - t0
+    rss_phases["after_pairs"] = _rss_gb()
     if manifest["expected_pairs"] > D._CC_UNIONFIND_MAX:
         assert n_pairs > D._CC_UNIONFIND_MAX, \
             f"soak must exercise distributed CC: {n_pairs} <= {D._CC_UNIONFIND_MAX}"
@@ -180,10 +191,13 @@ def main():
     drops = comp.map_batches(
         lambda t: t.filter(pc.not_equal(t["node"], t["comp"])).select(["node"]),
         batch_format="pyarrow")
-    kept = D._anti_join_ids(docs.map_batches(
-        lambda t: t.select(["doc_id"]), batch_format="pyarrow"), drops)
+    comp = comp.materialize()
+    t_cc = time.time() - t0 - t_pairs
+    rss_phases["after_cc"] = _rss_gb()
+    kept = D._anti_join_ids(docs, drops)
     n_kept = kept.count()
     t_total = time.time() - t0
+    rss_phases["after_anti"] = _rss_gb()
 
     peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     ray.shutdown()
@@ -199,9 +213,12 @@ def main():
         "kept": n_kept,
         "expected_kept": manifest["expected_kept"],
         "pairs_sec": round(t_pairs, 1),
+        "cc_sec": round(t_cc, 1),
+        "anti_sec": round(t_total - t_pairs - t_cc, 1),
         "total_sec": round(t_total, 1),
         "docs_per_sec": round(manifest["n_docs"] / t_total, 0),
         "driver_peak_rss_gb": round(peak_rss_gb, 2),
+        "driver_rss_phases_gb": rss_phases,
         "exact_match": ok_pairs and ok_kept,
     }))
     assert ok_pairs, (n_pairs, manifest["expected_pairs"])
