@@ -295,3 +295,24 @@ def test_membership_join_matches_pandas_reference(ray_session, data_keys,
     # Ray quirk: to_pandas of a 0-row Dataset drops the columns entirely
     got = sorted(out["row"]) if "row" in out.columns else []
     assert got == want
+
+
+def test_normalize_blocks_caps_fragmentation_and_preserves_rows(ray_session):
+    """normalize_blocks must (a) collapse an over-fragmented materialized
+    dataset to ~rows/target blocks, (b) no-op on sane inputs (no extra
+    shuffle), (c) preserve rows/values exactly.  This is the round-3
+    fix for shuffle-seam fragmentation (one block per input block in
+    sort-based groupby fan-out — see BASELINE.md dedup soak)."""
+    from pttcrawler_ray.util.rayops import normalize_blocks
+
+    df = pd.DataFrame({"x": np.arange(3_000, dtype="int64")})
+    # 300 blocks of 10 rows = the pathological shape
+    frag = rd.from_pandas([df.iloc[i:i + 10] for i in range(0, 3_000, 10)])
+    frag = frag.materialize()
+    assert frag.num_blocks() == 300
+    fixed = normalize_blocks(frag, target_rows_per_block=1_000)
+    assert fixed.num_blocks() <= 32  # floor(16) .. rows/target*2
+    assert sorted(fixed.to_pandas()["x"]) == list(range(3_000))
+
+    sane = rd.from_pandas(df).materialize()
+    assert normalize_blocks(sane, target_rows_per_block=1_000) is sane
