@@ -439,7 +439,10 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
                                           shingle_k, threshold, n_pairs)
         return verified if as_dataset else _collect_pairs(verified)
     cdf = cand.to_pandas().drop_duplicates()
-    tbl = pa.Table.from_pandas(cdf, preserve_index=False)
+    # from_pandas re-attaches the b'pandas' metadata blob, which breaks
+    # Ray's downstream block-schema hashing — strip it at construction
+    tbl = pa.Table.from_pandas(
+        cdf, preserve_index=False).replace_schema_metadata(None)
     # split into blocks so the verify stage below actually parallelizes
     # (from_arrow of ONE table = one block = one busy verify actor)
     step = max(1, -(-tbl.num_rows // max(concurrency * 2, 1)))

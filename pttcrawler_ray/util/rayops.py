@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 _SENTINEL_LOW = -(2**62)
 _SENTINEL_HIGH = 2**62
@@ -44,16 +45,30 @@ def _strip_schema_metadata(t: pa.Table) -> pa.Table:
 
 
 def read_parquet_clean(path, **kw):
-    """``rd.read_parquet`` with schema metadata stripped from every block.
+    """``rd.read_parquet`` with schema metadata stripped at the READ.
 
     Parquet written via pandas carries a ``b'pandas'`` schema-metadata blob
     that makes ``pa.Schema`` unhashable; Ray's block-schema dedup then
     falls back to re-unifying schemas in EVERY reduce/merge task (and logs
-    "Failed to hash the schemas" per task).  Stripping is metadata-only
-    (zero-copy) and fuses with the read stage.
+    "Failed to hash the schemas" per task).  A post-read strip stage is
+    not enough — the warning already fires INSIDE the read operator's
+    SplitBlocks dedup — so pass an explicit metadata-free ``schema`` to
+    the reader (pruned to ``columns`` when given: Ray requires the
+    explicit schema to match the projected one).  Falls back to the strip
+    stage for multi-file globs/dirs where a single footer isn't cheap to
+    pick, or when the caller supplied a schema.
     """
     import ray.data as rd
 
+    if "schema" not in kw and isinstance(path, str) and path.endswith(".parquet"):
+        try:
+            full = pq.read_schema(path).remove_metadata()
+            cols = kw.get("columns")
+            kw["schema"] = (pa.schema([full.field(c) for c in cols])
+                            if cols else full)
+            return rd.read_parquet(path, **kw)
+        except Exception:
+            kw.pop("schema", None)  # unexpected layout: strip downstream
     ds = rd.read_parquet(path, **kw)
     return ds.map_batches(_strip_schema_metadata, batch_format="pyarrow")
 

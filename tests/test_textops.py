@@ -436,3 +436,47 @@ def test_ivf_persisted_index_prunes_reads_and_matches_oneshot(ray_session,
     cols = ["query_id", "vec_id", "rank"]
     pd.testing.assert_frame_equal(got[cols].reset_index(drop=True),
                                   want[cols].reset_index(drop=True))
+
+
+def test_distributed_kmeans_matches_sequential_lloyd(embs):
+    """train_centroids_distributed must equal sequential full-data Lloyd
+    from the same seeded init (the distributed form only reorders the
+    per-cluster summation), and slot into build_ivf_index."""
+    from pttcrawler_ray.textops.similarity import (_normalize,
+                                                   train_centroids,
+                                                   train_centroids_distributed)
+
+    dist = train_centroids_distributed(embs, n_clusters=8, iters=4, seed=7)
+
+    df = embs.to_pandas().sort_values("vec_id")
+    x = _normalize(np.stack(df["embedding"]).astype(np.float64))
+    # same init the distributed trainer uses (iters=0 = seeded init only;
+    # table fits the sample so init is deterministic)
+    c = train_centroids(embs, 8, sample=2048, iters=0, seed=7)
+    for _ in range(4):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            m = x[assign == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+        c = _normalize(c)
+    assert dist.shape == c.shape
+    np.testing.assert_allclose(dist, c, atol=1e-9)
+
+
+def test_build_ivf_index_distributed_train(embs, tmp_path):
+    from pttcrawler_ray.textops.similarity import (build_ivf_index,
+                                                   knn_ivf_indexed,
+                                                   train_centroids_distributed)
+
+    cents = build_ivf_index(embs, str(tmp_path / "ivf"), n_clusters=8,
+                            iters=4, distributed_train=True)
+    np.testing.assert_allclose(
+        cents, train_centroids_distributed(embs, 8, iters=4, seed=7), atol=1e-9)
+    q = np.stack(embs.to_pandas().sort_values("vec_id")["embedding"][:1])
+    stats = {}
+    out = knn_ivf_indexed(str(tmp_path / "ivf"), q, k=3, nprobe=3,
+                          stats_out=stats)
+    # one query probes exactly nprobe of the n_clusters partition dirs
+    assert stats["partition_dirs_read"] <= 3 < stats["n_clusters"]
+    assert len(out) == 3
