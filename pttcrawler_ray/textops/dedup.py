@@ -230,12 +230,36 @@ def _candidate_pairs(bucket_ds: "rd.Dataset", key_cols: list[str],
                                                batch_format="pyarrow")
 
 
-def _dedupe_pairs(cand: "rd.Dataset") -> "rd.Dataset":
-    """Distinct (doc_a, doc_b) via a vectorized groupby COUNT aggregate —
-    per-group map_groups would make one Python call per pair."""
-    agg = cand.groupby(["doc_a", "doc_b"]).count()
-    return agg.map_batches(lambda t: t.drop_columns(["count()"]),
-                           batch_format="pyarrow")
+def _dedupe_pairs(cand: "rd.Dataset",
+                  approx_rows: int | None = None) -> "rd.Dataset":
+    """Distinct (doc_a, doc_b): mix the pair into one uint64 key, ONE
+    coarse int32-part shuffle, then a vectorized first-of-run per
+    partition.  Ray's native two-key ``groupby().count()`` Aggregate was
+    the single biggest stage of the 1M-doc soak (69.8 s of the 110 s
+    pair phase for ~10M raw band-duplicated pairs — its sort machinery
+    compares tuple keys row-by-row); this is the same
+    ``_candidate_pairs`` partition shape and dedupes in seconds."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        key = _mixed_bucket_key(t, ["doc_a", "doc_b"])
+        return t.append_column("part", _bucket_partition_col(key, n_parts))
+
+    def distinct(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        if g.num_rows == 0:
+            return g
+        a = g["doc_a"].to_numpy(zero_copy_only=False)
+        b = g["doc_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                         "doc_b": pa.array(b[keep], pa.int64())})
+
+    n_parts = _scale_parts(approx_rows) if approx_rows else _PAIR_PARTITIONS
+    return cand.map_batches(add_part, batch_format="pyarrow").groupby(
+        "part").map_groups(distinct, batch_format="pyarrow")
 
 
 # both verify stages run as plain-function tasks in Ray's prestarted
@@ -435,7 +459,7 @@ def _verify_jaccard(cand: "rd.Dataset", docs: "rd.Dataset", shingle_k: int,
     cand = cand.materialize()
     n_pairs = cand.count()
     if n_pairs > _VERIFY_BCAST_MAX_PAIRS:
-        verified = _verify_jaccard_joined(_dedupe_pairs(cand), docs,
+        verified = _verify_jaccard_joined(_dedupe_pairs(cand, n_pairs), docs,
                                           shingle_k, threshold, n_pairs)
         return verified if as_dataset else _collect_pairs(verified)
     cdf = cand.to_pandas().drop_duplicates()
