@@ -230,15 +230,18 @@ def _candidate_pairs(bucket_ds: "rd.Dataset", key_cols: list[str],
                                                batch_format="pyarrow")
 
 
-def _dedupe_pairs(cand: "rd.Dataset",
-                  approx_rows: int | None = None) -> "rd.Dataset":
+def _dedupe_pairs(cand: "rd.Dataset", approx_rows: int | None = None,
+                  carry: tuple[str, ...] = ()) -> "rd.Dataset":
     """Distinct (doc_a, doc_b): mix the pair into one uint64 key, ONE
     coarse int32-part shuffle, then a vectorized first-of-run per
     partition.  Ray's native two-key ``groupby().count()`` Aggregate was
     the single biggest stage of the 1M-doc soak (69.8 s of the 110 s
     pair phase for ~10M raw band-duplicated pairs — its sort machinery
     compares tuple keys row-by-row); this is the same
-    ``_candidate_pairs`` partition shape and dedupes in seconds."""
+    ``_candidate_pairs`` partition shape and dedupes in seconds.
+    ``carry`` columns ride along first-of-run — valid because a pair
+    rediscovered in another band/table recomputes the SAME value
+    (hamming/cosine are functions of the two fixed inputs)."""
 
     def add_part(t: pa.Table) -> pa.Table:
         t = t.replace_schema_metadata(None)
@@ -254,9 +257,16 @@ def _dedupe_pairs(cand: "rd.Dataset",
         order = np.lexsort((b, a))
         a, b = a[order], b[order]
         keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
-        return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
-                         "doc_b": pa.array(b[keep], pa.int64())})
+        cols = {"doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64())}
+        for c in carry:
+            # rediscovered pairs carry IDENTICAL values (same inputs →
+            # same hamming/cosine), so first-of-run is the group value
+            cols[c] = g[c].take(pa.array(order[np.flatnonzero(keep)],
+                                         pa.int64()))
+        return pa.table(cols)
 
+    carry = tuple(carry or ())
     n_parts = _scale_parts(approx_rows) if approx_rows else _PAIR_PARTITIONS
     return cand.map_batches(add_part, batch_format="pyarrow").groupby(
         "part").map_groups(distinct, batch_format="pyarrow")
@@ -867,10 +877,6 @@ _SIMHASH_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                                   ("hamming", pa.int32())])
 
 
-def _rename_min_hamming(t: pa.Table) -> pa.Table:
-    return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
-                     "hamming": t["min(hamming)"].cast(pa.int32())})
-
 
 def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
                   id_col: str = "doc_id",
@@ -901,22 +907,22 @@ def simhash_pairs(docs: "rd.Dataset", max_hamming: int = 3,
     cand = normalize_blocks(exp.groupby("part").map_groups(
         fn, batch_format="pyarrow").materialize())
     # a pair rediscovered in another band has the SAME hamming (same
-    # simhashes), so dedupe is a plain distinct.  The Dataset shape stays
-    # fully distributed (groupby-min, no driver collect); only the small
-    # table default gathers, and below 2M raw candidates it skips the
-    # distinct shuffle for a driver-side drop_duplicates of the
+    # simhashes), so dedupe is a plain distinct (coarse-partition
+    # first-of-run with hamming carried — the _dedupe_pairs shape, not
+    # Ray's slow native two-key Aggregate).  The Dataset shape stays
+    # fully distributed (no driver collect); only the small table
+    # default gathers, and below 2M raw candidates it skips the distinct
+    # shuffle for a driver-side drop_duplicates of the
     # (already-verified, output-sized) set.
+    n_cand = cand.count()
     if as_dataset:
-        return cand.groupby(["doc_a", "doc_b"]).min("hamming").map_batches(
-            _rename_min_hamming, batch_format="pyarrow")
-    if cand.count() <= 2_000_000:
+        return _dedupe_pairs(cand, n_cand, carry=("hamming",))
+    if n_cand <= 2_000_000:
         df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"]) \
                  .sort_values(["doc_a", "doc_b"])
     else:
-        dedup = cand.groupby(["doc_a", "doc_b"]).min("hamming")
-        df = (dedup.to_pandas()
-              .rename(columns={"min(hamming)": "hamming"})
-              .sort_values(["doc_a", "doc_b"]))
+        df = (_dedupe_pairs(cand, n_cand, carry=("hamming",))
+              .to_pandas().sort_values(["doc_a", "doc_b"]))
     if df.empty:
         return _SIMHASH_PAIR_SCHEMA.empty_table()
     return pa.Table.from_pandas(df, preserve_index=False).cast(_SIMHASH_PAIR_SCHEMA)
@@ -954,10 +960,6 @@ class SignLSH:
 _EMB_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                               ("cosine", pa.float64())])
 
-
-def _rename_max_cosine(t: pa.Table) -> pa.Table:
-    return pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
-                     "cosine": t["max(cosine)"]})
 
 
 def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0.95,
@@ -1003,18 +1005,18 @@ def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0
     pairs = ds.groupby(["lsh_table", "lsh_bucket"]).map_groups(
         bucket_pairs, batch_format="pyarrow").materialize()
     # identical cosine on rediscovery (same vectors) → plain distinct.
-    # as_dataset: distributed groupby-max distinct, no driver collect.
+    # as_dataset: coarse-partition first-of-run distinct with cosine
+    # carried (identical on rediscovery — same two vectors), no driver
+    # collect and no native two-key Aggregate.
+    n_cand = pairs.count()
     if as_dataset:
-        return pairs.groupby(["doc_a", "doc_b"]).max("cosine").map_batches(
-            _rename_max_cosine, batch_format="pyarrow")
-    if pairs.count() <= 2_000_000:
+        return _dedupe_pairs(pairs, n_cand, carry=("cosine",))
+    if n_cand <= 2_000_000:
         df = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]) \
                   .sort_values(["doc_a", "doc_b"])
     else:
-        dedup = pairs.groupby(["doc_a", "doc_b"]).max("cosine")
-        df = (dedup.to_pandas()
-              .rename(columns={"max(cosine)": "cosine"})
-              .sort_values(["doc_a", "doc_b"]))
+        df = (_dedupe_pairs(pairs, n_cand, carry=("cosine",))
+              .to_pandas().sort_values(["doc_a", "doc_b"]))
     if df.empty:
         return _EMB_PAIR_SCHEMA.empty_table()
     return pa.Table.from_pandas(df, preserve_index=False).cast(_EMB_PAIR_SCHEMA)
