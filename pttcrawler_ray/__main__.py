@@ -15,6 +15,8 @@ Subcommands::
         [--date-range START END]
     python -m pttcrawler_ray users    --corpus DIR
     python -m pttcrawler_ray asn      --corpus DIR --crawl DIR
+    python -m pttcrawler_ray curate   --input DOCS.parquet --dest DIR
+        [--quality-min Q] [--threshold J] [--langs L ...]
 
 The CLI owns its Ray session (``ray.init(address='local')``); library code
 never initialises Ray.
@@ -107,6 +109,18 @@ def main(argv=None):
     a.add_argument("--corpus", required=True)
     a.add_argument("--crawl", required=True)
 
+    cu = sub.add_parser("curate", help="training-data curation: quality -> "
+                        "langid -> filter -> near-dup removal over a "
+                        "(doc_id, text) parquet")
+    cu.add_argument("--input", required=True, help="documents parquet file/dir")
+    cu.add_argument("--dest", required=True, help="output parquet directory")
+    cu.add_argument("--quality-min", type=float, default=0.3)
+    cu.add_argument("--threshold", type=float, default=0.8,
+                    help="near-dup Jaccard threshold")
+    cu.add_argument("--langs", nargs="*", default=None,
+                    help="keep only these predicted languages")
+    cu.add_argument("--num-cpus", type=int, default=None)
+
     sch = sub.add_parser("schedule", help="upsert/remove a recurring cron job "
                          "(reference schedule.py semantics)")
     sch.add_argument("--action", choices=["update", "remove"], required=True)
@@ -158,6 +172,18 @@ def main(argv=None):
             s = run_crawl(args.corpus, args.out, cfg, resume=args.resume)
             print(json.dumps({k: s[k] for k in ("rounds", "popped", "elapsed_s",
                                                 "urls_per_sec")}))
+        elif args.cmd == "curate":
+            from .textops.curate import curate
+            from .util.rayops import parquet_rows, read_parquet_clean
+
+            docs = read_parquet_clean(args.input)
+            kept = curate(docs, quality_min=args.quality_min,
+                          langs=args.langs, dedup_threshold=args.threshold)
+            kept.write_parquet(args.dest)
+            n_in = parquet_rows(args.input)
+            n_kept = parquet_rows(args.dest)
+            print(json.dumps({"input_docs": n_in, "kept_docs": n_kept,
+                              "dropped": n_in - n_kept, "dest": args.dest}))
         elif args.cmd == "export":
             from .pipelines.export import export_run
 

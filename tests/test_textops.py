@@ -480,3 +480,40 @@ def test_build_ivf_index_distributed_train(embs, tmp_path):
     # one query probes exactly nprobe of the n_clusters partition dirs
     assert stats["partition_dirs_read"] <= 3 < stats["n_clusters"]
     assert len(out) == 3
+
+
+def test_curate_library_pipeline(ray_session, tmp_path):
+    """curate(): junk (no stopwords / low quality) dropped, near-dup pair
+    collapses to the lower doc_id, clean docs keep quality/pred_lang
+    columns; CLI subprocess smoke over the same table."""
+    from pttcrawler_ray.textops.curate import curate
+
+    base = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "river where it drinks some water before the long sleep") * 3
+    near = base + " extra tail tokens here"
+    junk = " ".join(f"zz{i}" for i in range(40))  # no stopwords
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([base, near, junk,
+                          "the cat sat on the mat and the dog sat too " * 5]),
+    })
+    kept = curate(rd.from_arrow(tbl), dedup_threshold=0.7).to_pandas()
+    assert set(kept["doc_id"]) == {1, 4}  # 2 = near-dup of 1, 3 = junk
+    assert {"quality", "pred_lang"} <= set(kept.columns)
+
+    # CLI smoke (own process = own Ray session)
+    import json as _json
+    import subprocess
+    import sys
+    src = tmp_path / "docs.parquet"
+    dest = tmp_path / "curated"
+    pq.write_table(tbl, src)
+    out = subprocess.run(
+        [sys.executable, "-m", "pttcrawler_ray", "curate", "--input", str(src),
+         "--dest", str(dest), "--threshold", "0.7", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["input_docs"] == 4 and stats["kept_docs"] == 2
+    got = pq.read_table(dest.as_posix()).column("doc_id").to_pylist()
+    assert sorted(got) == [1, 4]
