@@ -171,6 +171,11 @@ def main():
                                        pc.greater(t["stop_ratio"], 0.0)))
                        .select(["doc_id", "text"]),
             batch_format="pyarrow")
+        # pin the curated projection ONCE: both the pair stage (via
+        # minhash_lsh_pairs' internal materialize) and the final
+        # anti-join consume it — without this the anti-join re-executes
+        # the whole quality→langid scoring pass (measured +60 s at 1M)
+        docs = docs.materialize()
 
     # pair stage first (timed separately): the same pipeline minhash_dedup
     # runs internally, through the joined-verify path
