@@ -316,3 +316,30 @@ def test_normalize_blocks_caps_fragmentation_and_preserves_rows(ray_session):
 
     sane = rd.from_pandas(df).materialize()
     assert normalize_blocks(sane, target_rows_per_block=1_000) is sane
+
+
+@given(pairs=st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                      min_size=0, max_size=60),
+       carry_vals=st.booleans())
+@settings(max_examples=8, deadline=None)
+def test_dedupe_pairs_matches_pandas(ray_session, pairs, carry_vals):
+    """_dedupe_pairs == drop_duplicates on (doc_a, doc_b); carried column
+    keeps the group's (identical-by-construction) value."""
+    from pttcrawler_ray.textops.dedup import _dedupe_pairs
+
+    if not pairs:
+        return
+    a = pa.array([p[0] for p in pairs], pa.int64())
+    b = pa.array([p[1] for p in pairs], pa.int64())
+    cols = {"doc_a": a, "doc_b": b}
+    if carry_vals:
+        # value is a function of the pair (as hamming/cosine are)
+        cols["val"] = pa.array([p[0] * 100 + p[1] for p in pairs], pa.int64())
+    ds = rd.from_arrow(pa.table(cols))
+    out = _dedupe_pairs(ds, len(pairs),
+                        carry=("val",) if carry_vals else ()).to_pandas()
+    want = pd.DataFrame({k: v.to_pylist() for k, v in cols.items()}) \
+        .drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"]) \
+        .reset_index(drop=True)
+    got = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
