@@ -113,12 +113,52 @@ def _rss_gb() -> float:
     return -1.0
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (any shape)."""
+    return np.unpackbits(x.view(np.uint8)).reshape(*x.shape, 64).sum(axis=-1)
+
+
+def _sequential_simhash_pairs(ids: np.ndarray, sims: np.ndarray,
+                              max_hamming: int = 3,
+                              cap: int = 256) -> dict:
+    """Sequential reference for the simhash banding pipeline: per 16-bit
+    band, bucket by value, cap each bucket to the ``cap`` smallest unique
+    ids (the MAX_BUCKET_DOCS rule), emit pairs with Hamming ≤ max.
+    Independent of every distributed mechanism being soaked (the explode
+    shuffle, coarse partitions, vectorized run scan, carry-distinct);
+    the simhash VALUES themselves are conformance-checked against the
+    brute-force oracle at small scale (queryoracle simhash_pairs_docs)."""
+    out: dict = {}
+    for band in range(4):
+        bv = (sims >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+        order = np.lexsort((ids, bv))
+        b_s, id_s, sim_s = bv[order], ids[order], sims[order]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        ends = np.r_[starts[1:], b_s.size]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run_ids, first = np.unique(id_s[s:e], return_index=True)
+            run_sims = sim_s[s:e][first][:cap]
+            run_ids = run_ids[:cap]
+            if run_ids.size < 2:
+                continue
+            hm = _popcount64(run_sims[:, None] ^ run_sims[None, :])
+            ia, ib = np.where(np.triu(hm <= max_hamming, k=1))
+            for p, q, h in zip(run_ids[ia], run_ids[ib], hm[ia, ib]):
+                out[(int(p), int(q))] = int(h)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--curate", action="store_true",
                     help="run the composed quality->langid->filter->dedup "
                          "pipeline instead of plain minhash_dedup")
+    ap.add_argument("--simhash", action="store_true",
+                    help="soak the simhash banding pipeline instead "
+                         "(pairs vs a sequential banding+cap oracle)")
     ap.add_argument("--out", default="/tmp/ptt_dedup_soak")
     ap.add_argument("--clusters", type=int, default=N_CLUSTERS)
     ap.add_argument("--classes", type=int, default=N_CLASSES)
@@ -156,6 +196,54 @@ def main():
 
     docs = read_parquet_clean(corpus)
     rss_phases = {"start": _rss_gb()}
+
+    if args.simhash:
+        import pandas as pd
+
+        # oracle input: (doc_id, simhash) — 16 B/doc, driver-safe at any
+        # soak scale; values computed by the (small-scale-conformance-
+        # checked) SimHash stage, machinery checked sequentially
+        t0 = time.time()
+        sdf = (docs.map_batches(D.SimHash(), batch_format="pyarrow")
+               .select_columns(["doc_id", "simhash"]).to_pandas())
+        t_sims = time.time() - t0
+        ids = sdf["doc_id"].to_numpy(np.int64)
+        sims = sdf["simhash"].to_numpy(np.uint64)
+        exp = _sequential_simhash_pairs(ids, sims)
+        t_oracle = time.time() - t0 - t_sims
+        rss_phases["after_oracle"] = _rss_gb()
+
+        t1 = time.time()
+        pairs = D.simhash_pairs(docs, max_hamming=3,
+                                as_dataset=True).materialize()
+        n_pairs = pairs.count()
+        t_pairs = time.time() - t1
+        rss_phases["after_pairs"] = _rss_gb()
+        got = pairs.to_pandas()  # output-sized driver check, soak-side only
+        gmap = {(int(a), int(b)): int(h) for a, b, h in
+                zip(got["doc_a"], got["doc_b"], got["hamming"])}
+        ok = gmap == exp
+
+        peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        ray.shutdown()
+        print(json.dumps({
+            "metric": "simhash banding soak (explode shuffle + capped runs "
+                      "+ carry-distinct) vs sequential banding oracle",
+            "mode": "simhash",
+            "n_docs": manifest["n_docs"],
+            "pairs": n_pairs,
+            "expected_pairs": len(exp),
+            "sims_sec": round(t_sims, 1),
+            "oracle_sec": round(t_oracle, 1),
+            "pairs_sec": round(t_pairs, 1),
+            "docs_per_sec": round(manifest["n_docs"] / t_pairs, 0),
+            "driver_peak_rss_gb": round(peak_rss_gb, 2),
+            "driver_rss_phases_gb": rss_phases,
+            "exact_match": ok,
+        }))
+        assert ok, (n_pairs, len(exp))
+        return
+
     t0 = time.time()
     if args.curate:
         import pyarrow.compute as pc
