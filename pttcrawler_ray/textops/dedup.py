@@ -29,7 +29,7 @@ import ray.data as rd
 
 from ..util.hashing import hash_u64_many
 from ..util.rayops import (GOLDEN64, bucket_partition_col, grouped_topk,
-                           normalize_blocks, scale_parts)
+                           list_col_matrix, normalize_blocks, scale_parts)
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -942,7 +942,7 @@ class SignLSH:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.replace_schema_metadata(None)  # see SimHash.__call__
-        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        emb = list_col_matrix(batch["embedding"])
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         parts = []
         n = len(batch)
@@ -988,16 +988,15 @@ def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0
                 "degenerate sign-LSH bucket: %d rows, capping to %d",
                 group.num_rows, 16 * MAX_BUCKET_DOCS)
             group = group.sort_by("vec_id").slice(0, 16 * MAX_BUCKET_DOCS)
-        ids = group["vec_id"].to_pylist()
-        if len(ids) < 2:
+        ids_np = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids_np.size < 2:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        m = np.stack(group["embedding"].to_pylist()).astype(np.float64)
+        m = list_col_matrix(group["embedding"])
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sim = m @ m.T
         a, b = np.where(np.triu(sim >= threshold, k=1))
-        ids_np = np.asarray(ids)
         return pa.table({"doc_a": pa.array(np.minimum(ids_np[a], ids_np[b]), pa.int64()),
                          "doc_b": pa.array(np.maximum(ids_np[a], ids_np[b]), pa.int64()),
                          "cosine": pa.array(sim[a, b], pa.float64())})

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..util.rayops import bcast_get
+from ..util.rayops import bcast_get, list_col_matrix
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -30,8 +30,8 @@ def _batch_topk(batch: pa.Table, *, queries_ref, k: int) -> pa.Table:
     process — setup this cheap does not justify an actor pool)."""
     q = queries_ref if isinstance(queries_ref, np.ndarray) else bcast_get(queries_ref)
     q = _normalize(np.asarray(q, dtype=np.float64))
-    ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-    m = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _normalize(list_col_matrix(batch["embedding"]))
     sim = q @ m.T  # (nq, nb)
     k = min(k, sim.shape[1])
     rows_q, rows_id, rows_s = [], [], []
@@ -79,7 +79,7 @@ def knn_brute(emb_ds: "rd.Dataset", queries: np.ndarray, k: int = 5,
 def _ivf_assign(batch: pa.Table, *, centroids_ref) -> pa.Table:
     c = centroids_ref if isinstance(centroids_ref, np.ndarray) else bcast_get(centroids_ref)
     c = _normalize(np.asarray(c, dtype=np.float64))
-    m = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+    m = _normalize(list_col_matrix(batch["embedding"]))
     assign = (m @ c.T).argmax(axis=1).astype(np.int64)
     return batch.append_column("ivf_cluster", pa.array(assign, pa.int64()))
 
@@ -122,7 +122,7 @@ def _kmeans_partials(batch: pa.Table, *, centroids_ref) -> pa.Table:
         return pa.table({"cluster": pa.array([], pa.int64()),
                          "count": pa.array([], pa.int64()),
                          "vsum": pa.array([], pa.list_(pa.float64()))})
-    m = _normalize(np.stack(batch["embedding"].to_pylist()).astype(np.float64))
+    m = _normalize(list_col_matrix(batch["embedding"]))
     assign = (m @ c.T).argmax(axis=1)
     clusters = np.unique(assign)
     sums = np.stack([m[assign == j].sum(axis=0) for j in clusters])

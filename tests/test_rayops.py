@@ -343,3 +343,21 @@ def test_dedupe_pairs_matches_pandas(ray_session, pairs, carry_vals):
         .reset_index(drop=True)
     got = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_list_col_matrix_matches_stack():
+    from pttcrawler_ray.util.rayops import list_col_matrix
+
+    vecs = np.random.default_rng(5).standard_normal((50, 8))
+    col = pa.chunked_array([pa.array(list(vecs[:20]), pa.list_(pa.float64())),
+                            pa.array(list(vecs[20:]), pa.list_(pa.float64()))])
+    np.testing.assert_array_equal(list_col_matrix(col), vecs)
+    # sliced offsets (non-zero start) must reshape correctly
+    arr = pa.array(list(vecs), pa.list_(pa.float64())).slice(10, 30)
+    np.testing.assert_array_equal(list_col_matrix(arr), vecs[10:40])
+    # ragged rows fall back to the python path
+    ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list_col_matrix(ragged)  # np.stack raises on ragged — same as before
+    assert list_col_matrix(pa.array([], pa.list_(pa.float64()))).shape == (0, 0)
