@@ -474,6 +474,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.Table.from_pandas(comp, preserve_index=False).cast(
             pa.schema([("node", pa.int64()), ("comp", pa.int64())]))
 
+    def dedup_incremental_docs(sf_dir):
+        """Incremental dedup (continuous-crawl form): the documents table
+        arrives as two id-ordered increments against a persisted
+        band+shingle state store; kept set must equal a from-scratch
+        minhash_dedup over the union (textops/incremental.py semantics).
+        Oracle = docs minus recursive-CTE components with a smaller
+        member."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from pttcrawler_ray.textops.incremental import minhash_dedup_incremental
+
+        _ctx()
+        path = os.path.join(sf_dir, "documents.parquet")
+        ids = pq.read_table(path, columns=["doc_id"])["doc_id"].to_numpy()
+        median = int(np.median(ids))
+        state = os.path.join("/tmp/ptt_incdedup",
+                             os.path.basename(os.path.normpath(sf_dir)))
+        shutil.rmtree(state, ignore_errors=True)
+        kept = []
+        for flt in (pc.field("doc_id") < median, pc.field("doc_id") >= median):
+            inc = _rpq(path, columns=["doc_id", "text"], filter=flt)
+            k = minhash_dedup_incremental(inc, state, threshold=0.5)
+            kept.extend(k.select_columns(["doc_id"]).to_pandas()["doc_id"])
+        return pa.table({"doc_id": pa.array(sorted(kept), pa.int64())})
+
     def simhash_pairs_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import simhash_pairs
@@ -638,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_docs": minhash_pairs_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "dedup_components": dedup_components,
+        "dedup_incremental_docs": dedup_incremental_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "embedding_neardup": embedding_neardup,
         "knn_ivf": knn_ivf_q,
@@ -903,6 +931,14 @@ def oracle_sql() -> dict[str, str]:
         # --- connected components over the same exact pairs: transitive
         # closure by recursive CTE, comp = min reachable node
         "dedup_components": _SQL_EXACT_JACCARD_COMPONENTS,
+        # incremental == from-scratch (textops/incremental.py semantics):
+        # kept = docs whose component has no smaller member
+        "dedup_incremental_docs": _SQL_EXACT_JACCARD_COMPONENTS.replace(
+            "SELECT node, MIN(r) AS comp FROM reach GROUP BY node",
+            """SELECT doc_id FROM documents WHERE doc_id NOT IN (
+                 SELECT node FROM (SELECT node, MIN(r) AS comp FROM reach
+                                   GROUP BY node) WHERE comp <> node)
+               ORDER BY doc_id"""),
         # --- embedding near-dup with planted twins (see the query docstring)
         "embedding_neardup": """
             WITH aug AS (

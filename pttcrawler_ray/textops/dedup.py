@@ -346,6 +346,17 @@ def _candidate_shingles_bloom(batch: pa.Table, *, bloom_ref, shingle_k: int) -> 
     })
 
 
+def _filter_shingles_bloom(batch: pa.Table, *, bloom_ref) -> pa.Table:
+    """Semi-join pre-computed (doc_id, shingles) rows against the
+    candidate-id bloom — the shingle_ds variant of
+    :func:`_candidate_shingles_bloom` (incremental dedup's store rows)."""
+    from ..state.bloom import BloomFilter
+
+    bloom = _bcast_get(bloom_ref, transform=BloomFilter.restore)
+    ids_np = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return batch.filter(pa.array(bloom.contains_many(ids_np)))
+
+
 def _attach_shingles(pairs: "rd.Dataset", sh_ds: "rd.Dataset", key_col: str,
                      out_col: str, n_buckets: int,
                      carry: list[tuple[str, "pa.DataType"]]) -> "rd.Dataset":
@@ -379,9 +390,10 @@ def _jaccard_from_lists(batch: pa.Table, *, threshold: float) -> pa.Table:
                      "jaccard": pa.array(out_j, pa.float64())})
 
 
-def _verify_jaccard_joined(cand: "rd.Dataset", docs: "rd.Dataset",
+def _verify_jaccard_joined(cand: "rd.Dataset", docs: "rd.Dataset | None",
                            shingle_k: int, threshold: float,
-                           n_pairs: int) -> "rd.Dataset":
+                           n_pairs: int,
+                           shingle_ds: "rd.Dataset | None" = None) -> "rd.Dataset":
     """The at-scale verify path: NO driver-side dict of shingles.
 
     1. distinct candidate doc ids stream through the driver ONCE into a
@@ -391,7 +403,13 @@ def _verify_jaccard_joined(cand: "rd.Dataset", docs: "rd.Dataset",
     3. shingles join onto pairs by doc_a then doc_b with two bucketed
        hash joins (per-task memory = one bucket);
     4. exact Jaccard runs per pair batch.
-    Returns the verified-pair dataset (callers write or collect it)."""
+    Returns the verified-pair dataset (callers write or collect it).
+
+    ``shingle_ds``: pre-computed (doc_id, shingles) rows to use instead of
+    shingling ``docs`` — the incremental-dedup path, where the old side's
+    texts were shingled in a prior increment and only the store rows
+    exist.  The candidate-id bloom semi-join applies either way, so the
+    joins stay candidate-sized."""
     import ray
 
     from ..state.bloom import BloomFilter
@@ -417,10 +435,15 @@ def _verify_jaccard_joined(cand: "rd.Dataset", docs: "rd.Dataset",
     # full-corpus shingling pass runs ONCE, not once per join below
     # (blocks normalized: the semi-join leaves one small block per corpus
     # read block)
-    sh_ds = normalize_blocks(docs.map_batches(
-        _candidate_shingles_bloom,
-        fn_kwargs={"bloom_ref": bloom_ref, "shingle_k": shingle_k},
-        batch_format="pyarrow").materialize())
+    if shingle_ds is not None:
+        sh_ds = normalize_blocks(shingle_ds.map_batches(
+            _filter_shingles_bloom, fn_kwargs={"bloom_ref": bloom_ref},
+            batch_format="pyarrow").materialize())
+    else:
+        sh_ds = normalize_blocks(docs.map_batches(
+            _candidate_shingles_bloom,
+            fn_kwargs={"bloom_ref": bloom_ref, "shingle_k": shingle_k},
+            batch_format="pyarrow").materialize())
     n_buckets = _scale_parts(n_pairs * 2 + n_ids)
     i64, lst = pa.int64(), pa.list_(pa.uint64())
     with_a = _attach_shingles(cand, sh_ds, "doc_a", "sh_a", n_buckets,

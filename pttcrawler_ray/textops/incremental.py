@@ -1,0 +1,171 @@
+"""Incremental MinHash dedup — the continuous-crawl form.
+
+A 100-TB pipeline doesn't re-dedup the whole corpus per crawl round: it
+dedups each INCREMENT against (a) itself and (b) a persisted state store
+of every document seen so far.  The store holds two narrow tables under
+``state_dir``:
+
+- ``bands/``: (band_id, band_hash, doc_id) LSH rows — ~20 B × bands/doc;
+- ``shingles/``: (doc_id, shingles list<uint64>) — the exact-verify side,
+  ~1 KB/doc (≈1% of corpus size), needed so cross-increment candidate
+  pairs get the SAME exact-Jaccard verification as the batch path.
+
+Both tables keep ALL seen docs (kept AND dropped): a new doc that
+near-dups a previously-dropped doc must still join that component (the
+full-run connected-components semantics — transitivity through dropped
+docs).
+
+Semantics (append-only): previously kept docs stay kept; a new doc is
+dropped iff its verified-pair component contains any smaller doc_id
+(older increment or earlier-id in its own increment).  With doc_ids
+monotonically increasing across increments — enforced via the store
+manifest — this equals a from-scratch :func:`minhash_dedup` over the
+union, EXCEPT when one new doc bridges two previously-separate old
+components (the batch run would retro-drop one of the two old keepers;
+an incremental system cannot un-emit a doc).  The equality on
+non-bridging corpora is pinned by test.
+
+Per-increment cost: banding + shingling of the increment, ONE bloom-
+filtered scan of the old bands store (only buckets colliding with the
+increment survive the filter), and candidate-sized joins — never a
+rescan of old text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..util.hashing import hash_u64_many
+from ..util.rayops import normalize_blocks, read_parquet_clean
+from .dedup import (_anti_join_ids, _candidate_pairs, _dedupe_pairs,
+                    _mixed_bucket_key, _minhash_bands_batch, _scale_parts,
+                    _shingle_hashes, _verify_jaccard_joined,
+                    connected_components)
+
+
+def _all_shingles_batch(batch: pa.Table, *, shingle_k: int) -> pa.Table:
+    """(doc_id, shingles) for EVERY row — the increment's verify-side
+    rows, persisted to the store (unlike the candidate-only variants in
+    dedup.py)."""
+    sh = [_shingle_hashes(t, shingle_k) for t in batch["text"].to_pylist()]
+    return pa.table({
+        "doc_id": batch["doc_id"].cast(pa.int64()),
+        "shingles": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
+    })
+
+
+def _bloom_of_keys(ds: "rd.Dataset", key_fn, capacity_hint: int):
+    """Stream a Dataset through the driver ONCE into a BloomFilter
+    (driver memory = filter bits, the _verify_jaccard_joined pattern)."""
+    from ..state.bloom import BloomFilter
+
+    bloom = BloomFilter(capacity=max(capacity_hint, 1024))
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        bloom.add_many(key_fn(b))
+    return bloom
+
+
+def _filter_bands_bloom(batch: pa.Table, *, bloom_ref) -> pa.Table:
+    from ..state.bloom import BloomFilter
+    from .dedup import _bcast_get
+
+    bloom = _bcast_get(bloom_ref, transform=BloomFilter.restore)
+    keys = _mixed_bucket_key(batch, ["band_id", "band_hash"])
+    return batch.filter(pa.array(bloom.contains_many(keys)))
+
+
+def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
+                              threshold: float = 0.7, num_perm: int = 128,
+                              bands: int = 16,
+                              shingle_k: int = 3) -> "rd.Dataset":
+    """Dedup an increment of ``(doc_id, text)`` rows against itself and
+    the ``state_dir`` history; returns the kept new docs and appends the
+    increment's bands+shingles to the store."""
+    manifest_path = os.path.join(state_dir, "manifest.json")
+    manifest = (json.load(open(manifest_path))
+                if os.path.exists(manifest_path) else
+                {"max_id": -1, "increments": 0, "num_perm": num_perm,
+                 "bands": bands, "shingle_k": shingle_k})
+    assert (manifest["num_perm"], manifest["bands"], manifest["shingle_k"]) \
+        == (num_perm, bands, shingle_k), "store built with other params"
+
+    new_docs = new_docs.materialize()
+    n_new = new_docs.count()
+    agg = new_docs.aggregate(rd.aggregate.Min("doc_id"),
+                             rd.aggregate.Max("doc_id"))
+    min_new, max_new = agg["min(doc_id)"], agg["max(doc_id)"]
+    assert min_new > manifest["max_id"], \
+        f"doc_ids must be monotone across increments: {min_new} <= {manifest['max_id']}"
+
+    kw = {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k}
+    bands_new = new_docs.map_batches(
+        _minhash_bands_batch, fn_kwargs=kw, batch_format="pyarrow").materialize()
+    shingles_new = new_docs.map_batches(
+        _all_shingles_batch, fn_kwargs={"shingle_k": shingle_k},
+        batch_format="pyarrow").materialize()
+
+    bands_dir = os.path.join(state_dir, "bands")
+    sh_dir = os.path.join(state_dir, "shingles")
+    inc = manifest["increments"]
+
+    all_bands = bands_new
+    sh_ds = shingles_new
+    if inc > 0:
+        # ONE bloom-filtered scan of the old bands store: only old rows in
+        # buckets the increment also touches survive (bucket collision is
+        # exactly the LSH candidate condition)
+        bloom = _bloom_of_keys(
+            bands_new,
+            lambda b: _mixed_bucket_key(b, ["band_id", "band_hash"]),
+            capacity_hint=n_new * bands)
+        bloom_ref = ray.put(bloom.snapshot())
+        old_bands = read_parquet_clean(bands_dir).map_batches(
+            _filter_bands_bloom, fn_kwargs={"bloom_ref": bloom_ref},
+            batch_format="pyarrow")
+        all_bands = bands_new.union(old_bands)
+        # verify side: old shingles join only for candidate ids — the
+        # candidate-id bloom inside _verify_jaccard_joined prunes them,
+        # so the union here can stay lazy and store-wide
+        sh_ds = shingles_new.union(read_parquet_clean(sh_dir))
+
+    cand = _candidate_pairs(all_bands, ["band_id", "band_hash"],
+                            _scale_parts((n_new + 1) * bands * 2)).materialize()
+    # doc_b = max of each normalized pair: >= min_new keeps new-new and
+    # old-new pairs, drops old-old (already resolved in prior increments)
+    cand = cand.map_batches(
+        lambda t, m=min_new: t.filter(pc.greater_equal(t["doc_b"], m)),
+        batch_format="pyarrow").materialize()
+    n_pairs = cand.count()
+
+    kept = new_docs
+    if n_pairs:
+        verified = _verify_jaccard_joined(
+            _dedupe_pairs(cand, n_pairs), None, shingle_k, threshold,
+            n_pairs, shingle_ds=sh_ds)
+        verified = normalize_blocks(verified.materialize())
+        if verified.count():
+            comp = connected_components(verified.map_batches(
+                lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"))
+            drops = comp.map_batches(
+                lambda t: t.filter(pc.not_equal(t["node"], t["comp"]))
+                           .select(["node"]),
+                batch_format="pyarrow")
+            kept = _anti_join_ids(new_docs, drops)
+
+    # append-only state update (written AFTER the result is computed so a
+    # failed increment can simply re-run)
+    bands_new.write_parquet(os.path.join(bands_dir, f"inc={inc}"))
+    shingles_new.write_parquet(os.path.join(sh_dir, f"inc={inc}"))
+    manifest.update({"max_id": int(max_new), "increments": inc + 1})
+    os.makedirs(state_dir, exist_ok=True)
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+    return kept

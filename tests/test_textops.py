@@ -517,3 +517,49 @@ def test_curate_library_pipeline(ray_session, tmp_path):
     assert stats["input_docs"] == 4 and stats["kept_docs"] == 2
     got = pq.read_table(dest.as_posix()).column("doc_id").to_pylist()
     assert sorted(got) == [1, 4]
+
+
+def test_incremental_dedup_equals_batch(ray_session, tmp_path):
+    """minhash_dedup_incremental over two id-monotone increments must keep
+    exactly the docs a from-scratch minhash_dedup keeps on the union —
+    including cross-increment near-dup clusters and a dup-of-a-DROPPED-doc
+    chain (the store keeps dropped docs' bands/shingles so transitivity
+    through them survives)."""
+    from pttcrawler_ray.textops.dedup import minhash_dedup
+    from pttcrawler_ray.textops.incremental import minhash_dedup_incremental
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon " * 3).split()
+    rows = []
+    # cluster A entirely in increment 1 (keeps id 0)
+    rows.append({"doc_id": 0, "text": " ".join(base)})
+    v = list(base); v[3] = "x1"
+    rows.append({"doc_id": 1, "text": " ".join(v)})  # dropped (dup of 0)
+    # uniques in increment 1
+    for i in range(2, 20):
+        rng = np.random.default_rng(500 + i)
+        rows.append({"doc_id": i, "text": " ".join(f"u{i}_{j}" for j in range(60))})
+    # increment 2: near-dup of the DROPPED doc 1 (chain through a drop),
+    # near-dup of the KEPT doc 0, and a fresh cluster split across nothing
+    w = list(v); w[7] = "x2"
+    rows.append({"doc_id": 30, "text": " ".join(w)})   # ~1 (dropped) → drop
+    u = list(base); u[11] = "x3"
+    rows.append({"doc_id": 31, "text": " ".join(u)})   # ~0 (kept) → drop
+    for i in range(32, 45):
+        rng = np.random.default_rng(900 + i)
+        rows.append({"doc_id": i, "text": " ".join(f"q{i}_{j}" for j in range(60))})
+
+    full = minhash_dedup(rd.from_items(rows), threshold=0.6).to_pandas()
+    want = set(full["doc_id"])
+
+    state = str(tmp_path / "dedup_state")
+    inc1 = rd.from_items([r for r in rows if r["doc_id"] < 30])
+    inc2 = rd.from_items([r for r in rows if r["doc_id"] >= 30])
+    k1 = minhash_dedup_incremental(inc1, state, threshold=0.6).to_pandas()
+    k2 = minhash_dedup_incremental(inc2, state, threshold=0.6).to_pandas()
+    got = set(k1["doc_id"]) | set(k2["doc_id"])
+    assert got == want, (sorted(got ^ want))
+
+    # monotonicity enforced
+    with pytest.raises(AssertionError, match="monotone"):
+        minhash_dedup_incremental(inc1, state, threshold=0.6)
