@@ -17,6 +17,8 @@ Subcommands::
     python -m pttcrawler_ray asn      --corpus DIR --crawl DIR
     python -m pttcrawler_ray curate   --input DOCS.parquet --dest DIR
         [--quality-min Q] [--threshold J] [--langs L ...]
+    python -m pttcrawler_ray dedup-inc --input INC.parquet --state DIR
+        --dest DIR [--threshold J]
 
 The CLI owns its Ray session (``ray.init(address='local')``); library code
 never initialises Ray.
@@ -121,6 +123,16 @@ def main(argv=None):
                     help="keep only these predicted languages")
     cu.add_argument("--num-cpus", type=int, default=None)
 
+    di = sub.add_parser("dedup-inc", help="incremental near-dup removal: "
+                        "dedup a (doc_id, text) increment against a "
+                        "persisted state store of all previously seen docs")
+    di.add_argument("--input", required=True, help="increment parquet file/dir")
+    di.add_argument("--state", required=True, help="state store directory "
+                    "(created on first increment)")
+    di.add_argument("--dest", required=True, help="output parquet directory")
+    di.add_argument("--threshold", type=float, default=0.7)
+    di.add_argument("--num-cpus", type=int, default=None)
+
     sch = sub.add_parser("schedule", help="upsert/remove a recurring cron job "
                          "(reference schedule.py semantics)")
     sch.add_argument("--action", choices=["update", "remove"], required=True)
@@ -184,6 +196,19 @@ def main(argv=None):
             n_kept = parquet_rows(args.dest)
             print(json.dumps({"input_docs": n_in, "kept_docs": n_kept,
                               "dropped": n_in - n_kept, "dest": args.dest}))
+        elif args.cmd == "dedup-inc":
+            from .textops.incremental import minhash_dedup_incremental
+            from .util.rayops import parquet_rows, read_parquet_clean
+
+            kept = minhash_dedup_incremental(
+                read_parquet_clean(args.input), args.state,
+                threshold=args.threshold)
+            kept.write_parquet(args.dest)
+            n_in = parquet_rows(args.input)
+            n_kept = parquet_rows(args.dest)
+            print(json.dumps({"input_docs": n_in, "kept_docs": n_kept,
+                              "dropped": n_in - n_kept, "state": args.state,
+                              "dest": args.dest}))
         elif args.cmd == "export":
             from .pipelines.export import export_run
 

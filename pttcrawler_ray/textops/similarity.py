@@ -245,6 +245,26 @@ def build_ivf_index(emb_ds: "rd.Dataset", index_dir: str, n_clusters: int = 16,
     return centroids
 
 
+def append_ivf_index(emb_ds: "rd.Dataset", index_dir: str) -> int:
+    """Append an increment of vectors to an existing IVF store: assign
+    against the PERSISTED centroids (no retraining — standard IVF
+    practice; rebuild when drift matters), sort by cluster, and write new
+    part files into the same hive layout.  :func:`knn_ivf_indexed` globs
+    every part per probed partition, so appended rows are queryable
+    immediately.  Returns the number of appended rows.  File count grows
+    by ≤ n_clusters per increment (the sorted-write bound)."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    cref = ray.put(centroids)
+    assigned = emb_ds.map_batches(
+        _ivf_assign, fn_kwargs={"centroids_ref": cref},
+        batch_format="pyarrow").sort("ivf_cluster").materialize()
+    assigned.write_parquet(os.path.join(index_dir, "data"),
+                           partition_cols=["ivf_cluster"])
+    return assigned.count()
+
+
 def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 5,
                     nprobe: int = 4, stats_out: dict | None = None) -> pa.Table:
     """Approximate top-k over a :func:`build_ivf_index` store, reading ONLY

@@ -563,3 +563,43 @@ def test_incremental_dedup_equals_batch(ray_session, tmp_path):
     # monotonicity enforced
     with pytest.raises(AssertionError, match="monotone"):
         minhash_dedup_incremental(inc1, state, threshold=0.6)
+
+
+def test_append_ivf_index_equals_full_assign(embs, tmp_path):
+    """build on half the vectors, append the other half: queries over the
+    appended store must equal a store holding ALL rows assigned with the
+    SAME centroids (append = assign against persisted centroids, no
+    retrain), and the CLI-visible file layout stays cluster-partitioned."""
+    import os
+
+    import pandas as pd
+    from pttcrawler_ray.textops.similarity import (_ivf_assign,
+                                                   append_ivf_index,
+                                                   build_ivf_index,
+                                                   knn_ivf_indexed)
+
+    df = embs.to_pandas().sort_values("vec_id")
+    mid = int(df["vec_id"].median())
+    inc1 = embs.filter(expr=f"vec_id < {mid}")
+    inc2 = embs.filter(expr=f"vec_id >= {mid}")
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(inc1, idx, n_clusters=8, iters=2)
+    n = append_ivf_index(inc2, idx)
+    assert n == len(df) - mid
+
+    # reference: every row assigned with the SAME persisted centroids
+    ref = str(tmp_path / "ivf_ref")
+    cents = np.load(os.path.join(idx, "centroids.npy"))
+    import ray as _ray
+    assigned = embs.map_batches(
+        _ivf_assign, fn_kwargs={"centroids_ref": _ray.put(cents)},
+        batch_format="pyarrow").sort("ivf_cluster")
+    assigned.write_parquet(os.path.join(ref, "data"),
+                           partition_cols=["ivf_cluster"])
+    np.save(os.path.join(ref, "centroids.npy"), cents)
+
+    q = np.stack(df["embedding"][:3])
+    a = knn_ivf_indexed(idx, q, k=5, nprobe=4).to_pandas()
+    b = knn_ivf_indexed(ref, q, k=5, nprobe=4).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
