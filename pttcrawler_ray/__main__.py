@@ -185,9 +185,15 @@ def main(argv=None):
             print(json.dumps({k: s[k] for k in ("rounds", "popped", "elapsed_s",
                                                 "urls_per_sec")}))
         elif args.cmd == "curate":
+            import shutil
+
             from .textops.curate import curate
             from .util.rayops import parquet_rows, read_parquet_clean
 
+            # clean --dest first: write_parquet's uuid-named files would
+            # otherwise coexist with a previous run's (stale rows in the
+            # output, inflated kept_docs)
+            shutil.rmtree(args.dest, ignore_errors=True)
             docs = read_parquet_clean(args.input)
             kept = curate(docs, quality_min=args.quality_min,
                           langs=args.langs, dedup_threshold=args.threshold)
@@ -197,9 +203,12 @@ def main(argv=None):
             print(json.dumps({"input_docs": n_in, "kept_docs": n_kept,
                               "dropped": n_in - n_kept, "dest": args.dest}))
         elif args.cmd == "dedup-inc":
+            import shutil
+
             from .textops.incremental import minhash_dedup_incremental
             from .util.rayops import parquet_rows, read_parquet_clean
 
+            shutil.rmtree(args.dest, ignore_errors=True)  # see curate
             kept = minhash_dedup_incremental(
                 read_parquet_clean(args.input), args.state,
                 threshold=args.threshold)

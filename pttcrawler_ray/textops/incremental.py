@@ -35,15 +35,14 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
-from ..util.hashing import hash_u64_many
 from ..util.rayops import normalize_blocks, read_parquet_clean
 from .dedup import (_anti_join_ids, _candidate_pairs, _dedupe_pairs,
                     _mixed_bucket_key, _minhash_bands_batch, _scale_parts,
@@ -99,6 +98,10 @@ def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
 
     new_docs = new_docs.materialize()
     n_new = new_docs.count()
+    if n_new == 0:
+        # a crawl round with no new docs is a normal event: clean no-op,
+        # store untouched
+        return new_docs
     agg = new_docs.aggregate(rd.aggregate.Min("doc_id"),
                              rd.aggregate.Max("doc_id"))
     min_new, max_new = agg["min(doc_id)"], agg["max(doc_id)"]
@@ -161,7 +164,12 @@ def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
             kept = _anti_join_ids(new_docs, drops)
 
     # append-only state update (written AFTER the result is computed so a
-    # failed increment can simply re-run)
+    # failed increment can simply re-run; the inc=N dirs are cleaned
+    # first so a partial write from a crashed attempt cannot leave
+    # duplicate rows in the store — write_parquet's uuid-named files
+    # would otherwise coexist with the crashed attempt's)
+    shutil.rmtree(os.path.join(bands_dir, f"inc={inc}"), ignore_errors=True)
+    shutil.rmtree(os.path.join(sh_dir, f"inc={inc}"), ignore_errors=True)
     bands_new.write_parquet(os.path.join(bands_dir, f"inc={inc}"))
     shingles_new.write_parquet(os.path.join(sh_dir, f"inc={inc}"))
     manifest.update({"max_id": int(max_new), "increments": inc + 1})

@@ -225,6 +225,11 @@ def build_ivf_index(emb_ds: "rd.Dataset", index_dir: str, n_clusters: int = 16,
     import os
 
     if distributed_train:
+        # materialize HERE so the trainer's iters passes AND the
+        # assignment pass below all reuse the same blocks (the trainer's
+        # internal materialize was a local copy — the assignment was
+        # re-executing the full read pipeline)
+        emb_ds = emb_ds.materialize()
         centroids = train_centroids_distributed(
             emb_ds, n_clusters, iters=iters, seed=seed, init_sample=sample)
     else:

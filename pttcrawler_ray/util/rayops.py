@@ -223,6 +223,10 @@ def list_col_matrix(col, dtype=np.float64) -> "np.ndarray":
     try:
         widths = np.diff(ca.offsets.to_numpy(zero_copy_only=False))
         if ca.null_count == 0 and (widths == widths[0]).all():
+            if widths[0] == 0:
+                # all-empty lists: np.stack's (n, 0) shape, not a reshape
+                # error (reshape(-1, 0) rejects size-0 arrays)
+                return np.zeros((len(ca), 0), dtype)
             flat = ca.flatten().to_numpy(zero_copy_only=False)
             return flat.reshape(-1, int(widths[0])).astype(dtype, copy=False)
     except AttributeError:

@@ -361,3 +361,6 @@ def test_list_col_matrix_matches_stack():
     with _pytest.raises(ValueError):
         list_col_matrix(ragged)  # np.stack raises on ragged — same as before
     assert list_col_matrix(pa.array([], pa.list_(pa.float64()))).shape == (0, 0)
+    # all-empty lists: the old np.stack path gave (n, 0) — keep it
+    allempty = pa.array([[], [], []], pa.list_(pa.float64()))
+    assert list_col_matrix(allempty).shape == (3, 0)

@@ -564,6 +564,15 @@ def test_incremental_dedup_equals_batch(ray_session, tmp_path):
     with pytest.raises(AssertionError, match="monotone"):
         minhash_dedup_incremental(inc1, state, threshold=0.6)
 
+    # empty increment = clean no-op (store untouched)
+    import json as _json
+    import os as _os
+    before = _json.load(open(_os.path.join(state, "manifest.json")))
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    assert minhash_dedup_incremental(empty, state, threshold=0.6).count() == 0
+    assert _json.load(open(_os.path.join(state, "manifest.json"))) == before
+
 
 def test_append_ivf_index_equals_full_assign(embs, tmp_path):
     """build on half the vectors, append the other half: queries over the

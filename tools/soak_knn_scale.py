@@ -58,10 +58,14 @@ def main():
 
     ds = read_parquet_clean(corpus)
 
-    # queries: vec_ids 1M-16.. (unique, non-twin region) via pushed-down read
+    # queries from the UNIQUE region (the twin region spans ids
+    # 0..2*twins-1 = 0..59,999 at defaults; twin queries would make
+    # recall trivially easy — the planted near-identical twin is a
+    # guaranteed top-1).  part-0000 covers ids 0..99,999, so rows
+    # 70,000.. are unique.
     first = pq.read_table(os.path.join(corpus, "part-0000.parquet"),
                           columns=["vec_id", "embedding"])
-    q = np.stack(first["embedding"].to_pylist()[1000:1000 + N_QUERIES])
+    q = np.stack(first["embedding"].to_pylist()[70_000:70_000 + N_QUERIES])
 
     index_dir = os.path.join(args.out, "ivf_index")
     import shutil
