@@ -81,6 +81,33 @@ def _filter_bands_bloom(batch: pa.Table, *, bloom_ref) -> pa.Table:
     return batch.filter(pa.array(bloom.contains_many(keys)))
 
 
+def compact_state(state_dir: str) -> dict:
+    """Rewrite the band/shingle stores into one ``inc=0`` generation.
+
+    The store gains one directory (and ≥1 file) per increment; after many
+    small increments the bloom-filtered bands scan pays per-file open
+    costs.  Compaction is a pure rewrite (no dedup semantics change —
+    both tables are append-only row sets), safe to run between
+    increments.  Returns the updated manifest."""
+    manifest_path = os.path.join(state_dir, "manifest.json")
+    manifest = json.load(open(manifest_path))
+    from ..util.rayops import parquet_rows
+
+    for sub in ("bands", "shingles"):
+        src = os.path.join(state_dir, sub)
+        tmp = os.path.join(state_dir, f"_{sub}_compact")
+        shutil.rmtree(tmp, ignore_errors=True)
+        n_parts = max(1, parquet_rows(src) // 2_000_000 + 1)
+        read_parquet_clean(src).repartition(n_parts).write_parquet(
+            os.path.join(tmp, "inc=0"))
+        shutil.rmtree(src)
+        os.replace(tmp, src)
+    manifest["increments"] = 1
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
 def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
                               threshold: float = 0.7, num_perm: int = 128,
                               bands: int = 16,

@@ -612,3 +612,31 @@ def test_append_ivf_index_equals_full_assign(embs, tmp_path):
     a = knn_ivf_indexed(idx, q, k=5, nprobe=4).to_pandas()
     b = knn_ivf_indexed(ref, q, k=5, nprobe=4).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_state_compaction(ray_session, tmp_path):
+    """compact_state rewrites the store into one generation without
+    changing dedup results: an increment processed after compaction must
+    drop cross-increment dups exactly as before."""
+    from pttcrawler_ray.textops.incremental import (compact_state,
+                                                    minhash_dedup_incremental)
+
+    base = ("one two three four five six seven eight nine ten eleven twelve "
+            "thirteen fourteen fifteen sixteen seventeen eighteen" * 3).split()
+    inc1 = rd.from_items([{"doc_id": 0, "text": " ".join(base)}]
+                         + [{"doc_id": i, "text": " ".join(f"s{i}_{j}" for j in range(50))}
+                            for i in range(1, 6)])
+    inc2 = rd.from_items([{"doc_id": 10, "text": " ".join(f"t{j}" for j in range(50))}])
+    v = list(base); v[2] = "changed"
+    inc3 = rd.from_items([{"doc_id": 20, "text": " ".join(v)}])  # ~0
+
+    state = str(tmp_path / "st")
+    assert minhash_dedup_incremental(inc1, state, threshold=0.6).count() == 6
+    assert minhash_dedup_incremental(inc2, state, threshold=0.6).count() == 1
+    m = compact_state(state)
+    assert m["increments"] == 1 and m["max_id"] == 10
+    import glob as _glob
+    assert _glob.glob(str(tmp_path / "st" / "bands" / "inc=*")) \
+        == [str(tmp_path / "st" / "bands" / "inc=0")]
+    # cross-increment dup still dropped through the compacted store
+    assert minhash_dedup_incremental(inc3, state, threshold=0.6).count() == 0
