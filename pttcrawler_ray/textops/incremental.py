@@ -81,6 +81,13 @@ def _filter_bands_bloom(batch: pa.Table, *, bloom_ref) -> pa.Table:
     return batch.filter(pa.array(bloom.contains_many(keys)))
 
 
+# canonical store schemas; reads prune to these so the hive-parsed
+# ``inc`` partition column never rides along (it is directory metadata,
+# not data — and a string column per band row is real bytes at scale)
+_BAND_COLS = ["band_id", "band_hash", "doc_id"]
+_SHINGLE_COLS = ["doc_id", "shingles"]
+
+
 def compact_state(state_dir: str) -> dict:
     """Rewrite the band/shingle stores into one ``inc=0`` generation.
 
@@ -93,13 +100,16 @@ def compact_state(state_dir: str) -> dict:
     manifest = json.load(open(manifest_path))
     from ..util.rayops import parquet_rows
 
-    for sub in ("bands", "shingles"):
+    for sub, cols in (("bands", _BAND_COLS), ("shingles", _SHINGLE_COLS)):
         src = os.path.join(state_dir, sub)
         tmp = os.path.join(state_dir, f"_{sub}_compact")
         shutil.rmtree(tmp, ignore_errors=True)
         n_parts = max(1, parquet_rows(src) // 2_000_000 + 1)
-        read_parquet_clean(src).repartition(n_parts).write_parquet(
-            os.path.join(tmp, "inc=0"))
+        # select_columns drops the hive-parsed ``inc`` partition column —
+        # without it the rewrite would bake stale inc values INTO the
+        # data files under the new inc=0 directory
+        read_parquet_clean(src).select_columns(cols).repartition(
+            n_parts).write_parquet(os.path.join(tmp, "inc=0"))
         shutil.rmtree(src)
         os.replace(tmp, src)
     manifest["increments"] = 1
@@ -157,14 +167,16 @@ def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
             lambda b: _mixed_bucket_key(b, ["band_id", "band_hash"]),
             capacity_hint=n_new * bands)
         bloom_ref = ray.put(bloom.snapshot())
-        old_bands = read_parquet_clean(bands_dir).map_batches(
+        old_bands = read_parquet_clean(
+            bands_dir, columns=_BAND_COLS).map_batches(
             _filter_bands_bloom, fn_kwargs={"bloom_ref": bloom_ref},
             batch_format="pyarrow")
         all_bands = bands_new.union(old_bands)
         # verify side: old shingles join only for candidate ids — the
         # candidate-id bloom inside _verify_jaccard_joined prunes them,
         # so the union here can stay lazy and store-wide
-        sh_ds = shingles_new.union(read_parquet_clean(sh_dir))
+        sh_ds = shingles_new.union(
+            read_parquet_clean(sh_dir, columns=_SHINGLE_COLS))
 
     cand = _candidate_pairs(all_bands, ["band_id", "band_hash"],
                             _scale_parts((n_new + 1) * bands * 2)).materialize()
