@@ -21,9 +21,16 @@ dropped iff its verified-pair component contains any smaller doc_id
 monotonically increasing across increments — enforced via the store
 manifest — this equals a from-scratch :func:`minhash_dedup` over the
 union, EXCEPT when one new doc bridges two previously-separate old
-components (the batch run would retro-drop one of the two old keepers;
-an incremental system cannot un-emit a doc).  The equality on
-non-bridging corpora is pinned by test.
+components: the batch run would retro-drop one of the two old keepers,
+and an incremental system cannot un-emit a doc.  For that case the
+store tracks per-doc component roots (``comps/``: (doc_id, root) rows,
+appended only for docs whose root differs from themselves; roots only
+ever DECREASE, so min-per-doc = newest) and each increment emits the
+retro-dropped old keepers as TOMBSTONES under ``retro/inc=N`` —
+downstream consumers apply them the way they would a CDC delete.  With
+tombstones applied, the kept set equals the from-scratch batch run
+exactly, bridging included (pinned by test).  Read them back with
+:func:`read_retro_drops`.
 
 Per-increment cost: banding + shingling of the increment, ONE bloom-
 filtered scan of the old bands store (only buckets colliding with the
@@ -33,12 +40,14 @@ rescan of old text.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -86,6 +95,118 @@ def _filter_bands_bloom(batch: pa.Table, *, bloom_ref) -> pa.Table:
 # not data — and a string column per band row is real bytes at scale)
 _BAND_COLS = ["band_id", "band_hash", "doc_id"]
 _SHINGLE_COLS = ["doc_id", "shingles"]
+_COMP_COLS = ["doc_id", "root"]
+
+
+def _resolve_roots(state_dir: str, ids) -> dict:
+    """Current component root for each id: chase (doc_id → root) rows in
+    the ``comps/`` store until fixpoint.  A doc with no row is its own
+    root (keepers and singletons never get a row).  Roots only decrease
+    over time, so min-per-doc picks the newest row and chains are
+    acyclic.  Cost: one ``isin``-filtered store scan per chain level —
+    candidate-sized, and path-compression rows written at every merge
+    keep chains short."""
+    ids = [int(i) for i in ids]
+    comps_dir = os.path.join(state_dir, "comps")
+    if not ids or not os.path.isdir(comps_dir):
+        return {i: i for i in ids}
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(comps_dir)
+    mapping: dict[int, int] = {}
+    frontier, seen = set(ids), set(ids)
+    while frontier:
+        t = dset.to_table(columns=_COMP_COLS,
+                          filter=pc.field("doc_id").isin(list(frontier)))
+        frontier = set()
+        if t.num_rows == 0:
+            break
+        import pandas as pd
+
+        newest = t.to_pandas().groupby("doc_id")["root"].min()
+        for d, r in newest.items():
+            mapping[int(d)] = int(r)
+            if int(r) not in seen:
+                seen.add(int(r))
+                frontier.add(int(r))
+
+    def final(x: int) -> int:
+        path = []
+        while mapping.get(x, x) != x:
+            path.append(x)
+            x = mapping[x]
+        for p in path:
+            mapping[p] = x
+        return x
+
+    return {i: final(i) for i in ids}
+
+
+def _component_bookkeeping(comp_df, min_new: int, state_dir: str):
+    """From this increment's component table (node, comp — comp = min
+    node id), derive (a) the ``comps/`` rows to append (doc → final
+    root, with path compression) and (b) the retro-drop tombstones: old
+    roots that stop being keepers because a new doc bridged their
+    component into one with a smaller root.  All work is candidate-
+    bounded (nodes of this increment's non-trivial components)."""
+    import pandas as pd
+
+    old = comp_df[comp_df["node"] < min_new]
+    rows_doc, rows_root, retro = [], [], []
+    final_root: dict[int, int] = {}
+    if len(old):
+        roots_map = _resolve_roots(state_dir, old["node"].unique())
+        old_roots = old["node"].map(roots_map)
+        for c, rs in pd.Series(old_roots.values,
+                               index=old["comp"].values).groupby(level=0):
+            uniq = sorted(set(int(r) for r in rs))
+            m = uniq[0]
+            final_root[int(c)] = m
+            for r in uniq[1:]:
+                retro.append(r)          # was a keeper, now merged under m
+                rows_doc.append(r)
+                rows_root.append(m)
+        # path compression: every old candidate points straight at the
+        # merged root so future resolutions stay one store scan deep
+        fr = old["comp"].map(final_root).to_numpy()
+        stale = old_roots.to_numpy() != fr
+        rows_doc.extend(int(x) for x in old["node"].to_numpy()[stale])
+        rows_root.extend(int(x) for x in fr[stale])
+    newd = comp_df[(comp_df["node"] >= min_new)
+                   & (comp_df["node"] != comp_df["comp"])]
+    if len(newd):
+        fr = newd["comp"].map(lambda c: final_root.get(int(c), int(c)))
+        rows_doc.extend(int(x) for x in newd["node"])
+        rows_root.extend(int(x) for x in fr)
+    rows = pd.DataFrame({"doc_id": rows_doc, "root": rows_root}
+                        ).drop_duplicates()
+    return (pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                      "root": pa.array(rows["root"], pa.int64())}),
+            sorted(set(retro)))
+
+
+def _fresh_part(state_dir: str, sub: str, inc: int) -> str:
+    """Path of a new single-file parquet part under ``sub/inc=N/``."""
+    d = os.path.join(state_dir, sub, f"inc={inc}")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "part-0.parquet")
+
+
+def read_retro_drops(state_dir: str) -> pa.Table:
+    """All retro-drop tombstones emitted so far: previously-kept doc_ids
+    a later increment's bridge demoted.  Apply as deletes downstream;
+    (union of per-increment kept sets) minus these == a from-scratch
+    batch :func:`minhash_dedup` over everything seen."""
+    d = os.path.join(state_dir, "retro")
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    if not os.path.isdir(d):
+        return empty
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(d)
+    if "doc_id" not in dset.schema.names:  # dir exists but holds no files
+        return empty
+    return dset.to_table(columns=["doc_id"]).combine_chunks()
 
 
 def compact_state(state_dir: str) -> dict:
@@ -100,7 +221,16 @@ def compact_state(state_dir: str) -> dict:
     manifest = json.load(open(manifest_path))
     from ..util.rayops import parquet_rows
 
-    for sub, cols in (("bands", _BAND_COLS), ("shingles", _SHINGLE_COLS)):
+    subs = [("bands", _BAND_COLS), ("shingles", _SHINGLE_COLS)]
+    for sub, cols in (("comps", _COMP_COLS), ("retro", ["doc_id"])):
+        # comps: min-per-doc rows stay min-per-doc under a plain rewrite.
+        # retro MUST be renumbered with everything else: compaction resets
+        # the increment counter, and a stale retro/inc=N dir would be
+        # rmtree'd by the next increment's idempotency cleanup.
+        if glob.glob(os.path.join(state_dir, sub, "**", "*.parquet"),
+                     recursive=True):
+            subs.append((sub, cols))
+    for sub, cols in subs:
         src = os.path.join(state_dir, sub)
         tmp = os.path.join(state_dir, f"_{sub}_compact")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -129,7 +259,11 @@ def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
     manifest = (json.load(open(manifest_path))
                 if os.path.exists(manifest_path) else
                 {"max_id": -1, "increments": 0, "num_perm": num_perm,
-                 "bands": bands, "shingle_k": shingle_k})
+                 "bands": bands, "shingle_k": shingle_k, "comps": True})
+    # root tracking needs the comps table maintained from increment 0;
+    # a store created before the feature existed skips it (and emits no
+    # tombstones) rather than resolving against missing history
+    track_comps = bool(manifest.get("comps", False))
     assert (manifest["num_perm"], manifest["bands"], manifest["shingle_k"]) \
         == (num_perm, bands, shingle_k), "store built with other params"
 
@@ -188,6 +322,7 @@ def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
     n_pairs = cand.count()
 
     kept = new_docs
+    comp_rows = retro = None
     if n_pairs:
         verified = _verify_jaccard_joined(
             _dedupe_pairs(cand, n_pairs), None, shingle_k, threshold,
@@ -195,12 +330,18 @@ def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
         verified = normalize_blocks(verified.materialize())
         if verified.count():
             comp = connected_components(verified.map_batches(
-                lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"))
+                lambda t: t.select(["doc_a", "doc_b"]),
+                batch_format="pyarrow")).materialize()
             drops = comp.map_batches(
                 lambda t: t.filter(pc.not_equal(t["node"], t["comp"]))
                            .select(["node"]),
                 batch_format="pyarrow")
             kept = _anti_join_ids(new_docs, drops)
+            if track_comps:
+                # candidate-bounded collect: rows = nodes of this
+                # increment's non-trivial components, not the corpus
+                comp_rows, retro = _component_bookkeeping(
+                    comp.to_pandas(), min_new, state_dir)
 
     # append-only state update (written AFTER the result is computed so a
     # failed increment can simply re-run; the inc=N dirs are cleaned
@@ -209,9 +350,19 @@ def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
     # would otherwise coexist with the crashed attempt's)
     shutil.rmtree(os.path.join(bands_dir, f"inc={inc}"), ignore_errors=True)
     shutil.rmtree(os.path.join(sh_dir, f"inc={inc}"), ignore_errors=True)
+    for extra in ("comps", "retro"):
+        shutil.rmtree(os.path.join(state_dir, extra, f"inc={inc}"),
+                      ignore_errors=True)
     bands_new.write_parquet(os.path.join(bands_dir, f"inc={inc}"))
     shingles_new.write_parquet(os.path.join(sh_dir, f"inc={inc}"))
-    manifest.update({"max_id": int(max_new), "increments": inc + 1})
+    if comp_rows is not None and comp_rows.num_rows:
+        pq.write_table(comp_rows,
+                       _fresh_part(state_dir, "comps", inc))
+    if retro:
+        pq.write_table(pa.table({"doc_id": pa.array(retro, pa.int64())}),
+                       _fresh_part(state_dir, "retro", inc))
+    manifest.update({"max_id": int(max_new), "increments": inc + 1,
+                     "comps": track_comps})
     os.makedirs(state_dir, exist_ok=True)
     with open(manifest_path, "w") as f:
         json.dump(manifest, f)

@@ -640,3 +640,55 @@ def test_incremental_state_compaction(ray_session, tmp_path):
         == [str(tmp_path / "st" / "bands" / "inc=0")]
     # cross-increment dup still dropped through the compacted store
     assert minhash_dedup_incremental(inc3, state, threshold=0.6).count() == 0
+
+
+def test_incremental_retro_drops_on_bridging(ray_session, tmp_path):
+    """A new doc that bridges two previously-separate old components
+    must emit the losing old keeper as a retro-drop tombstone, and
+    (union of kept sets) minus tombstones must equal a from-scratch
+    batch minhash_dedup over everything — the exact CDC-style contract
+    read_retro_drops documents.  The bridge here runs through DROPPED
+    old docs, so root resolution must chase the comps store."""
+    from pttcrawler_ray.textops.dedup import minhash_dedup
+    from pttcrawler_ray.textops.incremental import (compact_state,
+                                                    minhash_dedup_incremental,
+                                                    read_retro_drops)
+
+    wa = [f"a{j}" for j in range(40)]
+    wb = [f"b{j}" for j in range(40)]
+    wa1 = list(wa); wa1[5] = "xa"     # near-dup of wa (j ~ 0.85)
+    wb1 = list(wb); wb1[5] = "xb"     # near-dup of wb
+    kw = dict(threshold=0.45, num_perm=128, bands=64)  # r=2: recall ~1 at j=0.487
+    rows1 = ([{"doc_id": 0, "text": " ".join(wa)},
+              {"doc_id": 1, "text": " ".join(wa1)},   # dropped, root 0
+              {"doc_id": 10, "text": " ".join(wb)},
+              {"doc_id": 11, "text": " ".join(wb1)}]  # dropped, root 10
+             + [{"doc_id": i, "text": " ".join(f"u{i}_{j}" for j in range(60))}
+                for i in range(2, 8)])
+    # bridge = concatenation of the two DROPPED variants: jaccard ~0.49
+    # to each of docs 1 and 11, ~0.43 to docs 0 and 10 (below threshold)
+    rows2 = [{"doc_id": 100, "text": " ".join(wa1 + wb1)},
+             {"doc_id": 101, "text": " ".join(f"v_{j}" for j in range(60))}]
+
+    state = str(tmp_path / "st")
+    k1 = set(minhash_dedup_incremental(
+        rd.from_items(rows1), state, **kw).to_pandas()["doc_id"])
+    assert k1 == {0, 10} | set(range(2, 8))
+    k2 = set(minhash_dedup_incremental(
+        rd.from_items(rows2), state, **kw).to_pandas()["doc_id"])
+    assert k2 == {101}                       # the bridge doc itself drops
+    retro = set(read_retro_drops(state)["doc_id"].to_pylist())
+    assert retro == {10}                     # loser keeper tombstoned
+
+    batch = set(minhash_dedup(
+        rd.from_items(rows1 + rows2), **kw).to_pandas()["doc_id"])
+    assert (k1 | k2) - retro == batch
+
+    # a later doc near the retro-dropped cluster still drops, resolution
+    # chasing 11 -> 10 -> 0 through the (compacted) comps store
+    compact_state(state)
+    wb2 = list(wb); wb2[9] = "xc"
+    k3 = minhash_dedup_incremental(
+        rd.from_items([{"doc_id": 200, "text": " ".join(wb2)}]), state, **kw)
+    assert k3.count() == 0
+    assert set(read_retro_drops(state)["doc_id"].to_pylist()) == {10}
