@@ -205,18 +205,26 @@ def main(argv=None):
         elif args.cmd == "dedup-inc":
             import shutil
 
-            from .textops.incremental import minhash_dedup_incremental
+            from .textops.incremental import (minhash_dedup_incremental,
+                                              read_retro_drops)
             from .util.rayops import parquet_rows, read_parquet_clean
 
             shutil.rmtree(args.dest, ignore_errors=True)  # see curate
+            n_retro_before = read_retro_drops(args.state).num_rows
             kept = minhash_dedup_incremental(
                 read_parquet_clean(args.input), args.state,
                 threshold=args.threshold)
             kept.write_parquet(args.dest)
             n_in = parquet_rows(args.input)
             n_kept = parquet_rows(args.dest)
+            n_retro = read_retro_drops(args.state).num_rows
+            # retro_dropped: previously-KEPT docs this increment demoted
+            # (a new doc bridged their component into another); apply as
+            # deletes downstream — see read_retro_drops
             print(json.dumps({"input_docs": n_in, "kept_docs": n_kept,
-                              "dropped": n_in - n_kept, "state": args.state,
+                              "dropped": n_in - n_kept,
+                              "retro_dropped": n_retro - n_retro_before,
+                              "retro_total": n_retro, "state": args.state,
                               "dest": args.dest}))
         elif args.cmd == "export":
             from .pipelines.export import export_run
