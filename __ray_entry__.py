@@ -580,6 +580,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             and stats["files_read"] <= stats["files_total"], stats
         return res.select(["query_id", "vec_id", "rank"])
 
+    def knn_ivfpq_q(sf_dir):
+        """IVF-PQ knn over the persisted code-column index: the ADC scan
+        reads ONLY vec_id + uint8 code columns of the probed partitions
+        (asserted below: code bytes ≪ the embedding bytes it avoided),
+        then an exact rerank of each query's own k·refine candidates.
+        Seeded codebooks → the sequential oracle replicates exactly."""
+        from pttcrawler_ray.textops.similarity import (build_ivfpq_index,
+                                                       knn_ivfpq_indexed)
+
+        _ctx()
+        _ensure_docs_oracle(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir))
+        index_dir = f"/tmp/ptt_ivfpq/{name}"
+        marker = os.path.join(index_dir, "built.json")
+        key = {"sf_dir": sf_dir, "n_clusters": 8, "m_sub": 8, "version": 1}
+        stale = True
+        if os.path.exists(marker):
+            with open(marker) as f:
+                stale = json.load(f) != key
+        if stale:
+            import shutil
+
+            shutil.rmtree(index_dir, ignore_errors=True)
+            build_ivfpq_index(_rpq(os.path.join(sf_dir, "embeddings.parquet"),
+                                   columns=["vec_id", "embedding"]),
+                              index_dir, n_clusters=8, m_sub=8)
+            with open(marker, "w") as f:
+                json.dump(key, f)
+        qds = _rpq(os.path.join(sf_dir, "embeddings.parquet"),
+                   columns=["vec_id", "embedding"],
+                   filter=(pc.field("vec_id") < 3))
+        qdf = qds.to_pandas().set_index("vec_id").sort_index()
+        q = np.stack(qdf.loc[range(3), "embedding"])
+        stats: dict = {}
+        res = knn_ivfpq_indexed(index_dir, q, k=5, nprobe=4, refine=4,
+                                stats_out=stats)
+        assert stats["partition_dirs_read"] <= len(stats["probed_clusters"]) \
+            and stats["bytes_codes_read"] < stats["bytes_embedding_probed"], stats
+        return res.select(["query_id", "vec_id", "rank"])
+
     def curate_docs(sf_dir):
         """Composed training-data curation: quality-score → langid →
         quality/lang filter → near-dup removal; the end-to-end pipeline a
@@ -669,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": simhash_pairs_docs,
         "embedding_neardup": embedding_neardup,
         "knn_ivf": knn_ivf_q,
+        "knn_ivfpq": knn_ivfpq_q,
         "multimodal_decode": multimodal_decode,
         "curate_docs": curate_docs,
     }
@@ -956,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_docs": _docs_oracle_select("curate_docs"),
         "multimodal_decode": _docs_oracle_select("multimodal_decode"),
         "knn_ivf": _docs_oracle_select("knn_ivf"),
+        "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
     }
 
 

@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 2
+ORACLE_VERSION = 3
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -598,12 +598,60 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "rank": pa.array(kr, pa.int64()),
     })
 
+    # --- knn_ivfpq: sequential run of IVF-PQ (same centroids/probes as
+    # knn_ivf above; PQ codebooks mirror textops.similarity.train_pq,
+    # ADC candidate selection over the probed UNION, exact rerank of each
+    # query's own candidates — all seeded, so equality is exact) --------
+    m_sub, n_codes, pq_iters = 8, 256, 8
+    dsub = mat.shape[1] // m_sub
+    Kpq = min(n_codes, len(sample))
+    books = np.empty((m_sub, Kpq, dsub))
+    for j in range(m_sub):
+        xj = np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub])
+        rng_j = np.random.default_rng([7, j])
+        cb = xj[rng_j.choice(len(xj), size=Kpq, replace=False)].copy()
+        for _ in range(pq_iters):
+            a = (-2.0 * (xj @ cb.T) + (cb * cb).sum(axis=1)[None]).argmin(axis=1)
+            for kk in range(Kpq):
+                members = xj[a == kk]
+                if len(members):
+                    cb[kk] = members.mean(axis=0)
+        books[j] = cb
+    codes = np.empty((len(mat), m_sub), dtype=np.int64)
+    for j in range(m_sub):
+        xj = mat[:, j * dsub:(j + 1) * dsub]
+        cb = books[j]
+        codes[:, j] = (-2.0 * (xj @ cb.T)
+                       + (cb * cb).sum(axis=1)[None]).argmin(axis=1)
+    refine = 4
+    n_cand = max(k * refine, k)
+    pq_q, pq_v, pq_r = [], [], []
+    for qi in range(len(q)):
+        adc = np.zeros(int(sub_mask.sum()))
+        for j in range(m_sub):
+            lut_j = q[qi, j * dsub:(j + 1) * dsub] @ books[j].T
+            adc += lut_j[codes[sub_mask, j]]
+        cand_order = np.lexsort((sub_ids, -adc))[:n_cand]
+        cand_ids_q = sub_ids[cand_order]
+        cmask = np.isin(sub_ids, cand_ids_q)
+        exact_ids, exact_m = sub_ids[cmask], sub_m[cmask]
+        sims = exact_m @ q[qi]
+        order3 = np.lexsort((exact_ids, -sims))[:k]
+        for rank, oi in enumerate(order3, 1):
+            pq_q.append(qi); pq_v.append(int(exact_ids[oi])); pq_r.append(rank)
+    knn_ivfpq = pa.table({
+        "query_id": pa.array(pq_q, pa.int64()),
+        "vec_id": pa.array(pq_v, pa.int64()),
+        "rank": pa.array(pq_r, pa.int64()),
+    })
+
     return {
         "fingerprint_docs": fingerprint,
         "simhash_pairs_docs": simhash_pairs,
         "curate_docs": curate,
         "multimodal_decode": multimodal,
         "knn_ivf": knn_ivf,
+        "knn_ivfpq": knn_ivfpq,
     }
 
 

@@ -6,6 +6,12 @@
 - :func:`knn_ivf` — the scale path: coarse k-means centroids (seeded,
   trained on a driver-side sample), batches assigned vectorized; a query
   probes only its ``nprobe`` nearest centroid partitions.
+- :func:`build_ivfpq_index` / :func:`knn_ivfpq_indexed` — the memory path:
+  vectors additionally product-quantized to ``m_sub`` uint8 codes (one
+  k-means codebook per contiguous subspace); the ADC scan reads ONLY the
+  code columns of the probed partitions (~``m_sub`` bytes/vector vs
+  8·dim for raw float64 — 64× at dim 64, m_sub 8), then an exact rerank
+  over the ``k·refine`` ADC survivors restores precision.
 """
 
 from __future__ import annotations
@@ -313,3 +319,239 @@ def knn_ivf_indexed(index_dir: str, queries: np.ndarray, k: int = 5,
         _batch_topk, fn_kwargs={"queries_ref": qref, "k": k},
         batch_format="pyarrow").to_pandas()
     return _merge_topk(parts, k)
+
+
+# -------------------------------------------------- persisted IVF-PQ index
+def train_pq(emb_ds: "rd.Dataset", m_sub: int = 8, n_codes: int = 256,
+             sample: int = 2048, iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Product-quantizer codebooks: (m_sub, K, dim/m_sub), K = min(n_codes,
+    sample rows) ≤ 256 (codes are uint8).  Seeded Euclidean k-means per
+    contiguous subspace of the NORMALIZED vectors, trained on the same
+    sorted driver-side sample as :func:`train_centroids` (faiss practice;
+    determinism caveats identical — exact when the table fits the
+    sample)."""
+    df = emb_ds.limit(sample).to_pandas()
+    if "vec_id" in df.columns:
+        df = df.sort_values("vec_id")
+    x = _normalize(np.stack(df["embedding"].tolist()).astype(np.float64))
+    d = x.shape[1]
+    assert d % m_sub == 0, f"dim {d} not divisible by m_sub {m_sub}"
+    dsub = d // m_sub
+    K = min(n_codes, len(x))
+    assert K <= 256, "uint8 codes"
+    books = np.empty((m_sub, K, dsub))
+    for j in range(m_sub):
+        xj = np.ascontiguousarray(x[:, j * dsub:(j + 1) * dsub])
+        rng = np.random.default_rng([seed, j])
+        c = xj[rng.choice(len(xj), size=K, replace=False)].copy()
+        for _ in range(iters):
+            a = (-2.0 * (xj @ c.T) + (c * c).sum(axis=1)[None]).argmin(axis=1)
+            for kk in range(K):
+                members = xj[a == kk]
+                if len(members):
+                    c[kk] = members.mean(axis=0)
+        books[j] = c
+    return books
+
+
+def _pq_cols(m_sub: int) -> list:
+    return [f"pq{j}" for j in range(m_sub)]
+
+
+def _pq_encode_assign(batch: pa.Table, *, centroids_ref, books_ref) -> pa.Table:
+    """Vectorized IVF assign + PQ encode in one pass: appends
+    ``ivf_cluster`` plus one uint8 column per subspace (separate columns →
+    parquet column pruning lets the ADC scan skip the raw embeddings
+    entirely)."""
+    c = centroids_ref if isinstance(centroids_ref, np.ndarray) else bcast_get(centroids_ref)
+    books = books_ref if isinstance(books_ref, np.ndarray) else bcast_get(books_ref)
+    c = _normalize(np.asarray(c, dtype=np.float64))
+    m = _normalize(list_col_matrix(batch["embedding"]))
+    out = batch.append_column(
+        "ivf_cluster", pa.array((m @ c.T).argmax(axis=1).astype(np.int64),
+                                pa.int64()))
+    m_sub, _, dsub = books.shape
+    for j in range(m_sub):
+        xj = m[:, j * dsub:(j + 1) * dsub]
+        cj = books[j]
+        codes = (-2.0 * (xj @ cj.T) + (cj * cj).sum(axis=1)[None]).argmin(axis=1)
+        out = out.append_column(f"pq{j}",
+                                pa.array(codes.astype(np.uint8), pa.uint8()))
+    return out
+
+
+def build_ivfpq_index(emb_ds: "rd.Dataset", index_dir: str,
+                      n_clusters: int = 16, m_sub: int = 8,
+                      n_codes: int = 256, sample: int = 2048, iters: int = 8,
+                      seed: int = 7,
+                      distributed_train: bool = False) -> np.ndarray:
+    """Persist an IVF-PQ index: the :func:`build_ivf_index` layout (hive
+    partitions by ``ivf_cluster``, centroid sidecar) plus per-subspace
+    uint8 code COLUMNS and a codebook sidecar.  Raw embeddings stay in the
+    same files for the exact-rerank phase, but the ADC scan's pruned read
+    never touches their bytes — at 100 TB of float32 embeddings the code
+    columns are the only hot working set (dim/4·m_sub× smaller).
+    Codebooks train on the driver-side sample either way (faiss trains PQ
+    on a bounded sample; ``distributed_train`` governs the IVF centroids
+    like :func:`build_ivf_index`)."""
+    import json as _json
+    import os
+
+    if distributed_train:
+        emb_ds = emb_ds.materialize()
+        centroids = train_centroids_distributed(
+            emb_ds, n_clusters, iters=iters, seed=seed, init_sample=sample)
+    else:
+        centroids = train_centroids(emb_ds, n_clusters, sample, iters, seed)
+    books = train_pq(emb_ds, m_sub, n_codes, sample, iters, seed)
+    assigned = emb_ds.map_batches(
+        _pq_encode_assign,
+        fn_kwargs={"centroids_ref": ray.put(centroids),
+                   "books_ref": ray.put(books)},
+        batch_format="pyarrow")
+    # sorted write — same tiny-files rationale as build_ivf_index
+    assigned.sort("ivf_cluster").write_parquet(
+        os.path.join(index_dir, "data"), partition_cols=["ivf_cluster"])
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    np.save(os.path.join(index_dir, "codebooks.npy"), books)
+    with open(os.path.join(index_dir, "pq_meta.json"), "w") as f:
+        _json.dump({"m_sub": int(books.shape[0]), "n_codes": int(books.shape[1])}, f)
+    return centroids
+
+
+def _pq_adc_topk(batch: pa.Table, *, lut_ref, k: int) -> pa.Table:
+    """Stateless ADC scan: approximate inner product = sum over subspaces
+    of a (query, code) table lookup — no float vectors touched.  Per-batch
+    top-k with the same (score desc, vec_id asc) total order as
+    :func:`_batch_topk`, so merged per-batch winners equal the global
+    top-k."""
+    lut = lut_ref if isinstance(lut_ref, np.ndarray) else bcast_get(lut_ref)
+    nq, m_sub, _ = lut.shape
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sim = np.zeros((nq, len(ids)))
+    for j in range(m_sub):
+        codes = batch[f"pq{j}"].to_numpy(zero_copy_only=False)
+        sim += lut[:, j, :][:, codes]
+    k = min(k, sim.shape[1])
+    rows_q, rows_id, rows_s = [], [], []
+    for qi in range(nq):
+        order = np.lexsort((ids, -sim[qi]))[:k]
+        rows_q.extend([qi] * k)
+        rows_id.extend(ids[order])
+        rows_s.extend(sim[qi, order])
+    return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                     "vec_id": pa.array(rows_id, pa.int64()),
+                     "cosine": pa.array(rows_s, pa.float64())})
+
+
+def _pq_rerank_pairs(batch: pa.Table, *, queries_ref, own_ref) -> pa.Table:
+    """Exact-cosine scores for (query, candidate) pairs only: each query is
+    restricted to its OWN ADC candidates inside the batch and every match
+    is emitted (no top-k truncation here — the driver merge applies k)."""
+    q = queries_ref if isinstance(queries_ref, np.ndarray) else bcast_get(queries_ref)
+    own = own_ref if isinstance(own_ref, dict) else bcast_get(own_ref)
+    q = _normalize(np.asarray(q, dtype=np.float64))
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _normalize(list_col_matrix(batch["embedding"]))
+    rows_q, rows_id, rows_s = [], [], []
+    for qi, cids in own.items():
+        mask = np.isin(ids, cids)
+        if not mask.any():
+            continue
+        sims = q[qi] @ m[mask].T
+        rows_q.extend([qi] * int(mask.sum()))
+        rows_id.extend(ids[mask])
+        rows_s.extend(sims)
+    return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                     "vec_id": pa.array(rows_id, pa.int64()),
+                     "cosine": pa.array(rows_s, pa.float64())})
+
+
+def knn_ivfpq_indexed(index_dir: str, queries: np.ndarray, k: int = 5,
+                      nprobe: int = 4, refine: int = 4,
+                      stats_out: dict | None = None) -> pa.Table:
+    """Approximate top-k over a :func:`build_ivfpq_index` store.
+
+    Two phases: (1) ADC — read ONLY ``vec_id`` + code columns of the
+    probed partitions (``stats_out['bytes_codes_read']`` vs
+    ``bytes_embedding_probed`` quantifies the pruning from parquet
+    footers) and keep ``k·refine`` candidates per query by quantized
+    score; (2) exact rerank — read the raw embeddings of just the
+    candidate ids (id-pushdown filter over the probed files) and return
+    the exact-cosine top-k among them.  Deterministic given the seeded
+    codebooks; recall is governed by nprobe (IVF) × refine (PQ error)."""
+    import glob
+    import json as _json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if len(queries) == 0:
+        return _EMPTY_KNN
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    meta = _json.load(open(os.path.join(index_dir, "pq_meta.json")))
+    m_sub = meta["m_sub"]
+    dsub = books.shape[2]
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ _normalize(centroids).T), axis=1)[:, :nprobe]
+    wanted = sorted({int(c) for row in probes for c in row})
+    paths = [p for c in wanted
+             if os.path.isdir(p := os.path.join(index_dir, "data",
+                                                f"ivf_cluster={c}"))]
+    probed_files = sorted(f for p in paths
+                          for f in glob.glob(os.path.join(p, "*.parquet")))
+    if stats_out is not None:
+        code_b = emb_b = 0
+        code_names = set(_pq_cols(m_sub)) | {"vec_id"}
+        for f in probed_files:
+            md = _pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema.split(".")[0]
+                    if name in code_names:
+                        code_b += col.total_compressed_size
+                    elif name == "embedding":
+                        emb_b += col.total_compressed_size
+        stats_out.update({
+            "n_clusters": len(centroids),
+            "probed_clusters": wanted,
+            "files_read": len(probed_files),
+            "partition_dirs_read": len(paths),
+            "bytes_codes_read": code_b,
+            "bytes_embedding_probed": emb_b,
+        })
+    if not probed_files:
+        return _EMPTY_KNN
+
+    # phase 1: ADC over code columns only
+    lut = np.empty((len(q), m_sub, books.shape[1]))
+    for j in range(m_sub):
+        lut[:, j, :] = q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+    n_cand = max(k * refine, k)
+    sub = rd.read_parquet(probed_files, columns=["vec_id"] + _pq_cols(m_sub))
+    parts = sub.map_batches(
+        _pq_adc_topk, fn_kwargs={"lut_ref": ray.put(lut), "k": n_cand},
+        batch_format="pyarrow").to_pandas()
+    cand = _merge_topk(parts, n_cand).to_pandas()
+    if stats_out is not None:
+        stats_out["refine_rows"] = int(cand["vec_id"].nunique())
+
+    # phase 2: exact rerank of the candidate ids.  The filtered read
+    # returns the UNION of all queries' candidates; the batch fn restricts
+    # each query to its OWN candidates and emits every surviving pair
+    # (≤ nq·k·refine rows total — query-bounded, not data-bounded), so no
+    # per-batch truncation can drop a pair another query outscored.
+    cand_ids = pa.array(sorted(set(cand["vec_id"].tolist())), pa.int64())
+    exact = rd.read_parquet(
+        probed_files, columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(cand_ids))
+    own = {int(qi): g["vec_id"].to_numpy(dtype=np.int64)
+           for qi, g in cand.groupby("query_id")}
+    parts2 = exact.map_batches(
+        _pq_rerank_pairs,
+        fn_kwargs={"queries_ref": ray.put(q), "own_ref": ray.put(own)},
+        batch_format="pyarrow").to_pandas()
+    return _merge_topk(parts2, k)

@@ -438,6 +438,45 @@ def test_ivf_persisted_index_prunes_reads_and_matches_oneshot(ray_session,
                                   want[cols].reset_index(drop=True))
 
 
+def test_ivfpq_index_adc_prunes_and_rerank_is_exact(ray_session, tmp_path):
+    """IVF-PQ: (a) the ADC scan's working set is the uint8 code columns —
+    asserted on parquet footer byte counts (codes ≪ the embedding bytes in
+    the same probed files); (b) with refine covering every probed row the
+    exact rerank reproduces knn_ivf_indexed verbatim (same seeded
+    centroids → same probes → same rows, rerank is exact cosine); (c) at a
+    modest refine the top-1 self-match survives PQ quantization."""
+    import pandas as pd
+
+    from pttcrawler_ray.textops.similarity import (build_ivf_index,
+                                                   build_ivfpq_index,
+                                                   knn_ivf_indexed,
+                                                   knn_ivfpq_indexed)
+
+    embs = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(embs, idx, n_clusters=8, m_sub=8)
+    q = np.stack(embs.limit(3).to_pandas().sort_values("vec_id")["embedding"])
+
+    stats: dict = {}
+    got = knn_ivfpq_indexed(idx, q, k=5, nprobe=2, refine=4,
+                            stats_out=stats).to_pandas()
+    assert stats["bytes_codes_read"] * 3 < stats["bytes_embedding_probed"], stats
+    assert stats["refine_rows"] <= 3 * 5 * 4  # nq · k · refine bound
+    assert len(got) == 15
+    # top-1 is the query vector itself (queries are rows of the table)
+    top1 = got[got["rank"] == 1].sort_values("query_id")
+    assert top1["vec_id"].tolist() == [0, 1, 2]
+
+    ref = str(tmp_path / "ivf")
+    build_ivf_index(embs, ref, n_clusters=8)
+    want = knn_ivf_indexed(ref, q, k=5, nprobe=2).to_pandas()
+    big = knn_ivfpq_indexed(idx, q, k=5, nprobe=2, refine=10_000).to_pandas()
+    cols = ["query_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(big[cols].reset_index(drop=True),
+                                  want[cols].reset_index(drop=True))
+
+
 def test_distributed_kmeans_matches_sequential_lloyd(embs):
     """train_centroids_distributed must equal sequential full-data Lloyd
     from the same seeded init (the distributed form only reorders the
