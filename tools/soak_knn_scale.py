@@ -12,6 +12,11 @@ distributed Lloyd (``train_centroids_distributed``) — then queries it via
 
 Run from the repo root:  python tools/soak_knn_scale.py [--vectors N]
 (reuses /tmp/ptt_emb_soak's corpus; generates it if absent)
+
+``--pq`` soaks the IVF-PQ variant instead: same corpus, per-subspace uint8
+code columns, ADC scan over codes only + exact rerank — reports the
+measured code-bytes vs embedding-bytes of the probed partitions (the
+working-set reduction that matters at 100 TB) alongside recall vs brute.
 """
 import argparse
 import json
@@ -35,6 +40,10 @@ def main():
     ap.add_argument("--vectors", type=int, default=1_000_000)
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--out", default="/tmp/ptt_emb_soak")
+    ap.add_argument("--pq", action="store_true",
+                    help="soak the IVF-PQ code-column index instead")
+    ap.add_argument("--refine", type=int, default=8,
+                    help="IVF-PQ rerank multiplier (k*refine ADC survivors)")
     args = ap.parse_args()
 
     corpus = os.path.join(args.out, "vectors")
@@ -67,9 +76,66 @@ def main():
                           columns=["vec_id", "embedding"])
     q = np.stack(first["embedding"].to_pylist()[70_000:70_000 + N_QUERIES])
 
-    index_dir = os.path.join(args.out, "ivf_index")
     import shutil
 
+    if args.pq:
+        from pttcrawler_ray.textops.similarity import (build_ivfpq_index,
+                                                       knn_ivfpq_indexed)
+
+        index_dir = os.path.join(args.out, "ivfpq_index")
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.time()
+        build_ivfpq_index(ds, index_dir, n_clusters=N_CLUSTERS, m_sub=8,
+                          iters=4, distributed_train=True)
+        t_build = time.time() - t0
+
+        t1 = time.time()
+        stats: dict = {}
+        ivf = knn_ivfpq_indexed(index_dir, q, k=K, nprobe=NPROBE,
+                                refine=args.refine,
+                                stats_out=stats).to_pandas()
+        t_ivf = time.time() - t1
+
+        t2 = time.time()
+        brute = knn_brute(ds, q, k=K).to_pandas()
+        t_brute = time.time() - t2
+
+        recalls = []
+        for qi in range(N_QUERIES):
+            b = set(brute[brute["query_id"] == qi]["vec_id"])
+            a = set(ivf[ivf["query_id"] == qi]["vec_id"])
+            recalls.append(len(a & b) / max(len(b), 1))
+
+        peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        ray.shutdown()
+        print(json.dumps({
+            "metric": "persisted IVF-PQ soak (uint8 ADC scan over code "
+                      "columns + exact rerank) vs exact brute force",
+            "n_vectors": args.vectors, "dim": args.dim, "m_sub": 8,
+            "n_clusters": N_CLUSTERS, "nprobe": NPROBE, "k": K,
+            "refine": args.refine, "queries": N_QUERIES,
+            "build_sec": round(t_build, 1),
+            "pq_query_sec_16q": round(t_ivf, 1),
+            "brute_query_sec_16q": round(t_brute, 1),
+            "bytes_codes_read": stats["bytes_codes_read"],
+            "bytes_embedding_probed": stats["bytes_embedding_probed"],
+            "code_bytes_fraction": round(
+                stats["bytes_codes_read"]
+                / max(stats["bytes_embedding_probed"], 1), 4),
+            "refine_rows": stats["refine_rows"],
+            "files_read_16q": stats["files_read"],
+            "mean_recall_at_k": round(float(np.mean(recalls)), 4),
+            "driver_peak_rss_gb": round(peak, 2),
+        }))
+        # the ADC working set must be a small fraction of the raw
+        # embedding bytes it displaced, and recall must beat the
+        # random floor by a wide margin
+        assert stats["bytes_codes_read"] * 3 < stats["bytes_embedding_probed"], stats
+        assert stats["refine_rows"] <= N_QUERIES * K * args.refine, stats
+        assert np.mean(recalls) >= 0.6, recalls
+        return
+
+    index_dir = os.path.join(args.out, "ivf_index")
     shutil.rmtree(index_dir, ignore_errors=True)
     t0 = time.time()
     build_ivf_index(ds, index_dir, n_clusters=N_CLUSTERS, iters=4,
