@@ -133,6 +133,26 @@ def main(argv=None):
     di.add_argument("--threshold", type=float, default=0.7)
     di.add_argument("--num-cpus", type=int, default=None)
 
+    an = sub.add_parser("ann", help="similarity index: build/append/query a "
+                        "persisted IVF or IVF-PQ store over a "
+                        "(vec_id, embedding) parquet")
+    an.add_argument("--action", choices=["build", "append", "query"],
+                    required=True)
+    an.add_argument("--index", required=True, help="index directory")
+    an.add_argument("--input", required=True,
+                    help="embeddings parquet (vectors for build/append; "
+                         "query vectors are read from it by --query-ids)")
+    an.add_argument("--pq", action="store_true",
+                    help="build an IVF-PQ code-column store (append/query "
+                         "auto-detect the store kind)")
+    an.add_argument("--clusters", type=int, default=16)
+    an.add_argument("--query-ids", nargs="*", type=int, default=[0])
+    an.add_argument("--k", type=int, default=5)
+    an.add_argument("--nprobe", type=int, default=4)
+    an.add_argument("--refine", type=int, default=4,
+                    help="IVF-PQ rerank multiplier")
+    an.add_argument("--num-cpus", type=int, default=None)
+
     sch = sub.add_parser("schedule", help="upsert/remove a recurring cron job "
                          "(reference schedule.py semantics)")
     sch.add_argument("--action", choices=["update", "remove"], required=True)
@@ -226,6 +246,58 @@ def main(argv=None):
                               "retro_dropped": n_retro - n_retro_before,
                               "retro_total": n_retro, "state": args.state,
                               "dest": args.dest}))
+        elif args.cmd == "ann":
+            import os
+
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            from .textops import similarity as S
+            from .util.rayops import read_parquet_clean
+
+            def _is_pq_store() -> bool:
+                return os.path.exists(os.path.join(args.index, "pq_meta.json"))
+
+            if args.action == "build":
+                ds = read_parquet_clean(args.input,
+                                        columns=["vec_id", "embedding"])
+                build = S.build_ivfpq_index if args.pq else S.build_ivf_index
+                build(ds, args.index, n_clusters=args.clusters)
+                print(json.dumps({"built": args.index, "pq": args.pq,
+                                  "clusters": args.clusters}))
+            elif args.action == "append":
+                ds = read_parquet_clean(args.input,
+                                        columns=["vec_id", "embedding"])
+                app = S.append_ivfpq_index if _is_pq_store() else S.append_ivf_index
+                n = app(ds, args.index)
+                print(json.dumps({"appended": n, "pq": _is_pq_store()}))
+            else:
+                ids = sorted(set(args.query_ids))
+                qds = read_parquet_clean(
+                    args.input, columns=["vec_id", "embedding"],
+                    filter=pc.field("vec_id").isin(pa.array(ids, pa.int64())))
+                qdf = qds.to_pandas().set_index("vec_id").sort_index()
+                q = np.stack(qdf.loc[ids, "embedding"])
+                stats: dict = {}
+                if _is_pq_store():
+                    res = S.knn_ivfpq_indexed(args.index, q, k=args.k,
+                                              nprobe=args.nprobe,
+                                              refine=args.refine,
+                                              stats_out=stats)
+                else:
+                    res = S.knn_ivf_indexed(args.index, q, k=args.k,
+                                            nprobe=args.nprobe,
+                                            stats_out=stats)
+                out = res.to_pylist()
+                for r in out:  # query_id -> the caller's vec_id
+                    r["query_vec_id"] = ids[r.pop("query_id")]
+                    r["cosine"] = round(r["cosine"], 6)
+                print(json.dumps({
+                    "pq": _is_pq_store(), "k": args.k, "nprobe": args.nprobe,
+                    "stats": {k: v for k, v in stats.items()
+                              if not isinstance(v, list)},
+                    "neighbors": out}))
         elif args.cmd == "export":
             from .pipelines.export import export_run
 

@@ -419,6 +419,25 @@ def build_ivfpq_index(emb_ds: "rd.Dataset", index_dir: str,
     return centroids
 
 
+def append_ivfpq_index(emb_ds: "rd.Dataset", index_dir: str) -> int:
+    """Append an increment to an existing IVF-PQ store: assign + encode
+    against the PERSISTED centroids and codebooks (no retraining — the
+    :func:`append_ivf_index` contract), sort by cluster, write new part
+    files into the same hive layout.  Returns the appended row count."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    assigned = emb_ds.map_batches(
+        _pq_encode_assign,
+        fn_kwargs={"centroids_ref": ray.put(centroids),
+                   "books_ref": ray.put(books)},
+        batch_format="pyarrow").sort("ivf_cluster").materialize()
+    assigned.write_parquet(os.path.join(index_dir, "data"),
+                           partition_cols=["ivf_cluster"])
+    return assigned.count()
+
+
 def _pq_adc_topk(batch: pa.Table, *, lut_ref, k: int) -> pa.Table:
     """Stateless ADC scan: approximate inner product = sum over subspaces
     of a (query, code) table lookup — no float vectors touched.  Per-batch

@@ -558,6 +558,35 @@ def test_curate_library_pipeline(ray_session, tmp_path):
     assert sorted(got) == [1, 4]
 
 
+def test_ann_cli_build_append_query(tmp_path):
+    """`ann` CLI end-to-end in a subprocess (own Ray session): build an
+    IVF-PQ store over half the vectors, append the other half, query a
+    known vec_id — self-match at rank 1, store kind auto-detected."""
+    import json as _json
+    import subprocess
+    import sys
+
+    src = "/root/testdata/sf0.01/embeddings.parquet"
+    idx = str(tmp_path / "pqstore")
+
+    def run(*a):
+        out = subprocess.run(
+            [sys.executable, "-m", "pttcrawler_ray", "ann", *a,
+             "--index", idx, "--num-cpus", "2"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        return _json.loads(out.stdout.strip().splitlines()[-1])
+
+    assert run("--action", "build", "--input", src, "--pq",
+               "--clusters", "8")["pq"] is True
+    assert run("--action", "append", "--input", src)["appended"] == 500
+    res = run("--action", "query", "--input", src, "--query-ids", "7",
+              "--k", "3")
+    assert res["stats"]["bytes_codes_read"] < res["stats"]["bytes_embedding_probed"]
+    top = res["neighbors"][0]
+    assert top["query_vec_id"] == 7 and top["vec_id"] == 7 and top["rank"] == 1
+
+
 def test_incremental_dedup_equals_batch(ray_session, tmp_path):
     """minhash_dedup_incremental over two id-monotone increments must keep
     exactly the docs a from-scratch minhash_dedup keeps on the union —
@@ -650,6 +679,52 @@ def test_append_ivf_index_equals_full_assign(embs, tmp_path):
     q = np.stack(df["embedding"][:3])
     a = knn_ivf_indexed(idx, q, k=5, nprobe=4).to_pandas()
     b = knn_ivf_indexed(ref, q, k=5, nprobe=4).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_append_ivfpq_index_equals_full_assign(embs, tmp_path):
+    """IVF-PQ append: assign+encode the increment with the PERSISTED
+    centroids/codebooks; queries over the appended store equal a store
+    holding all rows encoded with the same sidecars."""
+    import os
+
+    import pandas as pd
+    import ray as _ray
+    from pttcrawler_ray.textops.similarity import (_pq_encode_assign,
+                                                   append_ivfpq_index,
+                                                   build_ivfpq_index,
+                                                   knn_ivfpq_indexed)
+
+    df = embs.to_pandas().sort_values("vec_id")
+    mid = int(df["vec_id"].median())
+    inc1 = embs.filter(expr=f"vec_id < {mid}")
+    inc2 = embs.filter(expr=f"vec_id >= {mid}")
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(inc1, idx, n_clusters=8, m_sub=8, iters=2)
+    n = append_ivfpq_index(inc2, idx)
+    assert n == len(df) - mid
+
+    ref = str(tmp_path / "ivfpq_ref")
+    cents = np.load(os.path.join(idx, "centroids.npy"))
+    books = np.load(os.path.join(idx, "codebooks.npy"))
+    assigned = embs.map_batches(
+        _pq_encode_assign,
+        fn_kwargs={"centroids_ref": _ray.put(cents), "books_ref": _ray.put(books)},
+        batch_format="pyarrow").sort("ivf_cluster")
+    assigned.write_parquet(os.path.join(ref, "data"),
+                           partition_cols=["ivf_cluster"])
+    np.save(os.path.join(ref, "centroids.npy"), cents)
+    np.save(os.path.join(ref, "codebooks.npy"), books)
+    import json as _json
+    import shutil as _shutil
+
+    _shutil.copy(os.path.join(idx, "pq_meta.json"),
+                 os.path.join(ref, "pq_meta.json"))
+
+    q = np.stack(df["embedding"][:3])
+    a = knn_ivfpq_indexed(idx, q, k=5, nprobe=4, refine=4).to_pandas()
+    b = knn_ivfpq_indexed(ref, q, k=5, nprobe=4, refine=4).to_pandas()
     pd.testing.assert_frame_equal(a, b)
 
 
