@@ -60,6 +60,11 @@ _ORACLE_DONE: set[str] = set()
 # oracle_sql() strings reference via read_parquet
 _ORACLE_BASE = "/tmp/ptt_oracle"
 
+# shared by the split/mix queries and their pure-SQL oracles (identical
+# integer ppm thresholds are derived from these on both sides)
+_SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_RATES = {"en": 0.5, "de": 0.25, "zh": 1.0}  # others: default 0.1
+
 
 def _ensure_crawl_oracle(scale: str) -> str:
     """Write the sequential-crawl oracle outputs for ``scale`` once
@@ -388,6 +393,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs.map_batches(token_count_batch, batch_format="pyarrow") \
                    .select_columns(["doc_id", "n_tokens"])
 
+    def split_docs(sf_dir):
+        """Deterministic train/val/test assignment by a vectorized
+        splitmix64 hash of doc_id — coordination-free (any worker decides
+        any row independently), stable across runs/partitionings, and the
+        DuckDB oracle computes the IDENTICAL hash in pure SQL (integer
+        ppm thresholds inlined on both sides)."""
+        from pttcrawler_ray.textops.sampling import split_assign
+
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id"])
+        return split_assign(docs, _SPLIT_RATIOS, salt=42) \
+            .select_columns(["doc_id", "split"])
+
+    def domain_mix_docs(sf_dir):
+        """Language-rebalancing sample (the training-mix recipe op): keep
+        en at 50%, de at 25%, zh at 100%, everything else at 10% — per-row
+        decision from the same coordination-free hash, subset-monotone in
+        the rate."""
+        from pttcrawler_ray.textops.sampling import stratified_sample
+
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "lang"])
+        return stratified_sample(docs, _MIX_RATES, group_col="lang",
+                                 default_rate=0.1, salt=7) \
+            .select_columns(["doc_id", "lang"])
+
     def _ppm_col(arr) -> pa.Array:
         """floor(x * 1e6) as int64 — float columns are quantized with the
         SAME operation order as the SQL oracle so the comparison is exact
@@ -682,6 +713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top1": R.knn_top1,
         "exact_dedup_docs": exact_dedup_docs,
         "token_counts_docs": token_counts_docs,
+        "split_docs": split_docs,
+        "domain_mix_docs": domain_mix_docs,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "lineitem_order_join": R.lineitem_order_join,
         "events_asof_orders": R.events_asof_orders,
@@ -827,6 +860,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
             FROM documents
         """,
+        # --- deterministic split / domain mix: the SQL computes the
+        # IDENTICAL splitmix64 hash (32-bit-split multiplies) with the
+        # same inlined integer ppm thresholds — view-based, any scale
+        "split_docs": _split_sql_oracle(),
+        "domain_mix_docs": _mix_sql_oracle(),
         "doc_stats_by_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -999,6 +1037,20 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _docs_oracle_select("knn_ivf"),
         "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
     }
+
+
+def _split_sql_oracle() -> str:
+    from pttcrawler_ray.textops.sampling import split_sql
+
+    return split_sql("documents", _SPLIT_RATIOS, key="doc_id", salt=42)
+
+
+def _mix_sql_oracle() -> str:
+    from pttcrawler_ray.textops.sampling import stratified_sample_sql
+
+    return stratified_sample_sql("documents", _MIX_RATES, group_col="lang",
+                                 key="doc_id", default_rate=0.1, salt=7,
+                                 columns="lang")
 
 
 def _crawl_oracle_select(name: str) -> str:

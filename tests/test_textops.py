@@ -558,6 +558,63 @@ def test_curate_library_pipeline(ray_session, tmp_path):
     assert sorted(got) == [1, 4]
 
 
+def test_split_assign_deterministic_and_partition_invariant(ray_session):
+    """split_assign: fractions track the ratios, and the assignment of a
+    given doc_id is identical regardless of partitioning (the
+    coordination-free property — rows never move between splits when the
+    corpus is repartitioned or appended to)."""
+    from pttcrawler_ray.textops.sampling import split_assign
+
+    docs = rd.range(5000).map_batches(
+        lambda t: pa.table({"doc_id": t["id"]}), batch_format="pyarrow")
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_assign(docs, ratios, salt=42).to_pandas()
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03 and abs(frac["val"] - 0.1) < 0.03
+
+    b = split_assign(docs.repartition(13), ratios, salt=42).to_pandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] == merged["split_b"]).all()
+    # a different salt reshuffles the assignment
+    c = split_assign(docs, ratios, salt=43).to_pandas()
+    m2 = a.merge(c, on="doc_id", suffixes=("_a", "_c"))
+    assert (m2["split_a"] != m2["split_c"]).any()
+
+
+def test_stratified_sample_rates_and_monotone(ray_session):
+    """stratified_sample: rate-1.0 keeps every row, rate-0.0 keeps none,
+    intermediate rates track, and lowering a rate keeps a strict SUBSET
+    (same hash, lower threshold — recipe tightening without corpus
+    churn)."""
+    from pttcrawler_ray.textops.sampling import stratified_sample
+
+    n = 4000
+    docs = rd.range(n).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["id"],
+            "grp": pa.array(["a" if i % 2 else "b" for i in
+                             t["id"].to_pylist()]),
+        }), batch_format="pyarrow")
+    kept = stratified_sample(docs, {"a": 1.0, "b": 0.0}, group_col="grp",
+                             salt=7).to_pandas()
+    assert (kept["grp"] == "a").all() and len(kept) == n // 2
+
+    half = stratified_sample(docs, {"a": 0.5, "b": 0.25}, group_col="grp",
+                             salt=7).to_pandas()
+    fa = (half["grp"] == "a").sum() / (n // 2)
+    fb = (half["grp"] == "b").sum() / (n // 2)
+    assert abs(fa - 0.5) < 0.05 and abs(fb - 0.25) < 0.05
+
+    quarter = stratified_sample(docs, {"a": 0.25, "b": 0.25}, group_col="grp",
+                                salt=7).to_pandas()
+    assert set(quarter[quarter["grp"] == "a"]["doc_id"]) <= \
+        set(half[half["grp"] == "a"]["doc_id"])
+    # default_rate covers groups missing from the rate map
+    dflt = stratified_sample(docs, {}, group_col="grp", default_rate=1.0,
+                             salt=7).to_pandas()
+    assert len(dflt) == n
+
+
 def test_ann_cli_build_append_query(tmp_path):
     """`ann` CLI end-to-end in a subprocess (own Ray session): build an
     IVF-PQ store over half the vectors, append the other half, query a
