@@ -419,6 +419,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  default_rate=0.1, salt=7) \
             .select_columns(["doc_id", "lang"])
 
+    def pack_docs(sf_dir):
+        """Sequence-packing offset map (constant-length LLM pretraining
+        examples): tokenize → EOS → concat in doc_id order → slice into
+        512-token examples, computed as a distributed prefix sum (narrow
+        (key, n_tok) pass + per-range bases + vectorized per-range
+        cumsum; text read once, never shuffled).  The DuckDB twin is a
+        window prefix sum over the same tokenizer."""
+        from pttcrawler_ray.textops.packing import pack_offsets
+
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+        return pack_offsets(docs, seq_len=512)
+
     def _ppm_col(arr) -> pa.Array:
         """floor(x * 1e6) as int64 — float columns are quantized with the
         SAME operation order as the SQL oracle so the comparison is exact
@@ -715,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_docs": token_counts_docs,
         "split_docs": split_docs,
         "domain_mix_docs": domain_mix_docs,
+        "pack_docs": pack_docs,
         "doc_stats_by_lang": _doc_stats_by_lang,
         "lineitem_order_join": R.lineitem_order_join,
         "events_asof_orders": R.events_asof_orders,
@@ -865,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         # same inlined integer ppm thresholds — view-based, any scale
         "split_docs": _split_sql_oracle(),
         "domain_mix_docs": _mix_sql_oracle(),
+        "pack_docs": _pack_sql_oracle(),
         "doc_stats_by_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -1051,6 +1066,12 @@ def _mix_sql_oracle() -> str:
     return stratified_sample_sql("documents", _MIX_RATES, group_col="lang",
                                  key="doc_id", default_rate=0.1, salt=7,
                                  columns="lang")
+
+
+def _pack_sql_oracle() -> str:
+    from pttcrawler_ray.textops.packing import pack_sql
+
+    return pack_sql("documents", 512)
 
 
 def _crawl_oracle_select(name: str) -> str:

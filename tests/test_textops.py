@@ -615,6 +615,36 @@ def test_stratified_sample_rates_and_monotone(ray_session):
     assert len(dflt) == n
 
 
+def test_pack_offsets_prefix_sum(ray_session):
+    """pack_offsets: handcrafted stream — doc lengths (3,2,7,1) + EOS each,
+    seq_len 4 → starts 0,4,7,15; a doc longer than seq_len spans examples;
+    result is invariant to partitioning and to range_size (the prefix-sum
+    decomposition must not leak into the answer)."""
+    import pandas as pd
+
+    from pttcrawler_ray.textops.packing import pack_offsets
+
+    docs = rd.from_items([
+        {"doc_id": 10, "text": "a b c"},        # eff 4: tokens 0-2, eos 3
+        {"doc_id": 11, "text": "d e"},          # eff 3: 4-5, eos 6
+        {"doc_id": 12, "text": "f g h i j k l"},  # eff 8: 7-13, eos 14
+        {"doc_id": 13, "text": "m"},            # eff 2: 15, eos 16
+    ])
+    got = pack_offsets(docs, seq_len=4, range_size=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["tok_start"].tolist() == [0, 4, 7, 15]
+    assert got["start_example"].tolist() == [0, 1, 1, 3]
+    assert got["start_offset"].tolist() == [0, 0, 3, 3]
+    assert got["end_example"].tolist() == [0, 1, 3, 4]  # doc 12 spans 1..3
+
+    # partitioning / range decomposition invariance
+    for rs in (1, 64):
+        alt = pack_offsets(docs.repartition(3), seq_len=4,
+                           range_size=rs).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(alt, got)
+
+
 def test_ann_cli_build_append_query(tmp_path):
     """`ann` CLI end-to-end in a subprocess (own Ray session): build an
     IVF-PQ store over half the vectors, append the other half, query a
