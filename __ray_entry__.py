@@ -65,6 +65,11 @@ _ORACLE_BASE = "/tmp/ptt_oracle"
 _SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
 _MIX_RATES = {"en": 0.5, "de": 0.25, "zh": 1.0}  # others: default 0.1
 
+# corpus-stats / decontamination knobs shared with the SQL oracles
+_VOCAB_K = 200
+_BENCH_MOD = 29    # benchmark slice = doc_id % _BENCH_MOD == 0
+_BENCH_NGRAM = 5   # word n-gram width for the contamination scan
+
 
 def _ensure_crawl_oracle(scale: str) -> str:
     """Write the sequential-crawl oracle outputs for ``scale`` once
@@ -432,6 +437,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     columns=["doc_id", "text"])
         return pack_offsets(docs, seq_len=512)
 
+    def vocab_docs(sf_dir):
+        """Distributed top-K vocabulary (wordcount done scale-right):
+        per-batch partial counts → one coarse narrow shuffle → vectorized
+        per-partition sum + local top-k → tiny driver merge."""
+        from pttcrawler_ray.textops.vocab import vocab_topk
+        from pttcrawler_ray.util.rayops import parquet_rows
+
+        path = os.path.join(sf_dir, "documents.parquet")
+        docs = _rpq(path, columns=["text"])
+        return vocab_topk(docs, k=_VOCAB_K, n=1,
+                          approx_rows=parquet_rows(path))
+
+    def bigram_docs(sf_dir):
+        """Top-K word bigrams — same machinery as :func:`vocab_docs`
+        with the gram build vectorized over token windows."""
+        from pttcrawler_ray.textops.vocab import vocab_topk
+        from pttcrawler_ray.util.rayops import parquet_rows
+
+        path = os.path.join(sf_dir, "documents.parquet")
+        docs = _rpq(path, columns=["text"])
+        return vocab_topk(docs, k=_VOCAB_K, n=2,
+                          approx_rows=parquet_rows(path))
+
+    def repetition_docs(sf_dir):
+        """Gopher-style repetition filters: most-frequent-token and
+        most-frequent-bigram coverage fractions per document."""
+        from pttcrawler_ray.textops.analysis import repetition_batch
+
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+
+        def quantize(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t["doc_id"],
+                             "top_token_ppm": _ppm_col(t["top_token_frac"]),
+                             "top_bigram_ppm": _ppm_col(t["top_bigram_frac"])})
+
+        return docs.map_batches(repetition_batch, batch_format="pyarrow") \
+                   .map_batches(quantize, batch_format="pyarrow")
+
+    def decontaminate_docs(sf_dir):
+        """Benchmark decontamination: corpus docs sharing a distinct
+        word 5-gram with the held-out benchmark slice (doc_id %
+        _BENCH_MOD == 0).  Benchmark gram hashes are the broadcast small
+        side; the corpus streams through one vectorized membership
+        pass."""
+        from pttcrawler_ray.textops.decontam import decontaminate
+
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+
+        def is_bench(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False) % _BENCH_MOD == 0))
+
+        def not_bench(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False) % _BENCH_MOD != 0))
+
+        bench = docs.map_batches(is_bench, batch_format="pyarrow")
+        corpus = docs.map_batches(not_bench, batch_format="pyarrow")
+        return decontaminate(corpus, bench, n=_BENCH_NGRAM)
+
     def _ppm_col(arr) -> pa.Array:
         """floor(x * 1e6) as int64 — float columns are quantized with the
         SAME operation order as the SQL oracle so the comparison is exact
@@ -730,6 +797,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_docs": domain_mix_docs,
         "pack_docs": pack_docs,
         "doc_stats_by_lang": _doc_stats_by_lang,
+        "vocab_docs": vocab_docs,
+        "bigram_docs": bigram_docs,
+        "repetition_docs": repetition_docs,
+        "decontaminate_docs": decontaminate_docs,
         "lineitem_order_join": R.lineitem_order_join,
         "events_asof_orders": R.events_asof_orders,
         "events_range_orders": R.events_range_orders,
@@ -884,6 +955,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        # --- corpus stats: top-K grams with the identical
+        # (n DESC, gram ASC) tie-break applied on both sides
+        "vocab_docs": rf"""
+            WITH tok AS (SELECT unnest(regexp_extract_all(coalesce(text, ''),
+                                                          '\S+')) AS gram
+                         FROM documents)
+            SELECT gram, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY gram ORDER BY n DESC, gram LIMIT {_VOCAB_K}
+        """,
+        "bigram_docs": rf"""
+            WITH d AS (SELECT regexp_extract_all(coalesce(text, ''),
+                                                 '\S+') AS toks
+                       FROM documents),
+            g AS (SELECT unnest(list_transform(
+                      range(1, greatest(len(toks), 1)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS gram FROM d)
+            SELECT gram, CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT {_VOCAB_K}
+        """,
+        # --- Gopher repetition: ppm floors with the engine's op order
+        # (divide, then * 1e6, then floor)
+        "repetition_docs": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+                                                         '\S+') AS toks
+                       FROM documents),
+            uni AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+                    FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+                    GROUP BY doc_id, tok),
+            umax AS (SELECT doc_id, max(c) AS maxu, sum(c) AS ntok
+                     FROM uni GROUP BY doc_id),
+            bg AS (SELECT doc_id, unnest(list_transform(
+                       range(1, greatest(len(toks), 1)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM d),
+            bgc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+                    FROM bg GROUP BY doc_id, bigram),
+            bmax AS (SELECT doc_id, max(c) AS maxb, sum(c) AS nbg
+                     FROM bgc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(floor(CAST(coalesce(maxu, 0) AS DOUBLE)
+                              / greatest(CAST(coalesce(ntok, 0) AS DOUBLE),
+                                         1.0) * 1000000.0) AS BIGINT)
+                     AS top_token_ppm,
+                   CAST(floor(CAST(coalesce(maxb, 0) AS DOUBLE)
+                              / greatest(CAST(coalesce(nbg, 0) AS DOUBLE),
+                                         1.0) * 1000000.0) AS BIGINT)
+                     AS top_bigram_ppm
+            FROM d LEFT JOIN umax USING (doc_id) LEFT JOIN bmax USING (doc_id)
+        """,
+        # --- decontamination: exact gram strings on the SQL side, the
+        # engine's 64-bit rolling hashes agree except with ~2^-64
+        # collision probability (same identity argument as text_hash)
+        "decontaminate_docs": rf"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+                                                         '\S+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, unnest(list_transform(
+                      range(1, greatest(len(toks) - {_BENCH_NGRAM - 2}, 1)),
+                      i -> array_to_string(toks[i:i+{_BENCH_NGRAM - 1}], ' ')))
+                    AS gram FROM d),
+            bench AS (SELECT DISTINCT gram FROM g
+                      WHERE doc_id % {_BENCH_MOD} = 0)
+            SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
+            FROM g JOIN bench USING (gram)
+            WHERE doc_id % {_BENCH_MOD} != 0 GROUP BY doc_id
         """,
         "lineitem_order_join": """
             SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice

@@ -13,6 +13,8 @@ numpy segment ops); language-ID keeps its profiles in actor state.
   once per actor).
 - :func:`fingerprint_batch` — 64-bit full-text hash + Karp–Rabin rolling
   window min-hash fingerprint (winnowing-style document signature).
+- :func:`repetition_batch` — Gopher-style repetition signals: fraction
+  of tokens claimed by the most frequent token / most frequent bigram.
 """
 
 from __future__ import annotations
@@ -104,6 +106,49 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
                       ("quality", quality)):
         out = out.append_column(name, pa.array(arr, pa.float64()))
     return out
+
+
+def _max_run_per_parent(h: np.ndarray, parents: np.ndarray,
+                        n_docs: int) -> np.ndarray:
+    """max multiplicity of any single value per parent — vectorized
+    run-length over a (parent, value) lexsort."""
+    out = np.zeros(n_docs, np.int64)
+    if not len(h):
+        return out
+    order = np.lexsort((h, parents))
+    ph, vh = parents[order], h[order]
+    brk = np.flatnonzero(np.concatenate((
+        [True], (ph[1:] != ph[:-1]) | (vh[1:] != vh[:-1]), [True])))
+    runlens = np.diff(brk)
+    np.maximum.at(out, ph[brk[:-1]], runlens)
+    return out
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    ``top_token_frac`` = count of the most frequent token / total tokens,
+    ``top_bigram_frac`` = count of the most frequent bigram / total
+    bigrams.  Heavily boilerplated or looping documents score near 1."""
+    flat, parents, counts = _tokens_flat(batch["text"])
+    n = len(batch)
+    th = hash_u64_many(flat.to_pylist())
+    max_uni = _max_run_per_parent(th, parents, n)
+
+    if len(th) > 1:
+        same = parents[1:] == parents[:-1]
+        with np.errstate(over="ignore"):
+            bg = th[:-1] * np.uint64(1000003) + th[1:]
+        max_bg = _max_run_per_parent(bg[same], parents[:-1][same], n)
+    else:
+        max_bg = np.zeros(n, np.int64)
+
+    counts_f = counts.astype(np.float64)
+    top_token = max_uni / np.maximum(counts_f, 1.0)
+    top_bigram = max_bg / np.maximum(counts_f - 1.0, 1.0)
+    out = batch.append_column("top_token_frac",
+                              pa.array(top_token, pa.float64()))
+    return out.append_column("top_bigram_frac",
+                             pa.array(top_bigram, pa.float64()))
 
 
 class LangId:

@@ -893,3 +893,86 @@ def test_incremental_retro_drops_on_bridging(ray_session, tmp_path):
         rd.from_items([{"doc_id": 200, "text": " ".join(wb2)}]), state, **kw)
     assert k3.count() == 0
     assert set(read_retro_drops(state)["doc_id"].to_pylist()) == {10}
+
+
+def test_vocab_topk_exact_and_bounded(docs):
+    """Distributed wordcount == pandas value_counts with the same
+    (n DESC, gram ASC) tie-break; the bigram variant builds grams only
+    inside document boundaries."""
+    from pttcrawler_ray.textops.vocab import vocab_topk
+
+    texts = docs.to_pandas()["text"]
+    t = vocab_topk(docs, k=25, n=1, approx_rows=500).to_pandas()
+    exp = (texts.str.split().explode().dropna().value_counts()
+           .rename_axis("gram").reset_index(name="n"))
+    exp = exp.sort_values(["n", "gram"], ascending=[False, True],
+                          kind="stable").head(25).reset_index(drop=True)
+    assert t["gram"].tolist() == exp["gram"].tolist()
+    assert t["n"].tolist() == exp["n"].tolist()
+
+    t2 = vocab_topk(docs, k=10, n=2, approx_rows=500).to_pandas()
+    bigrams = {}
+    for s in texts:
+        toks = s.split()
+        for a, b in zip(toks, toks[1:]):
+            bigrams[f"{a} {b}"] = bigrams.get(f"{a} {b}", 0) + 1
+    exp2 = sorted(bigrams.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(t2["gram"], t2["n"])) == exp2
+
+
+def test_repetition_scores_match_python(docs):
+    from pttcrawler_ray.textops.analysis import repetition_batch
+    from collections import Counter
+
+    df = (docs.map_batches(repetition_batch, batch_format="pyarrow")
+          .to_pandas().set_index("doc_id").sort_index())
+    for doc_id, row in df.head(20).iterrows():
+        toks = row["text"].split()
+        uni = Counter(toks)
+        bg = Counter(zip(toks, toks[1:]))
+        exp_u = (max(uni.values()) if uni else 0) / max(len(toks), 1)
+        exp_b = (max(bg.values()) if bg else 0) / max(len(toks) - 1, 1)
+        assert row["top_token_frac"] == pytest.approx(exp_u)
+        assert row["top_bigram_frac"] == pytest.approx(exp_b)
+    # rows with zero/one token degrade to 0, not NaN
+    import ray.data as rd
+    one = rd.from_items([{"doc_id": 0, "text": ""},
+                         {"doc_id": 1, "text": "solo"}])
+    df1 = (one.map_batches(repetition_batch, batch_format="pyarrow")
+           .to_pandas().set_index("doc_id").sort_index())
+    assert df1["top_token_frac"].tolist() == [0.0, 1.0]
+    assert df1["top_bigram_frac"].tolist() == [0.0, 0.0]
+
+
+def test_decontaminate_matches_python_and_is_nonvacuous(docs):
+    """Engine contamination scan == a sequential string-set reference on
+    the fixture corpus; planted near-dups make it non-vacuous."""
+    import pyarrow as pa
+    from pttcrawler_ray.textops.decontam import decontaminate
+
+    NGRAM, MOD = 5, 29
+    df = docs.to_pandas()
+
+    def grams(s):
+        toks = s.split()
+        return {" ".join(toks[i:i + NGRAM])
+                for i in range(len(toks) - NGRAM + 1)}
+
+    bench_grams = set()
+    for _, r in df[df.doc_id % MOD == 0].iterrows():
+        bench_grams |= grams(r["text"])
+    exp = {int(r["doc_id"]): len(grams(r["text"]) & bench_grams)
+           for _, r in df[df.doc_id % MOD != 0].iterrows()
+           if grams(r["text"]) & bench_grams}
+    assert exp, "fixture corpus must plant cross-slice near-dups"
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % MOD == 0))
+
+    def not_bench(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % MOD != 0))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    corpus = docs.map_batches(not_bench, batch_format="pyarrow")
+    got = decontaminate(corpus, bench, n=NGRAM).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_hits"])) == exp
