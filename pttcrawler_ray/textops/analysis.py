@@ -37,6 +37,8 @@ def _tokens_flat(texts: pa.ChunkedArray | pa.Array):
     EMPTY boundary tokens ('' for leading/trailing/double whitespace),
     which the reference semantics (and the ``\\S+`` SQL oracles) do not,
     so empties are filtered out before counting."""
+    if pa.types.is_null(texts.type):  # all-null block (e.g. from_items)
+        texts = texts.cast(pa.string())
     toks = pc.utf8_split_whitespace(texts)
     raw_counts = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(toks)

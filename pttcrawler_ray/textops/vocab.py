@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .analysis import _tokens_flat
-from ..util.rayops import normalize_blocks, partitioned_map_groups
+from ..util.rayops import partitioned_map_groups
 
 
 def _flat_grams(texts, n: int):
@@ -81,20 +81,37 @@ def vocab_topk(ds, k: int = 200, n: int = 1,
     Returns a small pyarrow Table (gram, n) sorted by
     (n DESC, gram ASC) — driver-side data is bounded by
     partitions × k regardless of corpus size.
+
+    ``approx_rows`` is accepted for API stability but unused: partition
+    sizing comes from the MEASURED partial row count (the doc count
+    under-sizes it by the tokens-per-doc factor).
     """
     import ray
 
     partials = ds.map_batches(ngram_count_batch,
                               fn_kwargs={"n": n, "text_col": text_col},
                               batch_format="pyarrow")
-    # the partials are narrow and much smaller than the corpus (per-batch
-    # distinct grams); cap the block count at this materialize seam so the
-    # groupby sort doesn't fan out one (mostly empty) output block per
-    # input block — see util.rayops.normalize_blocks
-    partials = normalize_blocks(partials.materialize())
-    winners = partitioned_map_groups(partials, "gram",
+    # Cap the partials' block count at this materialize seam: the groupby
+    # sort fans out per INPUT block, so block count — not row count — is
+    # the superlinear term (measured at 1M docs / 38M partial rows:
+    # 200 blocks → 93 s for the group stage, 48 blocks → 22 s).  Target a
+    # small multiple of the CPU budget, and size partitions from the
+    # MEASURED partial rows (≈ corpus tokens, not docs — web-text junk
+    # grams are mostly count-1, so partials barely shrink).
+    mat = partials.materialize()
+    rows = mat.count()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    shuffle_blocks = max(16, min(256, cpus * 2))
+    if mat.num_blocks() > shuffle_blocks:
+        mat = mat.repartition(shuffle_blocks).materialize()
+    # floor the partition count at 1, not _resolve_parts' 256: with a
+    # small gram universe most of 256 hash ranges would be EMPTY sort
+    # partitions, which Ray emits as schema-less blocks (the
+    # "new schema: ." warning spray)
+    n_parts = max(1, min(256, rows // 200_000 + 1))
+    winners = partitioned_map_groups(mat, "gram",
                                      _make_partition_topk(k),
-                                     approx_rows=approx_rows)
+                                     n_parts=n_parts)
     tabs = [t for t in ray.get(winners.to_arrow_refs()) if t.num_rows]
     if not tabs:
         return pa.table({"gram": pa.array([], pa.string()),

@@ -976,3 +976,35 @@ def test_decontaminate_matches_python_and_is_nonvacuous(docs):
     corpus = docs.map_batches(not_bench, batch_format="pyarrow")
     got = decontaminate(corpus, bench, n=NGRAM).to_pandas()
     assert dict(zip(got["doc_id"], got["n_hits"])) == exp
+
+
+def test_corpus_stats_null_and_tiny_docs(ray_session):
+    """Null / empty / sub-n-gram texts flow through all three new ops
+    without nulls leaking into grams or NaNs into scores."""
+    import ray.data as rd
+    from pttcrawler_ray.textops.vocab import vocab_topk
+    from pttcrawler_ray.textops.analysis import repetition_batch
+    from pttcrawler_ray.textops.decontam import decontaminate
+
+    rows = [{"doc_id": 0, "text": None},
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": "one"},
+            {"doc_id": 3, "text": "a b a b a"},
+            {"doc_id": 4, "text": "  x   y  "}]
+    ds = rd.from_items(rows)
+
+    t = vocab_topk(ds, k=10, n=1)
+    assert dict(zip(t["gram"].to_pylist(), t["n"].to_pylist())) == \
+        {"a": 3, "b": 2, "one": 1, "x": 1, "y": 1}
+    t2 = vocab_topk(ds, k=10, n=2)
+    assert dict(zip(t2["gram"].to_pylist(), t2["n"].to_pylist())) == \
+        {"a b": 2, "b a": 2, "x y": 1}
+
+    df = (ds.map_batches(repetition_batch, batch_format="pyarrow")
+          .to_pandas().set_index("doc_id").sort_index())
+    assert df["top_token_frac"].tolist() == [0.0, 0.0, 1.0, 3 / 5, 0.5]
+    assert df["top_bigram_frac"].tolist() == [0.0, 0.0, 0.0, 2 / 4, 1.0]
+
+    # decontam with an n-gram wider than every doc: no hits, no crash
+    got = decontaminate(ds, ds, n=6).to_pandas()
+    assert len(got) == 0
