@@ -147,8 +147,13 @@ _GOLDEN = np.uint64(GOLDEN64)  # shared mixer constant (util.rayops)
 
 def _scale_parts(exploded_rows: int) -> int:
     """Partition count for ``exploded_rows`` (bucket, doc) rows: enough
-    partitions that each map_groups task sees ~_PART_TARGET_ROWS rows."""
-    return scale_parts(exploded_rows, floor=_PAIR_PARTITIONS,
+    partitions that each map_groups task sees ~_PART_TARGET_ROWS rows.
+    The parallelism floor itself adapts downward for small inputs (one
+    partition per ≥2k rows): shuffling a 25-row pair set into 64 hash
+    ranges leaves ~40 EMPTY sort partitions, which Ray emits as
+    schema-less blocks (the "new schema: ." warning spray)."""
+    floor = min(_PAIR_PARTITIONS, max(1, exploded_rows // 2_000 + 1))
+    return scale_parts(exploded_rows, floor=floor,
                        target_rows=_PART_TARGET_ROWS)
 
 
