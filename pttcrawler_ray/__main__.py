@@ -153,6 +153,22 @@ def main(argv=None):
                     help="IVF-PQ rerank multiplier")
     an.add_argument("--num-cpus", type=int, default=None)
 
+    cs = sub.add_parser("corpus-stats", help="corpus statistics: top-K gram "
+                        "counts, per-doc repetition scores, optional "
+                        "benchmark decontamination over a (doc_id, text) "
+                        "parquet")
+    cs.add_argument("--input", required=True, help="documents parquet file/dir")
+    cs.add_argument("--top-k", type=int, default=50)
+    cs.add_argument("--ngram", type=int, default=1,
+                    help="gram width for the top-K count (1=vocab, 2=bigrams)")
+    cs.add_argument("--repetition-dest",
+                    help="write per-doc repetition scores parquet here")
+    cs.add_argument("--benchmark",
+                    help="held-out benchmark (doc_id, text) parquet; reports "
+                         "corpus docs sharing a word n-gram with it")
+    cs.add_argument("--decontam-ngram", type=int, default=5)
+    cs.add_argument("--num-cpus", type=int, default=None)
+
     sch = sub.add_parser("schedule", help="upsert/remove a recurring cron job "
                          "(reference schedule.py semantics)")
     sch.add_argument("--action", choices=["update", "remove"], required=True)
@@ -298,6 +314,38 @@ def main(argv=None):
                     "stats": {k: v for k, v in stats.items()
                               if not isinstance(v, list)},
                     "neighbors": out}))
+        elif args.cmd == "corpus-stats":
+            from .textops.vocab import vocab_topk
+            from .util.rayops import read_parquet_clean
+
+            top = vocab_topk(read_parquet_clean(args.input),
+                             k=args.top_k, n=args.ngram)
+            out = {"ngram": args.ngram,
+                   "top_grams": [[g, int(c)] for g, c in
+                                 zip(top["gram"].to_pylist(),
+                                     top["n"].to_pylist())]}
+            if args.repetition_dest:
+                import shutil
+
+                from .textops.analysis import repetition_batch
+
+                shutil.rmtree(args.repetition_dest, ignore_errors=True)
+                read_parquet_clean(args.input) \
+                    .map_batches(repetition_batch, batch_format="pyarrow") \
+                    .select_columns(["doc_id", "top_token_frac",
+                                     "top_bigram_frac"]) \
+                    .write_parquet(args.repetition_dest)
+                out["repetition_dest"] = args.repetition_dest
+            if args.benchmark:
+                from .textops.decontam import decontaminate
+
+                hits = decontaminate(read_parquet_clean(args.input),
+                                     read_parquet_clean(args.benchmark),
+                                     n=args.decontam_ngram).to_pandas()
+                out["contaminated_docs"] = int(len(hits))
+                out["contaminated_grams"] = int(hits["n_hits"].sum()) \
+                    if len(hits) else 0
+            print(json.dumps(out))
         elif args.cmd == "export":
             from .pipelines.export import export_run
 

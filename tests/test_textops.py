@@ -1008,3 +1008,43 @@ def test_corpus_stats_null_and_tiny_docs(ray_session):
     # decontam with an n-gram wider than every doc: no hits, no crash
     got = decontaminate(ds, ds, n=6).to_pandas()
     assert len(got) == 0
+
+
+def test_corpus_stats_cli(tmp_path):
+    """`corpus-stats` CLI in a subprocess: top-K vocab equals a pandas
+    count, repetition parquet lands, decontamination vs a planted
+    benchmark slice is non-empty."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    df = _pq.read_table(src, columns=["doc_id", "text"]).to_pandas()
+    bench = str(tmp_path / "bench.parquet")
+    rep = str(tmp_path / "rep")
+    _pq.write_table(
+        _pq.read_table(src).filter((_pq.read_table(src)["doc_id"].to_numpy()
+                                    % 29 == 0)), bench)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pttcrawler_ray", "corpus-stats",
+         "--input", src, "--top-k", "5", "--repetition-dest", rep,
+         "--benchmark", bench, "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = _json.loads(out.stdout.strip().splitlines()[-1])
+
+    counts = df["text"].str.split().explode().dropna().value_counts()
+    exp = sorted(((g, int(c)) for g, c in counts.items()),
+                 key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [tuple(x) for x in res["top_grams"]] == exp
+    rep_df = pd.read_parquet(rep)
+    assert len(rep_df) == len(df)
+    assert set(rep_df.columns) == {"doc_id", "top_token_frac",
+                                   "top_bigram_frac"}
+    # CLI scans the WHOLE input (bench docs self-match), so hits ⊇ the
+    # 7 cross-slice near-dups known from the oracle check
+    assert res["contaminated_docs"] >= 7
