@@ -442,23 +442,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         per-batch partial counts → one coarse narrow shuffle → vectorized
         per-partition sum + local top-k → tiny driver merge."""
         from pttcrawler_ray.textops.vocab import vocab_topk
-        from pttcrawler_ray.util.rayops import parquet_rows
 
-        path = os.path.join(sf_dir, "documents.parquet")
-        docs = _rpq(path, columns=["text"])
-        return vocab_topk(docs, k=_VOCAB_K, n=1,
-                          approx_rows=parquet_rows(path))
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["text"])
+        return vocab_topk(docs, k=_VOCAB_K, n=1)
 
     def bigram_docs(sf_dir):
         """Top-K word bigrams — same machinery as :func:`vocab_docs`
         with the gram build vectorized over token windows."""
         from pttcrawler_ray.textops.vocab import vocab_topk
-        from pttcrawler_ray.util.rayops import parquet_rows
 
-        path = os.path.join(sf_dir, "documents.parquet")
-        docs = _rpq(path, columns=["text"])
-        return vocab_topk(docs, k=_VOCAB_K, n=2,
-                          approx_rows=parquet_rows(path))
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["text"])
+        return vocab_topk(docs, k=_VOCAB_K, n=2)
 
     def repetition_docs(sf_dir):
         """Gopher-style repetition filters: most-frequent-token and

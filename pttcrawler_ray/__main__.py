@@ -343,8 +343,10 @@ def main(argv=None):
                                      read_parquet_clean(args.benchmark),
                                      n=args.decontam_ngram).to_pandas()
                 out["contaminated_docs"] = int(len(hits))
-                out["contaminated_grams"] = int(hits["n_hits"].sum()) \
-                    if len(hits) else 0
+                # sum of per-doc DISTINCT-hit counts (doc × gram pairs),
+                # not a distinct-gram count
+                out["contaminated_doc_gram_pairs"] = \
+                    int(hits["n_hits"].sum()) if len(hits) else 0
             print(json.dumps(out))
         elif args.cmd == "export":
             from .pipelines.export import export_run

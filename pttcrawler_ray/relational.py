@@ -267,6 +267,11 @@ def lineitem_summary(sf_dir: str) -> "pa.Table":
                ["l_returnflag", "l_linestatus", "l_quantity"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
     tabs = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({"l_returnflag": pa.array([], pa.string()),
+                         "l_linestatus": pa.array([], pa.string()),
+                         "sum_qty": pa.array([], pa.float64()),
+                         "count_order": pa.array([], pa.int64())})
     merged = pa.concat_tables(tabs).group_by(
         ["l_returnflag", "l_linestatus"]).aggregate(
         [("sum_qty", "sum"), ("count_order", "sum")])

@@ -52,6 +52,20 @@ def _tokens_flat(texts: pa.ChunkedArray | pa.Array):
     return flat, parents, counts
 
 
+def _run_firsts(parents: np.ndarray, values: np.ndarray):
+    """Lexsort by (parent, value) and mark the first element of each
+    (parent, value) run.  Returns ``(order, first_mask)`` — the one
+    primitive behind per-doc distinct counts (quality), max run
+    multiplicities (repetition), and distinct-pair projection
+    (decontamination)."""
+    order = np.lexsort((values, parents))
+    p, v = parents[order], values[order]
+    first = np.ones(len(p), dtype=bool)
+    if len(p) > 1:
+        first[1:] = (p[1:] != p[:-1]) | (v[1:] != v[:-1])
+    return order, first
+
+
 def token_count_batch(batch: pa.Table) -> pa.Table:
     text = batch["text"]
     _, _, counts = _tokens_flat(text)  # str.split() semantics, no empties
@@ -89,11 +103,8 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     tok_hashes = hash_u64_many(flat.to_pylist())
     uniq = np.zeros(n)
     if len(tok_hashes):
-        order = np.lexsort((tok_hashes, parents))
-        ph, th = parents[order], tok_hashes[order]
-        newgrp = np.ones(len(th), dtype=bool)
-        newgrp[1:] = (ph[1:] != ph[:-1]) | (th[1:] != th[:-1])
-        np.add.at(uniq, ph[newgrp], 1.0)
+        order, first = _run_firsts(parents, tok_hashes)
+        np.add.at(uniq, parents[order][first], 1.0)
     distinct_ratio = uniq / safe
 
     alpha_ratio = np.divide(alpha, np.maximum(nchars, 1.0))
@@ -117,12 +128,10 @@ def _max_run_per_parent(h: np.ndarray, parents: np.ndarray,
     out = np.zeros(n_docs, np.int64)
     if not len(h):
         return out
-    order = np.lexsort((h, parents))
-    ph, vh = parents[order], h[order]
-    brk = np.flatnonzero(np.concatenate((
-        [True], (ph[1:] != ph[:-1]) | (vh[1:] != vh[:-1]), [True])))
-    runlens = np.diff(brk)
-    np.maximum.at(out, ph[brk[:-1]], runlens)
+    order, first = _run_firsts(parents, h)
+    starts = np.r_[np.flatnonzero(first), len(first)]
+    runlens = np.diff(starts)
+    np.maximum.at(out, parents[order][first], runlens)
     return out
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .analysis import _tokens_flat
+from .analysis import _run_firsts, _tokens_flat
 from .dedup import _bcast_get
 from ..util.hashing import hash_u64_many
 
@@ -34,6 +34,8 @@ _KR_BASE = np.uint64(1000003)
 def _gram_hashes(texts, n: int):
     """(uint64 gram hashes, parent doc indices) for word n-grams of a
     text column — windows never cross a document boundary."""
+    if n < 1:
+        raise ValueError(f"n-gram width must be >= 1, got {n}")
     flat, parents, _ = _tokens_flat(texts)
     th = hash_u64_many(flat.to_pylist())
     if len(th) < n:
@@ -74,11 +76,8 @@ def _distinct_per_parent(gh: np.ndarray, gp: np.ndarray):
     oracle's ``count(DISTINCT gram)`` semantics."""
     if not len(gh):
         return gh, gp
-    order = np.lexsort((gh, gp))
-    gh, gp = gh[order], gp[order]
-    first = np.ones(len(gh), dtype=bool)
-    first[1:] = (gp[1:] != gp[:-1]) | (gh[1:] != gh[:-1])
-    return gh[first], gp[first]
+    order, first = _run_firsts(gp, gh)
+    return gh[order][first], gp[order][first]
 
 
 def _decontam_batch(batch: pa.Table, *, bench_ref, n: int,

@@ -74,19 +74,19 @@ def _make_partition_topk(k: int):
 
 
 def vocab_topk(ds, k: int = 200, n: int = 1,
-               approx_rows: int | None = None,
                text_col: str = "text") -> pa.Table:
     """Global top-``k`` word ``n``-grams by corpus frequency.
 
     Returns a small pyarrow Table (gram, n) sorted by
     (n DESC, gram ASC) — driver-side data is bounded by
-    partitions × k regardless of corpus size.
-
-    ``approx_rows`` is accepted for API stability but unused: partition
-    sizing comes from the MEASURED partial row count (the doc count
-    under-sizes it by the tokens-per-doc factor).
+    partitions × k regardless of corpus size.  Partition sizing comes
+    from the MEASURED partial row count (a doc count would under-size it
+    by the tokens-per-doc factor).
     """
     import ray
+
+    if n < 1:
+        raise ValueError(f"n-gram width must be >= 1, got {n}")
 
     partials = ds.map_batches(ngram_count_batch,
                               fn_kwargs={"n": n, "text_col": text_col},

@@ -902,7 +902,7 @@ def test_vocab_topk_exact_and_bounded(docs):
     from pttcrawler_ray.textops.vocab import vocab_topk
 
     texts = docs.to_pandas()["text"]
-    t = vocab_topk(docs, k=25, n=1, approx_rows=500).to_pandas()
+    t = vocab_topk(docs, k=25, n=1).to_pandas()
     exp = (texts.str.split().explode().dropna().value_counts()
            .rename_axis("gram").reset_index(name="n"))
     exp = exp.sort_values(["n", "gram"], ascending=[False, True],
@@ -910,7 +910,7 @@ def test_vocab_topk_exact_and_bounded(docs):
     assert t["gram"].tolist() == exp["gram"].tolist()
     assert t["n"].tolist() == exp["n"].tolist()
 
-    t2 = vocab_topk(docs, k=10, n=2, approx_rows=500).to_pandas()
+    t2 = vocab_topk(docs, k=10, n=2).to_pandas()
     bigrams = {}
     for s in texts:
         toks = s.split()

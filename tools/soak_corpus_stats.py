@@ -155,7 +155,7 @@ def main():
         name = "bigram_topk" if bigram else "vocab_topk"
         docs = read_parquet_clean(corpus, columns=["text"])
         t0 = time.time()
-        got = vocab_topk(docs, k=K, n=2 if bigram else 1, approx_rows=n)
+        got = vocab_topk(docs, k=K, n=2 if bigram else 1)
         timings[name] = round(time.time() - t0, 1)
         got_pairs = list(zip(got["gram"].to_pylist(),
                              got["n"].to_pylist()))
