@@ -123,6 +123,30 @@ def main(argv=None):
                     help="keep only these predicted languages")
     cu.add_argument("--num-cpus", type=int, default=None)
 
+    pr = sub.add_parser("prepare", help="full training-data preparation: "
+                        "curate -> decontaminate -> split -> domain-mix -> "
+                        "pack, writing a training-ready parquet layout")
+    pr.add_argument("--input", required=True, help="documents parquet file/dir")
+    pr.add_argument("--dest", required=True, help="output layout directory")
+    pr.add_argument("--benchmark",
+                    help="held-out benchmark (doc_id, text) parquet to "
+                         "decontaminate against; omit to skip.  Benchmark "
+                         "rows also present in --input will self-report as "
+                         "contaminated (and be dropped) — exclude eval doc "
+                         "ids from --input if that is not wanted")
+    pr.add_argument("--quality-min", type=float, default=0.3)
+    pr.add_argument("--threshold", type=float, default=0.8,
+                    help="near-dup Jaccard threshold")
+    pr.add_argument("--langs", nargs="*", default=None)
+    pr.add_argument("--decontam-ngram", type=int, default=5)
+    pr.add_argument("--ratios", nargs="*",
+                    default=["train=0.98", "val=0.01", "test=0.01"],
+                    metavar="LABEL=FRAC")
+    pr.add_argument("--mix", nargs="*", default=None, metavar="LANG=RATE",
+                    help="per-language keep rates for the train split")
+    pr.add_argument("--seq-len", type=int, default=512)
+    pr.add_argument("--num-cpus", type=int, default=None)
+
     di = sub.add_parser("dedup-inc", help="incremental near-dup removal: "
                         "dedup a (doc_id, text) increment against a "
                         "persisted state store of all previously seen docs")
@@ -238,6 +262,27 @@ def main(argv=None):
             n_kept = parquet_rows(args.dest)
             print(json.dumps({"input_docs": n_in, "kept_docs": n_kept,
                               "dropped": n_in - n_kept, "dest": args.dest}))
+        elif args.cmd == "prepare":
+            import shutil
+
+            from .textops.prepare import prepare
+            from .util.rayops import read_parquet_clean
+
+            shutil.rmtree(args.dest, ignore_errors=True)  # see curate
+
+            def _kv(pairs, cast):
+                return {k: cast(v) for k, v in
+                        (s.split("=", 1) for s in pairs)} if pairs else None
+
+            manifest = prepare(
+                read_parquet_clean(args.input),
+                read_parquet_clean(args.benchmark) if args.benchmark else None,
+                args.dest, quality_min=args.quality_min, langs=args.langs,
+                dedup_threshold=args.threshold,
+                decontam_n=args.decontam_ngram,
+                ratios=_kv(args.ratios, float), mix_rates=_kv(args.mix, float),
+                seq_len=args.seq_len)
+            print(json.dumps(manifest["stages"]))
         elif args.cmd == "dedup-inc":
             import shutil
 

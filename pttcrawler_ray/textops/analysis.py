@@ -175,16 +175,24 @@ class LangId:
 
     def __init__(self):
         self.sets = {lang: frozenset(words.split()) for lang, words in self.PROFILES.items()}
+        # Arrow value-sets built once per actor for the vectorized is_in
+        self.value_sets = {lang: pa.array(sorted(words.split()))
+                           for lang, words in self.PROFILES.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         flat, parents, counts = _tokens_flat(batch["text"])
-        toks = pc.utf8_lower(flat).to_pylist()
+        toks_lower = pc.utf8_lower(flat)
         n = len(batch)
-        scores = {lang: np.zeros(n) for lang in self.sets}
-        for lang, vocab in self.sets.items():
-            hits = np.fromiter((t in vocab for t in toks), dtype=np.float64,
-                               count=len(toks))
-            np.add.at(scores[lang], parents, hits)
+        scores = {}
+        for lang, value_set in self.value_sets.items():
+            # one is_in kernel per language over the flat token array +
+            # a bincount scatter — the quality_score_batch shape, no
+            # per-token Python
+            hits = pc.is_in(toks_lower, value_set=value_set) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            # astype: bincount returns int64 (not float64) for empty weights
+            scores[lang] = np.bincount(parents, weights=hits,
+                                       minlength=n).astype(np.float64)
         # CJK char share is decisive for zh
         cjk = pc.count_substring_regex(batch["text"], r"[一-鿿]")
         scores["zh"] += cjk.to_numpy(zero_copy_only=False).astype(np.float64)

@@ -30,6 +30,7 @@ import ray.data as rd
 from ..util.hashing import hash_u64_many
 from ..util.rayops import (GOLDEN64, bucket_partition_col, grouped_topk,
                            list_col_matrix, normalize_blocks, scale_parts)
+from .analysis import _tokens_flat
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -90,21 +91,103 @@ class MinhashBands:
         self.id_col = id_col
         self.text_col = text_col
 
+    # shingle-column chunk for the flat signature pass: (num_perm × chunk)
+    # uint64 temporaries stay ~16 MB (L3-resident) — measured 4× faster
+    # than striping over permutations (50 MB DRAM-bound temporaries).
+    _COL_CHUNK = 16_384
+
+    def _flat_shingles(self, batch: pa.Table):
+        """Batch-flat shingling (no per-doc Python loop): one Arrow
+        windowed join builds EVERY doc's k-gram strings at once, masked
+        at doc boundaries; short docs (1 ≤ n_tok < k) get their single
+        whole-text shingle via a loop over only those (rare) docs.
+        Grams are dictionary-encoded before hashing so blake2b runs once
+        per DISTINCT gram (near-dup corpora repeat most grams), then
+        fanned back out by index.  Returns (shingle_hashes,
+        shingle_parents) sorted by parent — value-identical to per-doc
+        :func:`_shingle_hashes` minus the np.unique (duplicates cannot
+        change a min)."""
+        flat, parents, counts = _tokens_flat(batch[self.text_col])
+        k = self.mh.shingle_k
+        gram_hash_parts, gram_parent_parts = [], []
+        m = len(flat) - k + 1
+        if m > 0:
+            cols = [flat.slice(i, m) for i in range(k)]
+            grams = pc.binary_join_element_wise(*cols, " ")
+            valid = parents[:m] == parents[k - 1:k - 1 + m]
+            if valid.any():
+                enc = grams.filter(pa.array(valid)).dictionary_encode()
+                uniq_hash = hash_u64_many(enc.dictionary.to_pylist())
+                idx = enc.indices.to_numpy(zero_copy_only=False)
+                gram_hash_parts.append(uniq_hash[idx])
+                gram_parent_parts.append(parents[:m][valid])
+        short = np.flatnonzero((counts > 0) & (counts < k))
+        if short.size:
+            starts = np.r_[0, np.cumsum(counts)]
+            joined = [" ".join(flat.slice(starts[d], counts[d]).to_pylist())
+                      for d in short]
+            gram_hash_parts.append(hash_u64_many(joined))
+            gram_parent_parts.append(short.astype(parents.dtype))
+        if not gram_hash_parts:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+        if len(gram_hash_parts) == 1:  # window grams are already parent-sorted
+            return gram_hash_parts[0], gram_parent_parts[0]
+        sh = np.concatenate(gram_hash_parts)
+        gp = np.concatenate(gram_parent_parts)
+        order = np.argsort(gp, kind="stable")
+        return sh[order], gp[order]
+
+    def _signatures(self, sh: np.ndarray, gp: np.ndarray, n: int) -> np.ndarray:
+        """(n, num_perm) signature matrix from the flat (hash, parent)
+        shingle arrays: universal hashes computed in doc-aligned column
+        chunks with a Mersenne fold (x mod 2^61-1 via shift/mask — no
+        hardware division), per-doc mins via ``minimum.reduceat``.
+        Bit-identical to ``(sh*a + b) % M`` min'd per doc."""
+        sig = np.full((n, self.mh.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        if not len(sh):
+            return sig
+        seg_starts = np.flatnonzero(np.r_[True, gp[1:] != gp[:-1]])
+        present = gp[seg_starts]
+        seg_bounds = np.r_[seg_starts, len(sh)]
+        n_segs = len(seg_starts)
+        a, b = self.mh.a[:, None], self.mh.b[:, None]
+        S61 = np.uint64(61)
+        i0 = 0
+        while i0 < n_segs:
+            # largest run of whole docs fitting the column chunk (≥1 doc)
+            i1 = int(np.searchsorted(seg_bounds, seg_bounds[i0] + self._COL_CHUNK,
+                                     side="right")) - 1
+            i1 = max(i1, i0 + 1)
+            c0, c1 = seg_bounds[i0], seg_bounds[i1]
+            with np.errstate(over="ignore"):
+                hv = sh[None, c0:c1] * a
+                hv += b
+                # Mersenne fold: for y < 2^64, y mod (2^61-1) =
+                # ((y>>61) + (y & M)) with one conditional subtract
+                z = hv >> S61
+                hv &= _MERSENNE
+                hv += z
+                np.subtract(hv, _MERSENNE, out=hv, where=hv >= _MERSENNE)
+            mins = np.minimum.reduceat(hv, seg_starts[i0:i1] - c0, axis=1)
+            sig[present[i0:i1]] = mins.T
+            i0 = i1
+        return sig
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        band_ids, band_hashes, doc_ids = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = self.mh.signature(_shingle_hashes(text, self.mh.shingle_k))
-            view = sig.reshape(self.bands, self.rows_per_band)
-            bh = hash_u64_many([v.tobytes() for v in view])
-            band_ids.extend(range(self.bands))
-            band_hashes.extend(int(x) for x in bh)
-            doc_ids.extend([doc_id] * self.bands)
+        n = batch.num_rows
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh, gp = self._flat_shingles(batch)
+        sig = self._signatures(sh, gp, n)
+        # same byte layout as the per-doc path: each doc's C-contiguous
+        # num_perm row sliced into `bands` views of rows_per_band uint64s
+        view = sig.reshape(n * self.bands, self.rows_per_band)
+        bh = hash_u64_many([view[i].tobytes() for i in range(n * self.bands)])
         return pa.table({
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.uint64()),
-            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n),
+                                pa.int32()),
+            "band_hash": pa.array(bh, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, self.bands), pa.int64()),
         })
 
 
@@ -989,48 +1072,102 @@ _EMB_PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                               ("cosine", pa.float64())])
 
 
+def _emb_scale_parts(exploded_rows: int, dim: int) -> int:
+    """Partition count for (bkey, vec_id, embedding) rows — embedding
+    payloads are dim×8 B/row, so the per-task row target shrinks with
+    dim to keep one partition ~50 MB."""
+    target = max(20_000, 50_000_000 // max(dim * 8, 1))
+    floor = min(_PAIR_PARTITIONS, max(1, exploded_rows // 2_000 + 1))
+    return scale_parts(exploded_rows, floor=floor, target_rows=target)
 
-def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0.95,
-                            bits: int = 12, tables: int = 2,
-                            concurrency: int = 4,
-                            as_dataset: bool = False) -> "pa.Table | rd.Dataset":
-    """Pairs with cosine ≥ threshold among same-bucket embeddings (one
-    matmul per bucket inside map_groups; pairs deduped across tables by a
-    vectorized aggregate).  ``as_dataset=True`` returns the deduped
-    verified-pair Dataset with no driver gather (the at-scale consumer
-    shape); the default gathers the output-sized set sorted."""
-    ds = emb_ds.map_batches(SignLSH,
-                            fn_constructor_kwargs={"dim": dim, "bits": bits,
-                                                   "tables": tables},
-                            batch_format="pyarrow", concurrency=(1, concurrency))
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows > 16 * MAX_BUCKET_DOCS:
-            # matmul buckets tolerate more rows than pair-explosion buckets,
-            # but an all-in-one-bucket degeneracy still gets capped + logged.
-            # Deterministic truncation (smallest ids), matching the other
-            # LSH families — map_groups row order is arrival-dependent.
+def _emb_add_part(batch: pa.Table, n_parts: int) -> pa.Table:
+    """(lsh_table, lsh_bucket) → one mixed uint64 bkey + int32 part col,
+    projected to the narrow shuffle payload (bkey, part, vec_id,
+    embedding) — the repo-standard coarse-partition shape instead of
+    Ray's native two-key groupby (tuple-key sort machinery, measured
+    69.8 s for a 10M-row two-key count)."""
+    bkey = _mixed_bucket_key(batch, ["lsh_table", "lsh_bucket"])
+    return pa.table({
+        "bkey": pa.array(bkey, pa.uint64()),
+        "part": _bucket_partition_col(bkey, n_parts),
+        "vec_id": batch["vec_id"],
+        "embedding": batch["embedding"],
+    })
+
+
+def _emb_pairs_partition(group: pa.Table, threshold: float) -> pa.Table:
+    """Verified cosine pairs for ONE coarse partition of sign-LSH buckets:
+    numpy sorts by (bkey, vec_id), run-length-encodes the bucket key, and
+    runs one matmul per multi-doc run — one Python call per partition,
+    not per bucket key."""
+    empty = _EMB_PAIR_SCHEMA.empty_table()
+    if group.num_rows == 0:
+        return empty
+    key = group["bkey"].to_numpy(zero_copy_only=False)
+    ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, key))
+    k, d = key[order], ids[order]
+    mat = list_col_matrix(group["embedding"])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    mat = mat[order]
+    cap = 16 * MAX_BUCKET_DOCS
+    out_a, out_b, out_c = [], [], []
+    for s, e in zip(*_runs_of(k)):
+        if e - s > cap:
+            # matmul buckets tolerate more rows than pair-explosion
+            # buckets, but an all-in-one-bucket degeneracy still gets
+            # capped + logged.  Rows are id-sorted → smallest ids kept,
+            # matching the other LSH families.
             import logging
 
             logging.getLogger(__name__).warning(
                 "degenerate sign-LSH bucket: %d rows, capping to %d",
-                group.num_rows, 16 * MAX_BUCKET_DOCS)
-            group = group.sort_by("vec_id").slice(0, 16 * MAX_BUCKET_DOCS)
-        ids_np = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if ids_np.size < 2:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        m = list_col_matrix(group["embedding"])
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                e - s, cap)
+            e = s + cap
+        m = mat[s:e]
+        rid = d[s:e]
         sim = m @ m.T
         a, b = np.where(np.triu(sim >= threshold, k=1))
-        return pa.table({"doc_a": pa.array(np.minimum(ids_np[a], ids_np[b]), pa.int64()),
-                         "doc_b": pa.array(np.maximum(ids_np[a], ids_np[b]), pa.int64()),
-                         "cosine": pa.array(sim[a, b], pa.float64())})
+        if a.size:
+            out_a.append(np.minimum(rid[a], rid[b]))
+            out_b.append(np.maximum(rid[a], rid[b]))
+            out_c.append(sim[a, b])
+    if not out_a:
+        return empty
+    return pa.table({"doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                     "cosine": pa.array(np.concatenate(out_c), pa.float64())})
 
-    pairs = ds.groupby(["lsh_table", "lsh_bucket"]).map_groups(
-        bucket_pairs, batch_format="pyarrow").materialize()
+
+def embedding_neardup_pairs(emb_ds: "rd.Dataset", dim: int, threshold: float = 0.95,
+                            bits: int = 12, tables: int = 2,
+                            concurrency: int = 4,
+                            approx_rows: int | None = None,
+                            as_dataset: bool = False) -> "pa.Table | rd.Dataset":
+    """Pairs with cosine ≥ threshold among same-bucket embeddings: the
+    (table, bucket) key is mixed into ONE uint64 bkey and shuffled into
+    coarse partitions (`_candidate_pairs` shape); each partition verifies
+    its own buckets' pairs with one matmul per multi-doc run.  Pairs are
+    deduped across tables by a vectorized aggregate.  ``as_dataset=True``
+    returns the deduped verified-pair Dataset with no driver gather (the
+    at-scale consumer shape); the default gathers the output-sized set
+    sorted.  ``approx_rows`` (input vector count) sizes the shuffle;
+    defaults to ``emb_ds.count()``."""
+    import functools
+
+    if approx_rows is None:
+        approx_rows = emb_ds.count()
+    n_parts = _emb_scale_parts(approx_rows * tables, dim)
+    ds = emb_ds.map_batches(SignLSH,
+                            fn_constructor_kwargs={"dim": dim, "bits": bits,
+                                                   "tables": tables},
+                            batch_format="pyarrow", concurrency=(1, concurrency))
+    exp = ds.map_batches(functools.partial(_emb_add_part, n_parts=n_parts),
+                         batch_format="pyarrow")
+    pairs = exp.groupby("part").map_groups(
+        functools.partial(_emb_pairs_partition, threshold=threshold),
+        batch_format="pyarrow").materialize()
     # identical cosine on rediscovery (same vectors) → plain distinct.
     # as_dataset: coarse-partition first-of-run distinct with cosine
     # carried (identical on rediscovery — same two vectors), no driver

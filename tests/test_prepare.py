@@ -1,0 +1,156 @@
+"""End-to-end test of the composed training-data preparation pipeline
+(``textops/prepare.py``): every stage's expected effect is planted into
+the corpus, the split/mix assignments are recomputed with the pure hash
+functions, and the packing offsets are checked against the DuckDB window
+oracle over the WRITTEN train split — catching interface drift between
+stages that the per-op tests can't."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+
+def _mk_corpus():
+    """Planted corpus: 40 clean docs, 5 junk (no stopwords), a near-dup
+    pair (200, 201), and two contaminated docs (300, 301) sharing a
+    5-gram with the benchmark."""
+    ids, texts = [], []
+    for i in range(40):
+        ids.append(i)
+        texts.append(f"the quick brown fox number{i} jumps over the lazy dog "
+                     f"and it runs to the river bend{i} where the water is "
+                     f"cold and the evening was long for the walk {i}")
+    for i in range(5):
+        ids.append(100 + i)
+        texts.append(" ".join(f"zz{i}x{j}" for j in range(40)))  # no stopwords
+    base = ("the cat sat on the mat and the dog sat too while the bird "
+            "flew over the tall green tree by the old red barn") * 3
+    ids += [200, 201]
+    texts += [base, base + " extra tail tokens"]
+    marker = "alpha bravo charlie delta echo"
+    fillers = ["the rain fell on the quiet hill as the morning came slowly",
+               "a boat drifted down the wide calm river past the small town"]
+    for j, did in enumerate((300, 301)):
+        ids.append(did)
+        texts.append(f"this is a clean document about the weather {j} and "
+                     f"it contains the marker phrase {marker} in the middle "
+                     f"while {fillers[j]} for the contamination check {j}")
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts, pa.string())}), marker
+
+
+def test_prepare_end_to_end(ray_session, tmp_path):
+    from pttcrawler_ray.textops.prepare import prepare
+    from pttcrawler_ray.textops.sampling import ppm_threshold, splitmix64
+
+    corpus, marker = _mk_corpus()
+    bench = pa.table({
+        "doc_id": pa.array([9000], pa.int64()),
+        "text": pa.array([f"benchmark question mentioning {marker} verbatim"]),
+    })
+    dest = tmp_path / "layout"
+    ratios = {"train": 0.8, "val": 0.1, "test": 0.1}
+    mix = {"en": 0.8}
+    m = prepare(rd.from_arrow(corpus), rd.from_arrow(bench), str(dest),
+                quality_min=0.3, dedup_threshold=0.7, decontam_n=5,
+                ratios=ratios, mix_rates=mix, mix_group="pred_lang",
+                seq_len=64, split_salt=7, mix_salt=11)
+
+    # ---- stage counts: junk dropped by curate, 201 deduped, 300/301
+    # contaminated
+    s = m["stages"]
+    assert s["input_docs"] == 49
+    assert s["curated_docs"] == 43          # -5 junk, -1 near-dup
+    assert s["contaminated_docs"] == 2
+
+    # ---- expected post-decontam id set
+    expect_ids = sorted(set(range(40)) | {200})
+    # per-doc predicted language for the mix-rate lookup (LangId's own
+    # correctness is pinned in test_textops; here it only names the group)
+    from pttcrawler_ray.textops.analysis import LangId
+
+    id2text = dict(zip(corpus["doc_id"].to_pylist(),
+                       corpus["text"].to_pylist()))
+    pred = LangId()(pa.table({
+        "doc_id": pa.array(expect_ids, pa.int64()),
+        "text": pa.array([id2text[i] for i in expect_ids]),
+    }))["pred_lang"].to_pylist()
+    # ---- recompute split + mix with the pure hash (the deterministic,
+    # coordination-free contract)
+    arr = np.array(expect_ids, np.uint64)
+    h = splitmix64(arr + np.uint64(7))
+    b_train = np.uint64(ppm_threshold(800_000))
+    b_val = np.uint64(ppm_threshold(900_000))
+    split = np.where(h < b_train, "train", np.where(h < b_val, "val", "test"))
+    hm = splitmix64(arr + np.uint64(11))
+    expect = {}
+    for did, sp, hmix, lang in zip(arr, split, hm, pred):
+        rate_thr = ppm_threshold(800_000) if lang == "en" else None
+        if sp == "train" and rate_thr is not None and \
+                not hmix <= np.uint64(max(rate_thr - 1, 0)):
+            continue  # mixed out of the train split
+        expect.setdefault(str(sp), set()).add(int(did))
+
+    for label in ratios:
+        got = pq.read_table(str(dest / "docs" / f"split={label}"))
+        assert set(got["doc_id"].to_pylist()) == expect.get(label, set()), label
+        assert set(got.column_names) == {"doc_id", "text", "quality",
+                                         "pred_lang"}
+        assert s[f"docs_{label}"] == len(expect.get(label, set()))
+
+    # ---- packing offsets vs the DuckDB window oracle over the WRITTEN
+    # train split (composition check: pack consumed exactly what was
+    # written)
+    import duckdb
+
+    from pttcrawler_ray.textops.packing import pack_sql
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW tr AS SELECT * FROM "
+                f"read_parquet('{dest}/docs/split=train/*.parquet')")
+    oracle = con.execute(
+        pack_sql("tr", seq_len=64) + " ORDER BY doc_id").fetch_arrow_table()
+    got = pq.read_table(str(dest / "pack_train")).sort_by("doc_id")
+    assert got.num_rows == oracle.num_rows == s["pack_rows"]
+    for col in ("doc_id", "n_tok", "tok_start", "start_example",
+                "start_offset", "end_example"):
+        assert got[col].to_pylist() == oracle[col].to_pylist(), col
+    total = con.execute(
+        "SELECT coalesce(sum(len(regexp_extract_all(text, '\\S+')) + 1), 0) "
+        "FROM tr").fetchone()[0]
+    assert s["train_tokens_with_eos"] == int(total)
+
+    # manifest round-trips from disk
+    on_disk = json.loads((dest / "manifest.json").read_text())
+    assert on_disk["stages"] == s
+
+
+def test_prepare_cli(ray_session, tmp_path):
+    """CLI subprocess smoke (own process = own Ray session)."""
+    import subprocess
+    import sys
+
+    corpus, marker = _mk_corpus()
+    src = tmp_path / "docs.parquet"
+    bsrc = tmp_path / "bench.parquet"
+    pq.write_table(corpus, src)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([9000], pa.int64()),
+        "text": pa.array([f"eval row with {marker} inside"])}), bsrc)
+    dest = tmp_path / "layout"
+    out = subprocess.run(
+        [sys.executable, "-m", "pttcrawler_ray", "prepare",
+         "--input", str(src), "--benchmark", str(bsrc), "--dest", str(dest),
+         "--threshold", "0.7", "--ratios", "train=0.9", "val=0.1",
+         "--seq-len", "128", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["input_docs"] == 49 and stats["contaminated_docs"] == 2
+    assert stats["docs_train"] + stats["docs_val"] == 41
+    assert (dest / "manifest.json").exists()
