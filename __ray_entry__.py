@@ -771,6 +771,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return decode_media(blobs, fake=True).select_columns(
             ["media_id", "kind", "width", "height", "channels"])
 
+    def multimodal_png(sf_dir):
+        """REAL pixel decode: deterministic PNG bytes per doc are
+        inflated + unfiltered by the stdlib codec (multimodal.decode_png)
+        and must reproduce the oracle's hash of the generated pixels."""
+        from pttcrawler_ray.multimodal import decode_media, make_png_blob
+
+        _ctx()
+        _ensure_docs_oracle(sf_dir)
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id"])
+        blobs = docs.map_batches(
+            lambda t: pa.table({
+                "media_id": t["doc_id"],
+                "payload": pa.array([make_png_blob(i)
+                                     for i in t["doc_id"].to_pylist()],
+                                    pa.binary()),
+            }), batch_format="pyarrow")
+        return decode_media(blobs, fake=False).select_columns(
+            ["media_id", "width", "height", "channels", "pixel_hash"])
+
     return {
         # --- SQL-checked relational operators over the testdata views -----
         "latest_event_per_user": R.latest_event_per_user,
@@ -825,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": knn_ivf_q,
         "knn_ivfpq": knn_ivfpq_q,
         "multimodal_decode": multimodal_decode,
+        "multimodal_png": multimodal_png,
         "curate_docs": curate_docs,
     }
 
@@ -1181,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_docs": _docs_oracle_select("simhash_pairs_docs"),
         "curate_docs": _docs_oracle_select("curate_docs"),
         "multimodal_decode": _docs_oracle_select("multimodal_decode"),
+        "multimodal_png": _docs_oracle_select("multimodal_png"),
         "knn_ivf": _docs_oracle_select("knn_ivf"),
         "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
     }

@@ -3,12 +3,22 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
 actor-pool ``map_batches`` stages with small batch sizes (large binary
-rows).  The actual codec libraries (Pillow/ffmpeg/torchaudio) are NOT in
-this container, so the codec call is STUBBED: ``DecodeMedia`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-clearly-marked deterministic fake decoder (header-parse of the synthetic
-``PTMM`` blob format) stands in.  Everything around the stub — schema,
-actor signature, batch sizing, output layout — is real and tested.
+rows).
+
+Codec coverage in this container:
+
+- **PNG is decoded for real** — :func:`decode_png` is a pure-stdlib
+  (zlib inflate + per-filter unfilter) pixel decoder for 8-bit
+  non-interlaced PNGs (gray / gray+alpha / RGB / RGBA), with
+  :func:`encode_png` as its fixture-side twin.  ``DecodeMedia`` (any
+  mode) recognises the PNG signature and returns real width / height /
+  channels / pixel_hash / byte-histogram features.
+- Every other container (JPEG/ffmpeg/torchaudio class) is STUBBED: the
+  libraries are not in this environment, so non-PNG payloads decode only
+  via the clearly-marked deterministic fake codec (``fake=True``,
+  header-parse of the synthetic ``PTMM`` blob format) and otherwise come
+  back as typed error rows.  Everything around the stub — schema, actor
+  signature, batch sizing, output layout — is real and tested.
 
 Synthetic blob format (``make_fake_blob``):
 ``b"PTMM" | u8 kind | u16 width | u16 height | u8 channels | payload``.
@@ -20,6 +30,8 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+
+from .util.hashing import hash_u64
 
 MEDIA = pa.schema(
     [
@@ -43,50 +55,232 @@ def make_fake_blob(media_id: int, kind: str = "image") -> bytes:
     return _MAGIC + struct.pack("<BHHB", _KINDS.index(kind), w, h, c) + payload
 
 
-class DecodeMedia:
-    """map_batches actor: payload → decoded metadata + feature vector.
+# ------------------------------------------------------------ real PNG codec
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → channel count (8-bit, non-palette types)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-    Real path: would hold the codec handle loaded once per actor.  In this
-    container that import is unavailable → NotImplementedError (stub),
-    unless constructed with fake=True (deterministic fake decoder).
+
+def decode_png(blob: bytes):
+    """Real PNG pixel decode, stdlib only (``zlib`` inflate + the five
+    scanline unfilters of the PNG spec §9): returns ``(width, height,
+    channels, pixels)`` with ``pixels`` an ``(h, w, channels)`` uint8
+    array.  Supports 8-bit non-interlaced gray / gray+alpha / RGB / RGBA
+    (color types 0/4/2/6); palette, 16-bit and Adam7 raise ``ValueError``
+    with a specific message.  Chunk CRCs are verified."""
+    import binascii
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = ct = None
+    idat = []
+    while pos + 12 <= len(blob):
+        (ln,) = struct.unpack(">I", blob[pos:pos + 4])
+        typ = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", blob[pos + 8 + ln:pos + 12 + ln])
+        if binascii.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch ({typ!r})")
+        if typ == b"IHDR":
+            w, h, depth, ct, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if ct not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {ct}")
+            if inter:
+                raise ValueError("interlaced (Adam7) PNG unsupported")
+            if comp or filt:
+                raise ValueError("nonstandard PNG compression/filter method")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = _PNG_CHANNELS[ct]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG decompressed length mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int32)
+    out = np.empty((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f, cur = int(filters[y]), rows[y]
+        if f == 0:
+            rec = cur
+        elif f == 1:   # Sub: modular prefix sum per channel lane
+            rec = (cur.reshape(w, ch).cumsum(axis=0) & 255).reshape(stride)
+        elif f == 2:   # Up
+            rec = (cur + prev) & 255
+        elif f == 3:   # Average — sequential in x (left depends on recon)
+            c2, pr = cur.reshape(w, ch), prev.reshape(w, ch)
+            r2 = np.empty((w, ch), np.int32)
+            left = np.zeros(ch, np.int32)
+            for x in range(w):
+                left = (c2[x] + ((left + pr[x]) >> 1)) & 255
+                r2[x] = left
+            rec = r2.reshape(stride)
+        elif f == 4:   # Paeth — sequential in x
+            c2, pr = cur.reshape(w, ch), prev.reshape(w, ch)
+            r2 = np.empty((w, ch), np.int32)
+            left = np.zeros(ch, np.int32)
+            ul = np.zeros(ch, np.int32)
+            for x in range(w):
+                p = left + pr[x] - ul
+                da, db = np.abs(p - left), np.abs(p - pr[x])
+                dc = np.abs(p - ul)
+                pred = np.where((da <= db) & (da <= dc), left,
+                                np.where(db <= dc, pr[x], ul))
+                left = (c2[x] + pred) & 255
+                r2[x] = left
+                ul = pr[x]
+            rec = r2.reshape(stride)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = out[y]
+    return int(w), int(h), ch, out.astype(np.uint8).reshape(h, w, ch)
+
+
+def encode_png(arr: "np.ndarray", filters: "list[int] | None" = None) -> bytes:
+    """Fixture-side PNG encoder (stdlib): ``(h, w[, channels])`` uint8 →
+    8-bit non-interlaced PNG bytes.  ``filters`` picks the per-row filter
+    type (default all 0) so tests can exercise every unfilter path of
+    :func:`decode_png`."""
+    import binascii
+    import zlib
+
+    arr = np.asarray(arr, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    rows = arr.reshape(h, w * ch).astype(np.int32)
+    filters = list(filters) if filters is not None else [0] * h
+    assert len(filters) == h
+    prev = np.zeros(w * ch, np.int32)
+    scan = []
+    for y in range(h):
+        cur, f = rows[y], filters[y]
+        c2 = cur.reshape(w, ch)
+        left = np.vstack([np.zeros((1, ch), np.int32), c2[:-1]])
+        up = prev.reshape(w, ch)
+        ul = np.vstack([np.zeros((1, ch), np.int32), up[:-1]])
+        if f == 0:
+            raw = cur
+        elif f == 1:
+            raw = (c2 - left).reshape(-1)
+        elif f == 2:
+            raw = cur - prev
+        elif f == 3:
+            raw = (c2 - ((left + up) >> 1)).reshape(-1)
+        elif f == 4:
+            p = left + up - ul
+            da, db, dc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((da <= db) & (da <= dc), left,
+                            np.where(db <= dc, up, ul))
+            raw = (c2 - pred).reshape(-1)
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        scan.append(bytes([f]) + (raw & 255).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data +
+                struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(scan)))
+            + chunk(b"IEND", b""))
+
+
+def make_png_pixels(media_id: int):
+    """Deterministic synthetic image (pure function of media_id):
+    ``(pixels[h,w,c] uint8, per-row filter types)``.  Covers all four
+    supported color types and all five scanline filters across ids."""
+    rng = np.random.default_rng(media_id ^ 0x504E47)  # 'PNG'
+    w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
+    ch = int(rng.choice([1, 2, 3, 4]))
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    filters = [int(f) for f in rng.integers(0, 5, size=h)]
+    return px, filters
+
+
+def make_png_blob(media_id: int) -> bytes:
+    """Real PNG bytes for the deterministic synthetic image."""
+    px, filters = make_png_pixels(media_id)
+    return encode_png(px, filters=filters)
+
+
+class DecodeMedia:
+    """map_batches actor: payload → decoded metadata + feature vector +
+    ``pixel_hash`` (64-bit hash of the decoded pixel bytes).
+
+    PNG payloads decode for REAL in every mode (:func:`decode_png`,
+    stdlib zlib).  The synthetic ``PTMM`` container decodes only with
+    ``fake=True`` (the clearly-marked deterministic fake codec); any
+    other container returns a typed error row naming the missing codec —
+    the libraries (Pillow/ffmpeg) are not in this environment.
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 16):
         self.feature_dim = feature_dim
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "media codecs (Pillow/ffmpeg) are not available in this "
-                "environment; construct DecodeMedia(fake=True) for the "
-                "deterministic fake decode path")
+
+    def _features(self, pixel_bytes: np.ndarray):
+        # bucketed byte histogram, L1-normalized (stands in for a model
+        # embedding; deterministic for the oracle)
+        hist = np.bincount(pixel_bytes // (256 // self.feature_dim),
+                           minlength=self.feature_dim)[: self.feature_dim]
+        return hist / max(1, hist.sum())
 
     def _decode_one(self, blob: bytes):
-        if blob[:4] != _MAGIC:
-            return None
-        kind_i, w, h, c = struct.unpack("<BHHB", blob[4:10])
-        payload = np.frombuffer(blob[10:], dtype=np.uint8)
-        # fake 'feature extraction': bucketed byte histogram, L1-normalized
-        hist = np.bincount(payload // (256 // self.feature_dim),
-                           minlength=self.feature_dim)[: self.feature_dim]
-        feat = hist / max(1, hist.sum())
-        return _KINDS[kind_i], w, h, c, feat
+        """(kind, w, h, c, feature, pixel_hash) or an error string."""
+        if blob[:8] == _PNG_SIG:
+            try:
+                w, h, c, px = decode_png(blob)
+            except ValueError as e:
+                return f"png decode failed: {e}"
+            flat = px.reshape(-1)
+            return ("image", w, h, c, self._features(flat),
+                    hash_u64(flat.tobytes()))
+        if blob[:4] == _MAGIC:
+            if not self.fake:
+                return ("codec unavailable for synthetic PTMM container "
+                        "(use fake=True)")
+            kind_i, w, h, c = struct.unpack("<BHHB", blob[4:10])
+            payload = np.frombuffer(blob[10:], dtype=np.uint8)
+            return (_KINDS[kind_i], w, h, c, self._features(payload),
+                    hash_u64(payload.tobytes()))
+        return "decode failed"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"media_id": [], "kind": [], "width": [], "height": [],
-               "channels": [], "feature": [], "error": []}
+               "channels": [], "feature": [], "pixel_hash": [], "error": []}
         for mid, blob in zip(batch["media_id"].to_pylist(),
                              batch["payload"].to_pylist()):
-            dec = self._decode_one(blob) if blob else None
+            dec = self._decode_one(blob) if blob else "decode failed"
             out["media_id"].append(mid)
-            if dec is None:
+            if isinstance(dec, str):
                 out["kind"].append(None); out["width"].append(None)
                 out["height"].append(None); out["channels"].append(None)
-                out["feature"].append(None); out["error"].append("decode failed")
+                out["feature"].append(None); out["pixel_hash"].append(None)
+                out["error"].append(dec)
             else:
-                kind, w, h, c, feat = dec
+                kind, w, h, c, feat, ph = dec
                 out["kind"].append(kind); out["width"].append(w)
                 out["height"].append(h); out["channels"].append(c)
                 out["feature"].append([float(x) for x in feat])
+                out["pixel_hash"].append(ph)
                 out["error"].append(None)
         return pa.table({
             "media_id": pa.array(out["media_id"], pa.int64()),
@@ -95,6 +289,7 @@ class DecodeMedia:
             "height": pa.array(out["height"], pa.int32()),
             "channels": pa.array(out["channels"], pa.int32()),
             "feature": pa.array(out["feature"], pa.list_(pa.float64())),
+            "pixel_hash": pa.array(out["pixel_hash"], pa.uint64()),
             "error": pa.array(out["error"], pa.string()),
         })
 

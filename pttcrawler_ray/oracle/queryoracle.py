@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 3
+ORACLE_VERSION = 4
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -559,6 +559,29 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "channels": pa.array(mm["channels"], pa.int32()),
     })
 
+    # --- multimodal_png: dims + pixel hash straight from the GENERATED
+    # pixel array (no encode/decode round-trip on the oracle side — the
+    # engine must inflate + unfilter the real PNG bytes to match)
+    from ..multimodal import make_png_pixels
+    from ..util.hashing import hash_u64
+
+    mp = {"media_id": [], "width": [], "height": [], "channels": [],
+          "pixel_hash": []}
+    for i in ids:
+        px, _filters = make_png_pixels(i)
+        mp["media_id"].append(i)
+        mp["height"].append(px.shape[0])
+        mp["width"].append(px.shape[1])
+        mp["channels"].append(px.shape[2])
+        mp["pixel_hash"].append(hash_u64(px.reshape(-1).tobytes()))
+    multimodal_png = pa.table({
+        "media_id": pa.array(mp["media_id"], pa.int64()),
+        "width": pa.array(mp["width"], pa.int32()),
+        "height": pa.array(mp["height"], pa.int32()),
+        "channels": pa.array(mp["channels"], pa.int32()),
+        "pixel_hash": pa.array(mp["pixel_hash"], pa.uint64()),
+    })
+
     # --- knn_ivf: sequential single-process run of the same algorithm -------
     emb_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
@@ -650,6 +673,7 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "simhash_pairs_docs": simhash_pairs,
         "curate_docs": curate,
         "multimodal_decode": multimodal,
+        "multimodal_png": multimodal_png,
         "knn_ivf": knn_ivf,
         "knn_ivfpq": knn_ivfpq,
     }

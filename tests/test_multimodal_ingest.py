@@ -8,6 +8,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+import ray
 import ray.data as rd
 
 
@@ -24,7 +25,7 @@ def test_resize_media(ray_session):
     assert len(ok) == 12 and out[out["media_id"] == 99]["error"].iloc[0] == "resize failed"
     # resized blobs are themselves decodable at the new dimensions
     dec = DecodeMedia(fake=True)
-    k, w, h, c, _ = dec._decode_one(ok.iloc[0]["payload"])
+    k, w, h, c, _, _ph = dec._decode_one(ok.iloc[0]["payload"])
     assert (w, h, c) == (8, 6, 3)
 
 
@@ -41,7 +42,7 @@ def test_frame_sample(ray_session):
     per = out.groupby("media_id")["frame_no"].apply(list)
     assert all(frames == sorted(frames) for frames in per)
     dec = DecodeMedia(fake=True)
-    kind, w, h, c, _ = dec._decode_one(out.iloc[0]["payload"])
+    kind, w, h, c, _, _ph = dec._decode_one(out.iloc[0]["payload"])
     assert kind == "image" and c == 3  # frames decode as images
 
 
@@ -85,3 +86,108 @@ def test_ingest_pages_jsonl(ray_session, tmp_path):
                                              got["fetch_ok"].to_pylist())}
     assert by_url[url] == (src_tbl["html"][0].as_py(), True)
     assert by_url["https://nope.example/x"] == (None, False)  # 404 path
+
+
+def test_decode_png_hand_built():
+    """A PNG assembled byte-by-byte in the test (no encoder involved):
+    2x2 RGB, filter 0 rows — decode must return the exact pixels."""
+    import struct
+    import zlib
+    from binascii import crc32
+
+    from pttcrawler_ray.multimodal import decode_png
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    raw = b""
+    for row in px:
+        raw += b"\x00" + b"".join(bytes(p) for p in row)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", crc32(typ + data) & 0xFFFFFFFF))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    w, h, c, arr = decode_png(blob)
+    assert (w, h, c) == (2, 2, 3)
+    assert arr.tolist() == [[[255, 0, 0], [0, 255, 0]],
+                            [[0, 0, 255], [255, 255, 255]]]
+
+
+def test_decode_png_all_filters_and_color_types():
+    """Round-trip through every scanline filter (0..4) and every
+    supported color type (gray / gray+alpha / RGB / RGBA)."""
+    import numpy as np
+
+    from pttcrawler_ray.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(11, 7, ch), dtype=np.uint8)
+        for filters in ([0] * 11, [1] * 11, [2] * 11, [3] * 11, [4] * 11,
+                        [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 3]):
+            blob = encode_png(img, filters=filters)
+            w, h, c, arr = decode_png(blob)
+            assert (w, h, c) == (7, 11, ch)
+            np.testing.assert_array_equal(arr, img), (ch, filters)
+
+
+def test_decode_png_rejects_bad_input():
+    import struct
+    import zlib
+    from binascii import crc32
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pttcrawler_ray.multimodal import decode_png, encode_png
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JUNKJUNKJUNK")
+    # corrupt a CRC byte
+    blob = bytearray(encode_png(np.zeros((3, 3, 3), np.uint8)))
+    blob[20] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC|bit depth|color type"):
+        decode_png(bytes(blob))
+
+    # palette color type rejected with a specific message
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", crc32(typ + data) & 0xFFFFFFFF))
+
+    pal = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+           + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="color type"):
+        decode_png(pal)
+
+
+def test_decode_media_real_png(ray_session):
+    """decode_media(fake=False): real PNG pixels drive width/height/
+    channels/pixel_hash/features; non-PNG containers error out."""
+    import numpy as np
+
+    from pttcrawler_ray.multimodal import decode_media, encode_png
+    from pttcrawler_ray.util.hashing import hash_u64
+
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, size=(6 + i, 5, 3), dtype=np.uint8)
+            for i in range(4)}
+    rows = [{"media_id": i, "payload": encode_png(img, filters=[4] * len(img))}
+            for i, img in imgs.items()]
+    rows.append({"media_id": 9, "payload": b"\x89PNG\r\n\x1a\nbroken"})
+    # read back as Arrow: a nullable uint64 pixel_hash would round-trip
+    # through pandas as float64 and lose low bits
+    tbl = pa.concat_tables(
+        ray.get(decode_media(rd.from_items(rows), fake=False).to_arrow_refs()))
+    by_id = {r["media_id"]: r for r in tbl.to_pylist()}
+    for i, img in imgs.items():
+        r = by_id[i]
+        assert (r["kind"], r["width"], r["height"], r["channels"]) == \
+            ("image", 5, 6 + i, 3)
+        assert r["pixel_hash"] == hash_u64(img.reshape(-1).tobytes())
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9
+    assert by_id[9]["error"].startswith("png decode failed")

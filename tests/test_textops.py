@@ -201,10 +201,17 @@ def test_knn_ivf_recall(embs):
 
 
 def test_multimodal_stub(ray_session):
-    from pttcrawler_ray.multimodal import DecodeMedia, decode_media, make_fake_blob
+    from pttcrawler_ray.multimodal import ResizeMedia, decode_media, make_fake_blob
 
     with pytest.raises(NotImplementedError):
-        DecodeMedia(fake=False)  # real codecs absent → clearly-marked stub
+        ResizeMedia(4, 4, fake=False)  # real codecs absent → marked stub
+
+    # fake containers in real mode come back as typed error rows, never
+    # silently fake-decoded
+    strict = decode_media(
+        rd.from_items([{"media_id": 1, "payload": make_fake_blob(1)}]),
+        fake=False).to_pandas()
+    assert strict["error"].iloc[0].startswith("codec unavailable")
 
     rows = [{"media_id": i, "payload": make_fake_blob(i)} for i in range(20)]
     rows.append({"media_id": 99, "payload": b"garbage-not-a-blob"})
