@@ -28,18 +28,75 @@ from .crawl import latest_articles
 
 _ASN_FIELDS = ("asn", "asn_cidr", "asn_country_code", "asn_registry",
                "asn_description", "asn_date")
+_ASN_VALUE_FIELDS = [(k, pa.timestamp("us") if k == "asn_date" else pa.string())
+                     for k in _ASN_FIELDS]
+
+# above this many distinct ips the IpAsn dim stops being a ray.put
+# broadcast dict (driver + every-worker memory) and the lookup becomes
+# the exact bucketed join — the K2 adaptive-plan pattern.  The reference
+# crawls ONE site (bounded ip universe, broadcast always wins there); a
+# generic 100× web crawl has an unbounded ip dim.
+_BCAST_IP_DIM_MAX = 200_000
 
 
-def build_ip_asn_map(out_dir: str, corpus_dir: str) -> dict[str, dict]:
-    """The IpAsn dimension as a broadcastable dict (small side)."""
+def build_ip_asn_dim(out_dir: str, corpus_dir: str) -> "rd.Dataset":
+    """The IpAsn dimension as a (materialized) Dataset."""
     latest = latest_articles(out_dir)
     pushes = latest.map_batches(explode_pushes_batch, batch_format="pyarrow")
-    dim = enrich_ips(distinct_ips(latest, pushes),
-                     os.path.join(corpus_dir, "asn_db.parquet"))
+    return enrich_ips(distinct_ips(latest, pushes),
+                      os.path.join(corpus_dir, "asn_db.parquet")).materialize()
+
+
+def build_ip_asn_map(out_dir: str, corpus_dir: str,
+                     dim_ds: "rd.Dataset | None" = None) -> dict[str, dict]:
+    """The IpAsn dimension as a broadcastable dict (small-side plan)."""
+    dim = dim_ds if dim_ds is not None else build_ip_asn_dim(out_dir, corpus_dir)
     out = {}
     for row in dim.to_pandas().to_dict("records"):
         out[row["ip"]] = row
     return out
+
+
+def resolve_asn_plan(out_dir: str, corpus_dir: str, ip_asn=None,
+                     plan: str = "auto"):
+    """Pick the IpAsn lookup plan: ``('broadcast', dict)`` below
+    ``_BCAST_IP_DIM_MAX`` distinct ips, ``('distributed', dim Dataset)``
+    above.  ``ip_asn`` may be a prebuilt dict (forces broadcast — the
+    reference shape), a dim Dataset, or an already-resolved tuple."""
+    if isinstance(ip_asn, tuple) and len(ip_asn) == 2:
+        return ip_asn
+    if isinstance(ip_asn, dict):
+        return ("broadcast", ip_asn)
+    dim = ip_asn if ip_asn is not None else build_ip_asn_dim(out_dir, corpus_dir)
+    if plan == "auto":
+        plan = ("broadcast" if dim.count() <= _BCAST_IP_DIM_MAX
+                else "distributed")
+    if plan == "broadcast":
+        return ("broadcast", build_ip_asn_map(out_dir, corpus_dir, dim_ds=dim))
+    return ("distributed", dim)
+
+
+def _asn_stage(ds: "rd.Dataset", ip_col: str, resolved) -> "rd.Dataset":
+    """Append the six asn columns by ``ip_col`` under the resolved plan.
+    The distributed path materializes the (already projected, flat) data
+    side once to declare its carry schema, then runs the exact bucketed
+    dim join — per-task memory is one bucket of each side.  Row order is
+    NOT preserved by the distributed plan; callers re-sort."""
+    kind, obj = resolved
+    if kind == "broadcast":
+        ref = ray.put(obj)
+        return ds.map_batches(
+            _AsnLookup, fn_constructor_kwargs={"ip_asn_ref": ref,
+                                               "ip_col": ip_col},
+            batch_format="pyarrow", concurrency=(1, 2))
+    from ..util.rayops import bucketed_dim_join, scale_parts
+
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+    carry = [(f.name, f.type) for f in ds.schema().base_schema]
+    n_buckets = scale_parts(max(ds.count(), obj.count()), floor=16,
+                            target_rows=100_000)
+    return bucketed_dim_join(ds, obj, ip_col, "ip", _ASN_VALUE_FIELDS,
+                             carry, n_buckets)
 
 
 class _AsnLookup:
@@ -82,14 +139,21 @@ class _AsnLookup:
         return out
 
 
-def export_articles(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "rd.Dataset":
-    """The Article sheet (reference export.py:62-85), post_datetime-ordered."""
-    ip_asn = ip_asn if ip_asn is not None else build_ip_asn_map(out_dir, corpus_dir)
-    ref = ray.put(ip_asn)
+_ARTICLE_SHEET_COLS = ["web_id", "board", "author", "title", "content",
+                       "post_ip", "asn", "asn_date", "asn_registry",
+                       "asn_cidr", "asn_country_code", "asn_description",
+                       "post_datetime", "last_modified_time"]
+
+
+def export_articles(out_dir: str, corpus_dir: str, ip_asn=None,
+                    plan: str = "auto") -> "rd.Dataset":
+    """The Article sheet (reference export.py:62-85), post_datetime-ordered.
+    The flat projection runs BEFORE the asn lookup so the distributed
+    plan's join only ever shuffles sheet columns (never the nested
+    messages payload)."""
+    resolved = resolve_asn_plan(out_dir, corpus_dir, ip_asn, plan)
     ds = latest_articles(out_dir)
     ds = ds.map_batches(normalize_articles_batch, batch_format="pyarrow")
-    ds = ds.map_batches(_AsnLookup, fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "ip"},
-                        batch_format="pyarrow", concurrency=(1, 2))
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -99,38 +163,47 @@ def export_articles(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -
             "title": t["article_title"],
             "content": t["content"],
             "post_ip": t["ip"],
-            "asn": t["asn"],
-            "asn_date": t["asn_date"],
-            "asn_registry": t["asn_registry"],
-            "asn_cidr": t["asn_cidr"],
-            "asn_country_code": t["asn_country_code"],
-            "asn_description": t["asn_description"],
             "post_datetime": t["post_datetime"],
             "last_modified_time": t["warc_ts"],
         })
 
-    return sort_nullable_ts(ds.map_batches(project, batch_format="pyarrow"),
+    ds = _asn_stage(ds.map_batches(project, batch_format="pyarrow"),
+                    "post_ip", resolved)
+    return sort_nullable_ts(ds.select_columns(_ARTICLE_SHEET_COLS),
                             "post_datetime")
 
 
-def export_pushes(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "rd.Dataset":
-    """The Push sheet (reference export.py:87-109): latest version's pushes."""
-    ip_asn = ip_asn if ip_asn is not None else build_ip_asn_map(out_dir, corpus_dir)
-    ref = ray.put(ip_asn)
+def export_pushes(out_dir: str, corpus_dir: str, ip_asn=None,
+                  plan: str = "auto") -> "rd.Dataset":
+    """The Push sheet (reference export.py:87-109): latest version's pushes.
+    Projection runs before the asn lookup (narrow join payload under the
+    distributed plan)."""
+    resolved = resolve_asn_plan(out_dir, corpus_dir, ip_asn, plan)
     ds = latest_articles(out_dir)
     ds = ds.map_batches(explode_pushes_batch, batch_format="pyarrow")
-    ds = ds.map_batches(_AsnLookup,
-                        fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "push_ip"},
-                        batch_format="pyarrow", concurrency=(1, 2))
 
-    def project(t: pa.Table) -> pa.Table:
-        # '%m/%d %H:%M:%S' re-format (reference export.py:101-105)
-        dt = pc.strftime(t["push_datetime"], format="%m/%d %H:%M:%S")
+    def pre(t: pa.Table) -> pa.Table:
         return pa.table({
             "article_web_id": t["article_id"],
             "username": t["push_userid"],
             "tag": t["push_tag"],
             "content": t["push_content"],
+            "floor": t["floor"],
+            "push_ip": t["push_ip"],
+            "push_datetime": t["push_datetime"],
+        })
+
+    ds = _asn_stage(ds.map_batches(pre, batch_format="pyarrow"),
+                    "push_ip", resolved)
+
+    def project(t: pa.Table) -> pa.Table:
+        # '%m/%d %H:%M:%S' re-format (reference export.py:101-105)
+        dt = pc.strftime(t["push_datetime"], format="%m/%d %H:%M:%S")
+        return pa.table({
+            "article_web_id": t["article_web_id"],
+            "username": t["username"],
+            "tag": t["tag"],
+            "content": t["content"],
             "floor": t["floor"],
             "push_ip": t["push_ip"],
             "asn": t["asn"],
@@ -181,42 +254,84 @@ class _ApplyLastRecord:
                             "last_login_ip", ip_col)
 
 
-def export_users(out_dir: str, corpus_dir: str, ip_asn: dict | None = None) -> "rd.Dataset":
+def export_users(out_dir: str, corpus_dir: str, ip_asn=None,
+                 plan: str = "auto") -> "rd.Dataset":
     """The User sheet (reference export.py:111-126).
 
     last_login fields come from the append-only login-record fact's argmax
     (UserLastRecord, reference export.py:111-113) when the user has records,
     falling back to the screen snapshot — the reference reads
     ``user.last_records[0]``; the fixture's newest record mirrors the
-    screen's login datetime, so the sources agree where both exist."""
+    screen's login datetime, so the sources agree where both exist.
+    Under ``plan='distributed'`` both dims (last records, IpAsn) apply as
+    exact bucketed joins and the O6 scan order is re-established by a
+    final sort."""
     from .users import user_last_records, users_dataset
 
-    ip_asn = ip_asn if ip_asn is not None else build_ip_asn_map(out_dir, corpus_dir)
-    ref = ray.put(ip_asn)
-    # small dim: broadcast the per-user argmax record as a dict
-    last = {}
-    for b in user_last_records(corpus_dir).iter_batches(batch_format="pyarrow",
-                                                        batch_size=8192):
-        for u, dt, ip in zip(b["username"].to_pylist(),
-                             b["last_login_datetime"].to_pylist(),
-                             b["last_login_ip"].to_pylist()):
-            last[u] = (dt, ip)
-    last_ref = ray.put(last)
-
+    resolved = resolve_asn_plan(out_dir, corpus_dir, ip_asn, plan)
     ds = users_dataset(corpus_dir)
     ds = ds.map_batches(lambda t: t.filter(pc.is_null(t["error"])), batch_format="pyarrow")
-    ds = ds.map_batches(_ApplyLastRecord,
-                        fn_constructor_kwargs={"last_ref": last_ref},
-                        batch_format="pyarrow", concurrency=(1, 2))
-    ds = ds.map_batches(_AsnLookup,
-                        fn_constructor_kwargs={"ip_asn_ref": ref, "ip_col": "last_login_ip"},
-                        batch_format="pyarrow", concurrency=(1, 2))
-    return ds.select_columns([
+
+    if resolved[0] == "broadcast":
+        # small dim: broadcast the per-user argmax record as a dict
+        last = {}
+        for b in user_last_records(corpus_dir).iter_batches(
+                batch_format="pyarrow", batch_size=8192):
+            for u, dt, ip in zip(b["username"].to_pylist(),
+                                 b["last_login_datetime"].to_pylist(),
+                                 b["last_login_ip"].to_pylist()):
+                last[u] = (dt, ip)
+        last_ref = ray.put(last)
+        ds = ds.map_batches(_ApplyLastRecord,
+                            fn_constructor_kwargs={"last_ref": last_ref},
+                            batch_format="pyarrow", concurrency=(1, 2))
+    else:
+        from ..util.rayops import bucketed_dim_join, scale_parts
+
+        lr = user_last_records(corpus_dir).map_batches(
+            lambda t: pa.table({"username": t["username"],
+                                "__lr_dt": t["last_login_datetime"],
+                                "__lr_ip": t["last_login_ip"],
+                                "__lr_hit": pa.array([1] * t.num_rows,
+                                                     pa.int8())}),
+            batch_format="pyarrow").materialize()
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+        carry = [(f.name, f.type) for f in ds.schema().base_schema]
+        n_buckets = scale_parts(max(ds.count(), lr.count()), floor=16,
+                                target_rows=100_000)
+        ds = bucketed_dim_join(
+            ds, lr, "username", "username",
+            [("__lr_dt", pa.timestamp("us")), ("__lr_ip", pa.string()),
+             ("__lr_hit", pa.int8())],
+            carry, n_buckets)
+
+        def overwrite(t: pa.Table) -> pa.Table:
+            # one hit mask for BOTH fields (broadcast-plan parity: a
+            # matched record overwrites even with null values)
+            hit = pc.is_valid(t["__lr_hit"])
+            dt_col = pc.if_else(hit, t["__lr_dt"],
+                                t["last_login_datetime"].cast(pa.timestamp("us")))
+            ip_col = pc.if_else(hit, t["__lr_ip"],
+                                t["last_login_ip"].cast(pa.string()))
+            t = t.set_column(t.column_names.index("last_login_datetime"),
+                             "last_login_datetime", dt_col)
+            t = t.set_column(t.column_names.index("last_login_ip"),
+                             "last_login_ip", ip_col)
+            return t.drop_columns(["__lr_dt", "__lr_ip", "__lr_hit"])
+
+        ds = ds.map_batches(overwrite, batch_format="pyarrow")
+
+    ds = _asn_stage(ds, "last_login_ip", resolved)
+    ds = ds.select_columns([
         "username", "login_times", "valid_article_count",
         "last_login_datetime", "last_login_ip",
         "asn", "asn_date", "asn_registry", "asn_cidr",
         "asn_country_code", "asn_description",
     ])
+    if resolved[0] != "broadcast":
+        # bucketed joins do not preserve order; restore the O6 scan order
+        ds = sort_nullable_ts(ds, "login_times", extra_cols=["username"])
+    return ds
 
 
 def write_page_json(out_dir: str, dest: str, prefix: str = "") -> int:
@@ -258,7 +373,8 @@ def write_page_json(out_dir: str, dest: str, prefix: str = "") -> int:
     return written.count()
 
 
-def export_run(out_dir: str, corpus_dir: str, dest: str, fmt: str = "csv") -> dict:
+def export_run(out_dir: str, corpus_dir: str, dest: str, fmt: str = "csv",
+               plan: str = "auto") -> dict:
     """Write all three sheets; returns row counts (K4 sink).
 
     ``fmt='ods'`` writes ONE ``Ptt_report_<date>.ods`` with Article/Push/
@@ -266,14 +382,15 @@ def export_run(out_dir: str, corpus_dir: str, dest: str, fmt: str = "csv") -> di
     then data, numbers typed float, everything else string) via the
     stdlib ODF writer in :mod:`.ods`.  ods is the driver-side report
     format like the reference's; csv/json remain the distributed sinks.
+    ``plan`` picks the IpAsn lookup plan (resolved ONCE for all sheets).
     """
-    ip_asn = build_ip_asn_map(out_dir, corpus_dir)
+    resolved = resolve_asn_plan(out_dir, corpus_dir, plan=plan)
     counts = {}
     ods_sheets: dict[str, list[list]] = {}
     for name, ds in (
-        ("article", export_articles(out_dir, corpus_dir, ip_asn)),
-        ("push", export_pushes(out_dir, corpus_dir, ip_asn)),
-        ("user", export_users(out_dir, corpus_dir, ip_asn)),
+        ("article", export_articles(out_dir, corpus_dir, resolved)),
+        ("push", export_pushes(out_dir, corpus_dir, resolved)),
+        ("user", export_users(out_dir, corpus_dir, resolved)),
     ):
         # materialize once: write + count would otherwise each execute the
         # full lazy pipeline (dedupe shuffle + lookups) from scratch

@@ -553,6 +553,75 @@ def bucketed_lookup_join(data, lookup_ds, data_key: str, lookup_key: str,
                                                   batch_format="pyarrow")
 
 
+def bucketed_dim_join(data, dim_ds, data_key: str, dim_key: str,
+                      value_fields: list, carry: list, n_buckets: int):
+    """Tagged-union bucketed lookup join on an ARBITRARY-typed key
+    (string keys like ips/usernames match EXACTLY inside each bucket —
+    no integer-hash collision on the value path).  Appends every
+    ``(name, type)`` in ``value_fields`` from the ``dim_ds`` row whose
+    ``dim_key`` equals the data row's ``data_key`` (null when absent, or
+    when the data key is null).  Duplicate dim keys: last occurrence
+    wins (the dict-build semantics of the broadcast plan this replaces).
+    ``carry`` declares the data-side (column, type) pairs to keep —
+    declared, not inferred, so the data pipeline stays lazy.
+
+    This is the at-scale alternative to a ``ray.put`` broadcast dim
+    (pipelines/export._AsnLookup): per-task memory = one bucket of each
+    side instead of the whole dim on every worker and the driver."""
+    import numpy as np
+
+    _check_carry(list(carry) + list(value_fields))
+
+    def tag(t: pa.Table, *, src: str, tagv: int) -> pa.Table:
+        cols = {
+            "__jn_bucket": _key_hash_col(t[src], n_buckets),
+            "__jn_tag": pa.array(np.full(t.num_rows, tagv, np.int8), pa.int8()),
+            "__jn_jk": t[src],
+        }
+        for c, typ in carry:
+            cols[c] = t[c] if tagv == 0 else pa.nulls(t.num_rows, typ)
+        for c, typ in value_fields:
+            cols[c] = (t[c].cast(typ) if tagv == 1
+                       else pa.nulls(t.num_rows, typ))
+        return pa.table(cols)
+
+    both = data.map_batches(lambda t: tag(t, src=data_key, tagv=0),
+                            batch_format="pyarrow") \
+        .union(dim_ds.map_batches(lambda t: tag(t, src=dim_key, tagv=1),
+                                  batch_format="pyarrow"))
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        tags = g["__jn_tag"].to_numpy(zero_copy_only=False)
+        dimr = g.filter(pa.array(tags == 1))
+        dimr = dimr.filter(pc.is_valid(dimr["__jn_jk"]))
+        d = g.filter(pa.array(tags == 0))
+        cols = {c: d[c] for c, _ in carry}
+        n_dim = dimr.num_rows
+        if n_dim == 0:
+            for c, typ in value_fields:
+                cols[c] = pa.nulls(d.num_rows, typ)
+            return pa.table(cols)
+        # exact match via a pandas Index (the broadcast plan's machinery,
+        # scoped to one bucket); duplicated dim keys keep the LAST row
+        ser = pd.Series(np.arange(n_dim),
+                        index=pd.Index(dimr["__jn_jk"].to_pylist()))
+        ser = ser[~ser.index.duplicated(keep="last")]
+        pos = ser.index.get_indexer(d["__jn_jk"].to_pylist())
+        dim_pos = ser.to_numpy()
+        take = pa.array(np.where(pos >= 0, dim_pos[np.maximum(pos, 0)],
+                                 n_dim), pa.int64())
+        for c, typ in value_fields:
+            vals_ext = pa.concat_arrays(
+                [dimr[c].combine_chunks().cast(typ), pa.nulls(1, typ)])
+            cols[c] = vals_ext.take(take)
+        return pa.table(cols)
+
+    return both.groupby("__jn_bucket").map_groups(join_bucket,
+                                                  batch_format="pyarrow")
+
+
 # ------------------------------------------------- payload-light top-k
 # grouped_topk shuffles FULL rows to their key partition; over a store of
 # KB-wide rows (article payloads) that is versions/keep times the output

@@ -311,3 +311,34 @@ def test_schedule_crontab_text():
     from pttcrawler_ray.pipelines.schedule import module_command
 
     assert module_command("crawl", "").startswith(sys.executable)
+
+
+def test_export_asn_plans_parity(crawled):
+    """The broadcast IpAsn dict and the exact bucketed dim join must
+    produce identical sheets (the K2-style adaptive-plan guarantee for
+    the export/report dim lookups)."""
+    import pandas as pd
+
+    from pttcrawler_ray.pipelines.export import (export_articles,
+                                                 export_pushes, export_users)
+
+    d, out, golden = crawled
+
+    def canon(df, keys):
+        df = df[sorted(df.columns)]
+        return df.sort_values(keys).reset_index(drop=True)
+
+    for fn, keys in ((export_articles, ["web_id"]),
+                     (export_pushes, ["article_web_id", "floor"]),
+                     (export_users, ["username"])):
+        a = canon(fn(out, d, plan="broadcast").to_pandas(), keys)
+        b = canon(fn(out, d, plan="distributed").to_pandas(), keys)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      obj=fn.__name__)
+    # article/user order contracts hold under the distributed plan too
+    arts = export_articles(out, d, plan="distributed").to_pandas()
+    dts = arts["post_datetime"].dropna().tolist()
+    assert dts == sorted(dts)
+    users = export_users(out, d, plan="distributed").to_pandas()
+    lt = users["login_times"].dropna().tolist()
+    assert lt == sorted(lt)
