@@ -182,14 +182,21 @@ def main(argv=None):
                         "benchmark decontamination over a (doc_id, text) "
                         "parquet")
     cs.add_argument("--input", required=True, help="documents parquet file/dir")
-    cs.add_argument("--top-k", type=int, default=50)
+    cs.add_argument("--top-k", type=int, default=None,
+                    help="top-K gram count (default 50; the full-corpus "
+                         "count+shuffle is SKIPPED when only "
+                         "--repetition-dest/--benchmark outputs are asked "
+                         "for and --top-k is not given explicitly)")
     cs.add_argument("--ngram", type=int, default=1,
                     help="gram width for the top-K count (1=vocab, 2=bigrams)")
     cs.add_argument("--repetition-dest",
                     help="write per-doc repetition scores parquet here")
     cs.add_argument("--benchmark",
                     help="held-out benchmark (doc_id, text) parquet; reports "
-                         "corpus docs sharing a word n-gram with it")
+                         "corpus docs sharing a word n-gram with it.  "
+                         "Benchmark rows also present in --input will "
+                         "self-report as contaminated — exclude eval doc "
+                         "ids from --input if that is not wanted")
     cs.add_argument("--decontam-ngram", type=int, default=5)
     cs.add_argument("--num-cpus", type=int, default=None)
 
@@ -360,15 +367,22 @@ def main(argv=None):
                               if not isinstance(v, list)},
                     "neighbors": out}))
         elif args.cmd == "corpus-stats":
-            from .textops.vocab import vocab_topk
             from .util.rayops import read_parquet_clean
 
-            top = vocab_topk(read_parquet_clean(args.input),
-                             k=args.top_k, n=args.ngram)
-            out = {"ngram": args.ngram,
-                   "top_grams": [[g, int(c)] for g, c in
-                                 zip(top["gram"].to_pylist(),
-                                     top["n"].to_pylist())]}
+            # run the (full-corpus count+shuffle) top-K pass only when
+            # asked for: explicitly via --top-k, or implicitly when no
+            # other output was requested
+            want_top = (args.top_k is not None
+                        or not (args.repetition_dest or args.benchmark))
+            out = {"ngram": args.ngram}
+            if want_top:
+                from .textops.vocab import vocab_topk
+
+                top = vocab_topk(read_parquet_clean(args.input),
+                                 k=args.top_k or 50, n=args.ngram)
+                out["top_grams"] = [[g, int(c)] for g, c in
+                                    zip(top["gram"].to_pylist(),
+                                        top["n"].to_pylist())]
             if args.repetition_dest:
                 import shutil
 

@@ -89,17 +89,19 @@ class _SnapshotIndex:
             out = np.full(len(h), -1, dtype=np.int64)
             out[found] = self.rows[pos_c[found]]
             return out
-        # as-of: newest snapshot with warc_ts <= asof (404 if none yet)
+        # as-of: newest snapshot with warc_ts <= asof (404 if none yet).
+        # Vectorized: asof is ONE scalar per call, so "elements <= asof
+        # inside [lo, hi)" is a prefix-sum range count over the whole
+        # sorted view (ts ascending within each hash run) — two
+        # searchsorteds + one cumsum, no per-row Python.
         lo = np.searchsorted(self.hashes_full, h, side="left")
         hi = np.searchsorted(self.hashes_full, h, side="right")
+        prefix = np.zeros(len(self.ts_full) + 1, np.int64)
+        np.cumsum(self.ts_full <= asof_i64, out=prefix[1:])
+        cnt = prefix[hi] - prefix[lo]
         out = np.full(len(h), -1, dtype=np.int64)
-        for i in range(len(h)):
-            if lo[i] == hi[i]:
-                continue
-            sub = self.ts_full[lo[i]:hi[i]]
-            j = int(np.searchsorted(sub, asof_i64, side="right")) - 1
-            if j >= 0:
-                out[i] = self.rows_full[lo[i] + j]
+        found = cnt > 0
+        out[found] = self.rows_full[lo[found] + cnt[found] - 1]
         return out
 
 

@@ -58,7 +58,15 @@ def benchmark_ngram_hashes(bench_ds, n: int = 5,
                            text_col: str = "text") -> np.ndarray:
     """Sorted unique gram hashes of the benchmark set.  Driver memory is
     bounded by the BENCHMARK's distinct grams (the small side), not the
-    corpus."""
+    corpus.
+
+    "Small by definition" holds for real eval suites (MBs at 100-TB
+    corpus scale) but NOT automatically for a caller-supplied slice: the
+    bench entry ``decontaminate_docs`` uses a ``doc_id % 29 == 0`` slice
+    (~1/29 of the corpus), so ITS broadcast side grows linearly with sf
+    (0.37 GB driver RSS at the 1M-doc soak).  If a corpus-proportional
+    benchmark side is ever the real workload, spill this sorted array to
+    parquet and probe per partition instead of broadcasting."""
     import ray
 
     parts = bench_ds.map_batches(_bench_grams_batch,
