@@ -115,6 +115,13 @@ class CrawlConfig:
     # engine unless a prebuilt shared index was passed; shared for rayds
     # (map_batches pools cannot route batches to specific actors).
     fetch: str = "auto"
+    # live-HTTP fetch: kwargs for sources/http.FetchHttp (headers, timeout,
+    # retries, rewrite, ...).  When set, the fetch stage GETs each url over
+    # HTTP with the reference's cookie-carry/timeout semantics instead of
+    # the parquet snapshot lookup; asof_ts does not apply (a live fetch IS
+    # the newest snapshot).  Everything else — frontier, politeness,
+    # ordering, parsing, sinks — is unchanged.
+    http: dict | None = None
 
 
 class ProcessPages:
@@ -268,9 +275,15 @@ class CrawlWorker:
 
     def __init__(self, corpus_dir: str, shard_handles: list, num_shards: int,
                  split: dict, index: dict | None = None, asof_ts=None,
-                 start_date=None, force: bool = False):
-        self.fetch = FetchPages(corpus_dir=None if index else corpus_dir,
-                                index=index, asof_ts=asof_ts)
+                 start_date=None, force: bool = False,
+                 http_cfg: dict | None = None):
+        if http_cfg is not None:
+            from ..sources.http import FetchHttp
+
+            self.fetch = FetchHttp(**http_cfg)
+        else:
+            self.fetch = FetchPages(corpus_dir=None if index else corpus_dir,
+                                    index=index, asof_ts=asof_ts)
         self.process = ProcessPages(shard_handles, num_shards, split,
                                     start_date=start_date, force=force)
 
@@ -386,7 +399,9 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
     if engine == "auto":
         engine = "actors" if cfg.strict_order else "rayds"
     fetch_mode = cfg.fetch
-    if fetch_mode == "auto":
+    if cfg.http is not None:
+        fetch_mode = "http"  # live transport: no snapshot store to route
+    elif fetch_mode == "auto":
         # bucket-routed is the scale default; a prebuilt shared index (or
         # the rayds engine, whose map_batches pool cannot route batches to
         # specific actors) selects the shared-index fast path
@@ -467,9 +482,14 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
             # a stale checkpoint from a prior run must not be resumable into
             # this fresh run's partitions (mixed-run corruption)
             shutil.rmtree(ckpt_dir, ignore_errors=True)
-        seed_fetch = (FetchPages(index=shared_index, asof_ts=cfg.asof_ts)
-                      if fetch_mode == "shared"
-                      else FetchPages(corpus_dir=corpus_dir, asof_ts=cfg.asof_ts))
+        if fetch_mode == "http":
+            from ..sources.http import FetchHttp
+
+            seed_fetch = FetchHttp(**cfg.http)
+        elif fetch_mode == "shared":
+            seed_fetch = FetchPages(index=shared_index, asof_ts=cfg.asof_ts)
+        else:
+            seed_fetch = FetchPages(corpus_dir=corpus_dir, asof_ts=cfg.asof_ts)
         seeds = _seed_rows(seed_fetch, boards, cfg.seed_mode,
                            cfg.prior_watermarks, cfg.index_range)
         _route_add(shards, seeds, cfg.num_shards, cfg.split, force=cfg.upgrade)
@@ -488,7 +508,8 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
                 corpus_dir=corpus_dir, shard_handles=shards,
                 num_shards=cfg.num_shards, split=cfg.split,
                 index=(shared_index if fetch_mode == "shared" else None),
-                asof_ts=cfg.asof_ts, start_date=cfg.start_date, force=cfg.upgrade)
+                asof_ts=cfg.asof_ts, start_date=cfg.start_date,
+                force=cfg.upgrade, http_cfg=cfg.http)
             for _ in range(n_workers)
         ]
 
@@ -607,7 +628,8 @@ def run_crawl(corpus_dir: str, out_dir: str, cfg: CrawlConfig | None = None,
                                        "index": shared_index,
                                        "asof_ts": cfg.asof_ts,
                                        "start_date": cfg.start_date,
-                                       "force": cfg.upgrade},
+                                       "force": cfg.upgrade,
+                                       "http_cfg": cfg.http},
                 batch_format="pyarrow", batch_size=cfg.batch_size,
                 concurrency=(1, pool), num_cpus=1,
             )
