@@ -377,6 +377,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return user_last_records(corpus_for_scale(_scale_of(sf_dir)))
 
+    def paragraph_dedup_docs(sf_dir):
+        """C4/RefinedWeb-style paragraph-level exact dedup: split each doc
+        on a separator token, drop paragraphs repeated across the corpus
+        (keeping the globally-first occurrence), rewrite the docs.  The
+        narrow (doc_id, pidx, phash) explode is the only thing shuffled;
+        the DuckDB twin groups by the paragraph STRING so any 64-bit hash
+        collision would surface as a mismatch here."""
+        from pttcrawler_ray.textops.paradedup import paragraph_dedup
+
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+        return paragraph_dedup(docs, sep=" row ")
+
     def exact_dedup_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import exact_dedup
@@ -808,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "knn_top1": R.knn_top1,
         "exact_dedup_docs": exact_dedup_docs,
+        "paragraph_dedup_docs": paragraph_dedup_docs,
         "token_counts_docs": token_counts_docs,
         "split_docs": split_docs,
         "domain_mix_docs": domain_mix_docs,
@@ -957,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
+        "paragraph_dedup_docs": _paragraph_dedup_sql_oracle(),
         "token_counts_docs": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
@@ -1206,6 +1221,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _docs_oracle_select("knn_ivf"),
         "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
     }
+
+
+def _paragraph_dedup_sql_oracle() -> str:
+    from pttcrawler_ray.textops.paradedup import paragraph_dedup_sql
+
+    return paragraph_dedup_sql("documents", " row ")
 
 
 def _split_sql_oracle() -> str:

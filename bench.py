@@ -202,7 +202,8 @@ def run_queries_bench(sf_dir: str) -> dict[str, float]:
     names = ["lineitem_summary", "latest_event_per_user", "events_hourly",
              "top_orders", "orders_denorm", "exact_dedup_docs",
              "token_counts_docs", "minhash_pairs_docs", "knn_top1",
-             "split_docs", "pack_docs", "vocab_docs", "decontaminate_docs"]
+             "split_docs", "pack_docs", "vocab_docs", "decontaminate_docs",
+             "paragraph_dedup_docs"]
     times: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()

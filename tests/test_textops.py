@@ -1055,3 +1055,40 @@ def test_corpus_stats_cli(tmp_path):
     # CLI scans the WHOLE input (bench docs self-match), so hits ⊇ the
     # 7 cross-slice near-dups known from the oracle check
     assert res["contaminated_docs"] >= 7
+
+
+def test_paragraph_dedup_paths_match_duckdb(ray_session, monkeypatch):
+    """paragraph_dedup (both rewrite plans, both keep rules) must equal the
+    DuckDB twin, which groups by the paragraph STRING — so this also
+    cross-checks the 64-bit hash identity at test scale."""
+    import duckdb
+    import pandas as pd
+
+    from pttcrawler_ray.textops import paradedup
+    from pttcrawler_ray.textops.paradedup import (paragraph_dedup,
+                                                  paragraph_dedup_sql)
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+
+    def run(keep_first):
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        got = paragraph_dedup(ds, sep=" row ", keep_first=keep_first) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        exp = con.execute(
+            paragraph_dedup_sql("documents", " row ", keep_first=keep_first)
+        ).fetch_df().sort_values("doc_id").reset_index(drop=True)
+        cols = ["doc_id", "text_clean", "n_paras", "n_dropped"]
+        pd.testing.assert_frame_equal(got[cols], exp[cols],
+                                      check_dtype=False)
+        return got
+
+    got = run(keep_first=True)
+    assert got["n_dropped"].sum() > 0  # corpus actually has repeats
+    run(keep_first=False)
+
+    # at-scale plan: force the co-partition rewrite (no broadcast)
+    monkeypatch.setattr(paradedup, "_BCAST_DROP_MAX", 0)
+    run(keep_first=True)
