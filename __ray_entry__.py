@@ -390,6 +390,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     columns=["doc_id", "text"])
         return paragraph_dedup(docs, sep=" row ")
 
+    def redact_pii_docs(sf_dir):
+        """PII scrub (emails / IPv4 / phone runs → typed placeholders).
+        The word-soup corpus carries no PII, so the query splices a
+        deterministic contact line into every 3rd doc before redacting —
+        the SQL twin builds the IDENTICAL string, so the redactor must
+        find and rewrite exactly those spans (both engines run RE2)."""
+        from pttcrawler_ray.textops.redact import redact_pii_batch
+
+        def aug_and_redact(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            idn = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            s = lambda x: pc.cast(pa.array(x), pa.string())  # noqa: E731
+            extra = pc.binary_join_element_wise(
+                " contact u", s(idn), "@example.com from 10.",
+                s(idn % 256), ".0.", s(idn % 200),
+                " or +1 555-0", s(idn % 90 + 100), "")
+            text = pc.if_else(
+                pa.array(idn % 3 == 0),
+                pc.binary_join_element_wise(t["text"], extra, ""),
+                t["text"])
+            out = redact_pii_batch(pa.table({"doc_id": ids, "text": text}))
+            return out.select(["doc_id", "text_redacted", "n_redactions"])
+
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+        return docs.map_batches(aug_and_redact, batch_format="pyarrow")
+
     def exact_dedup_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import exact_dedup
@@ -822,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top1": R.knn_top1,
         "exact_dedup_docs": exact_dedup_docs,
         "paragraph_dedup_docs": paragraph_dedup_docs,
+        "redact_pii_docs": redact_pii_docs,
         "token_counts_docs": token_counts_docs,
         "split_docs": split_docs,
         "domain_mix_docs": domain_mix_docs,
@@ -972,6 +1002,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "paragraph_dedup_docs": _paragraph_dedup_sql_oracle(),
+        "redact_pii_docs": _redact_pii_sql_oracle(),
         "token_counts_docs": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
@@ -1221,6 +1252,24 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _docs_oracle_select("knn_ivf"),
         "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
     }
+
+
+def _redact_pii_sql_oracle() -> str:
+    from pttcrawler_ray.textops.redact import redact_pii_expr
+
+    expr, cnt = redact_pii_expr("text")
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN
+                   text || ' contact u' || doc_id || '@example.com from 10.'
+                        || (doc_id % 256) || '.0.' || (doc_id % 200)
+                        || ' or +1 555-0' || (100 + doc_id % 90)
+                 ELSE text END AS text
+          FROM documents)
+        SELECT doc_id, {expr} AS text_redacted, {cnt} AS n_redactions
+        FROM aug
+    """
 
 
 def _paragraph_dedup_sql_oracle() -> str:

@@ -1092,3 +1092,24 @@ def test_paragraph_dedup_paths_match_duckdb(ray_session, monkeypatch):
     # at-scale plan: force the co-partition rewrite (no broadcast)
     monkeypatch.setattr(paradedup, "_BCAST_DROP_MAX", 0)
     run(keep_first=True)
+
+
+def test_redact_pii_batch():
+    from pttcrawler_ray.textops.redact import redact_pii_batch
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                  "text": ["mail a.b+c@x-y.co.uk now",
+                           "ips 10.0.255.3 999.1.1.1",
+                           "call +886 2 1234-5678 ok",
+                           "no pii here",
+                           ""]})
+    out = redact_pii_batch(t)
+    assert out["text_redacted"].to_pylist() == [
+        "mail <EMAIL> now", "ips <IP> <IP>", "call <PHONE> ok",
+        "no pii here", ""]
+    assert out["n_redactions"].to_pylist() == [1, 2, 1, 0, 0]
+    # email consumed before the phone pattern can eat its digits
+    t2 = pa.table({"text": ["reach 12345678@host.com fast"]})
+    out2 = redact_pii_batch(t2)
+    assert out2["text_redacted"].to_pylist() == ["reach <EMAIL> fast"]
+    assert out2["n_redactions"].to_pylist() == [1]
