@@ -32,6 +32,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# quantile grids for the exact-quantiles queries (shared with the SQL twin)
+_QUANT_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+_QUANT_GROUP_QS = (0.5, 0.9)
+
+
 def _rpq(path, **kw):
     """read_parquet with pandas schema metadata stripped (util.rayops) —
     keeps Ray's reduce-side schema dedup working on the testdata tables."""
@@ -418,6 +423,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
                     columns=["doc_id", "text"])
         return docs.map_batches(aug_and_redact, batch_format="pyarrow")
+
+    def quantiles_price(sf_dir):
+        """Distributed EXACT quantile_disc over l_extendedprice — the
+        multi-pass histogram-selection op (extent → bincount → bounded
+        collect, no shuffle; pttcrawler_ray/stats.py)."""
+        from pttcrawler_ray.stats import exact_quantiles
+
+        li = _rpq(os.path.join(sf_dir, "lineitem.parquet"),
+                  columns=["l_extendedprice"])
+        return exact_quantiles(li, "l_extendedprice", _QUANT_QS)
+
+    def quantiles_price_by_flag(sf_dir):
+        """Grouped exact quantiles: median + p90 of l_extendedprice per
+        l_returnflag (driver state = one rank per (group, q))."""
+        from pttcrawler_ray.stats import exact_quantiles
+
+        li = _rpq(os.path.join(sf_dir, "lineitem.parquet"),
+                  columns=["l_returnflag", "l_extendedprice"])
+        return exact_quantiles(li, "l_extendedprice", _QUANT_GROUP_QS,
+                               group_col="l_returnflag")
 
     def exact_dedup_docs(sf_dir):
         import ray.data as rd
@@ -852,6 +877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": exact_dedup_docs,
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "redact_pii_docs": redact_pii_docs,
+        "quantiles_price": quantiles_price,
+        "quantiles_price_by_flag": quantiles_price_by_flag,
         "token_counts_docs": token_counts_docs,
         "split_docs": split_docs,
         "domain_mix_docs": domain_mix_docs,
@@ -1003,6 +1030,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "paragraph_dedup_docs": _paragraph_dedup_sql_oracle(),
         "redact_pii_docs": _redact_pii_sql_oracle(),
+        "quantiles_price": " UNION ALL ".join(
+            f"""SELECT CAST({int(round(q * 10000))} AS BIGINT) AS q_bp,
+                       quantile_disc(l_extendedprice, {q}) AS value,
+                       count(l_extendedprice) AS n FROM lineitem"""
+            for q in _QUANT_QS),
+        "quantiles_price_by_flag": " UNION ALL ".join(
+            f"""SELECT l_returnflag,
+                       CAST({int(round(q * 10000))} AS BIGINT) AS q_bp,
+                       quantile_disc(l_extendedprice, {q}) AS value,
+                       count(l_extendedprice) AS n
+                FROM lineitem GROUP BY l_returnflag"""
+            for q in _QUANT_GROUP_QS),
         "token_counts_docs": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens

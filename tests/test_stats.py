@@ -1,0 +1,115 @@
+"""Distributed exact quantiles (stats.exact_quantiles) vs DuckDB
+quantile_disc — global, grouped, int64 beyond 2^53, heavy-duplicate
+skew with forced refinement rounds, NaN tail (numpy-pinned: DuckDB's
+NaN placement is unspecified), and all-null groups."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def quant_data():
+    rng = np.random.default_rng(42)
+    n = 60_000
+    vals = rng.normal(1000, 300, n).round(2)
+    null_mask = rng.random(n) < 0.02
+    grp = rng.choice(["A", "B", "C"], n)
+    t = pa.table({
+        "v": pa.array([None if m else float(x)
+                       for m, x in zip(null_mask, vals)], pa.float64()),
+        "g": pa.array(grp)})
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", t)
+    return t, con
+
+
+QS = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+
+
+def test_exact_quantiles_global(ray_session, quant_data):
+    import ray.data as rd
+
+    from pttcrawler_ray.stats import exact_quantiles
+
+    t, con = quant_data
+    out = exact_quantiles(rd.from_arrow(t).repartition(16), "v", QS)
+    for q_bp, v, n in zip(out["q_bp"].to_pylist(), out["value"].to_pylist(),
+                          out["n"].to_pylist()):
+        exp, nn = con.execute(
+            f"SELECT quantile_disc(v, {q_bp / 10000.0}), count(v) FROM t"
+        ).fetchone()
+        assert v == exp and n == nn, (q_bp, v, exp)
+
+
+def test_exact_quantiles_grouped(ray_session, quant_data):
+    import ray.data as rd
+
+    from pttcrawler_ray.stats import exact_quantiles
+
+    t, con = quant_data
+    out = exact_quantiles(rd.from_arrow(t).repartition(16), "v",
+                          [0.5, 0.9], group_col="g")
+    assert out.num_rows == 6
+    for g, q_bp, v in zip(out["g"].to_pylist(), out["q_bp"].to_pylist(),
+                          out["value"].to_pylist()):
+        exp = con.execute(
+            f"SELECT quantile_disc(v, {q_bp / 10000.0}) FROM t WHERE g = ?",
+            [g]).fetchone()[0]
+        assert v == exp, (g, q_bp, v, exp)
+
+
+def test_exact_quantiles_int64_heavy_dup_refinement(ray_session):
+    """collect_cap=100 forces histogram refinement rounds; half the
+    column is one duplicated value (skew resolved without collection,
+    via per-bucket min==max); magnitudes exceed 2^53 so float64 bucket
+    collisions occur but selection stays on original ints."""
+    import duckdb
+    import ray.data as rd
+
+    from pttcrawler_ray.stats import exact_quantiles
+
+    rng = np.random.default_rng(7)
+    t = pa.table({"v": pa.array(
+        np.r_[np.full(30_000, 7), rng.integers(0, 2**62, 30_000)],
+        pa.int64())})
+    con = duckdb.connect()
+    con.register("ti", t)
+    out = exact_quantiles(rd.from_arrow(t).repartition(8), "v", QS,
+                          collect_cap=100)
+    assert out["value"].type == pa.int64()
+    for q_bp, v in zip(out["q_bp"].to_pylist(), out["value"].to_pylist()):
+        exp = con.execute(
+            f"SELECT quantile_disc(v, {q_bp / 10000.0}) FROM ti").fetchone()[0]
+        assert v == exp, (q_bp, v, exp)
+
+
+def test_exact_quantiles_nan_sorts_last(ray_session):
+    import ray.data as rd
+
+    from pttcrawler_ray.stats import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vn = np.r_[rng.normal(size=5_000), np.full(300, np.nan)]
+    rng.shuffle(vn)
+    out = exact_quantiles(
+        rd.from_arrow(pa.table({"v": pa.array(vn, pa.float64())}))
+        .repartition(4), "v", QS)
+    ref = np.sort(vn)  # numpy sorts NaN last, the documented policy
+    for q_bp, v in zip(out["q_bp"].to_pylist(), out["value"].to_pylist()):
+        exp = ref[max(int(np.ceil(q_bp / 10000.0 * len(vn))) - 1, 0)]
+        assert v == exp or (np.isnan(v) and np.isnan(exp)), (q_bp, v, exp)
+
+
+def test_exact_quantiles_all_null_group(ray_session):
+    import ray.data as rd
+
+    from pttcrawler_ray.stats import exact_quantiles
+
+    t = pa.table({"v": pa.array([None, None, 3.5], pa.float64()),
+                  "g": pa.array(["only", "only", "z"])})
+    out = exact_quantiles(rd.from_arrow(t), "v", [0.5], group_col="g")
+    d = out.to_pydict()
+    assert d["value"] == [None, 3.5] and d["n"] == [0, 1]
