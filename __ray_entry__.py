@@ -444,6 +444,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return exact_quantiles(li, "l_extendedprice", _QUANT_GROUP_QS,
                                group_col="l_returnflag")
 
+    def quantiles_per_customer(sf_dir):
+        """HIGH-cardinality grouped exact quantiles: median + p90 of
+        o_totalprice per customer — one coarse hash shuffle, vectorized
+        per-partition segment selection (stats.grouped_quantiles)."""
+        from pttcrawler_ray.stats import grouped_quantiles
+
+        orders = _rpq(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_custkey", "o_totalprice"])
+        return grouped_quantiles(orders, "o_totalprice", _QUANT_GROUP_QS,
+                                 "o_custkey")
+
     def exact_dedup_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import exact_dedup
@@ -879,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii_docs": redact_pii_docs,
         "quantiles_price": quantiles_price,
         "quantiles_price_by_flag": quantiles_price_by_flag,
+        "quantiles_per_customer": quantiles_per_customer,
         "token_counts_docs": token_counts_docs,
         "split_docs": split_docs,
         "domain_mix_docs": domain_mix_docs,
@@ -1041,6 +1053,13 @@ def oracle_sql() -> dict[str, str]:
                        quantile_disc(l_extendedprice, {q}) AS value,
                        count(l_extendedprice) AS n
                 FROM lineitem GROUP BY l_returnflag"""
+            for q in _QUANT_GROUP_QS),
+        "quantiles_per_customer": " UNION ALL ".join(
+            f"""SELECT o_custkey,
+                       CAST({int(round(q * 10000))} AS BIGINT) AS q_bp,
+                       quantile_disc(o_totalprice, {q}) AS value,
+                       count(o_totalprice) AS n
+                FROM orders GROUP BY o_custkey"""
             for q in _QUANT_GROUP_QS),
         "token_counts_docs": r"""
             SELECT doc_id,

@@ -183,6 +183,68 @@ def _collect_batch(batch: pa.Table, *, col: str, group_col, groups,
     return pa.concat_tables(parts)
 
 
+# ---------------------------------------------- high-cardinality groups
+
+def grouped_quantiles(ds, col: str, qs, group_col: str,
+                      n_parts: int = None, approx_rows: int = None):
+    """Exact per-group ``quantile_disc`` for HIGH-cardinality group keys
+    (per-user / per-domain percentiles — millions of groups), where
+    :func:`exact_quantiles`'s per-(group, q) driver state won't fit.
+
+    Shape: ONE coarse hash shuffle on the group key
+    (``partitioned_map_groups`` — every group lands whole in one
+    partition), then a single vectorized pass per partition: one Arrow
+    multi-key sort, numpy segment boundaries, and a gather per q — no
+    per-group Python.  Output is one row per (group, q): narrow and
+    group-count-sized, never corpus-sized.
+
+    Matches SQL semantics: NULL values are ignored per group (``n`` is
+    the non-null count; all-null groups yield a NULL value row); NULL
+    group keys form one group; float NaN sorts last (Arrow sort order).
+    Returns (group_col, q_bp int64, value <col type>, n int64).
+    """
+    from .util.rayops import partitioned_map_groups
+
+    qs = [float(q) for q in qs]
+    qs_bp = [int(round(q * 10000)) for q in qs]
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[(group_col, "ascending"), (col, "ascending")],
+            null_placement="at_end")
+        g = t[group_col].take(idx)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        v = t[col].take(idx)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        codes = np.asarray(g.dictionary_encode().indices.fill_null(-1),
+                           dtype=np.int64)
+        # nulls (code -1) sort together at the end → still one segment
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        valid = np.asarray(v.is_valid())
+        cumv = np.r_[0, np.cumsum(valid)]
+        n_valid = cumv[ends] - cumv[starts]  # nulls sit at segment end
+        gkeys = g.take(pa.array(starts))
+        parts = []
+        for q, bp in zip(qs, qs_bp):
+            rank = np.maximum(np.ceil(q * n_valid).astype(np.int64) - 1, 0)
+            pick = starts + np.minimum(rank, np.maximum(n_valid - 1, 0))
+            vals = v.take(pa.array(pick))
+            vals = pc.if_else(pa.array(n_valid > 0), vals,
+                              pa.nulls(len(starts), v.type))
+            parts.append(pa.table({
+                group_col: gkeys,
+                "q_bp": pa.array(np.full(len(starts), bp), pa.int64()),
+                "value": vals,
+                "n": pa.array(n_valid, pa.int64())}))
+        return pa.concat_tables(parts)
+
+    return partitioned_map_groups(ds, group_col, part_fn, n_parts=n_parts,
+                                  approx_rows=approx_rows)
+
+
 # ----------------------------------------------------------------- API
 
 def exact_quantiles(ds, col: str, qs, *, group_col: str = None,

@@ -113,3 +113,39 @@ def test_exact_quantiles_all_null_group(ray_session):
     out = exact_quantiles(rd.from_arrow(t), "v", [0.5], group_col="g")
     d = out.to_pydict()
     assert d["value"] == [None, 3.5] and d["n"] == [0, 1]
+
+
+def test_grouped_quantiles_high_cardinality(ray_session):
+    """grouped_quantiles (one shuffle, segment-vectorized selection) vs
+    DuckDB at ~10k groups, with null group keys and null values."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from pttcrawler_ray.stats import grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    n = 80_000
+    gid = rng.integers(0, 10_000, n)
+    vals = rng.normal(100, 25, n).round(3)
+    null_v = rng.random(n) < 0.03
+    null_g = rng.random(n) < 0.01
+    t = pa.table({
+        "g": pa.array([None if m else int(x)
+                       for m, x in zip(null_g, gid)], pa.int64()),
+        "v": pa.array([None if m else float(x)
+                       for m, x in zip(null_v, vals)], pa.float64())})
+    out = grouped_quantiles(rd.from_arrow(t).repartition(16), "v",
+                            [0.5, 0.9], "g").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""
+        SELECT g, 5000 AS q_bp, quantile_disc(v, 0.5) AS value,
+               count(v) AS n FROM t GROUP BY g
+        UNION ALL
+        SELECT g, 9000, quantile_disc(v, 0.9), count(v) FROM t GROUP BY g
+    """).df()
+    cols = ["g", "q_bp", "value", "n"]
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
