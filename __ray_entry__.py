@@ -869,6 +869,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return decode_media(blobs, fake=False).select_columns(
             ["media_id", "width", "height", "channels", "pixel_hash"])
 
+    def multimodal_codecs(sf_dir):
+        """REAL GIF/BMP/WAV decode: per doc a round-robin container blob
+        (full LZW inflate for GIF, row-unpad for BMP, PCM parse for WAV)
+        must reproduce the oracle's hash of the GENERATED source arrays."""
+        from pttcrawler_ray.multimodal import decode_media, make_codec_blob
+
+        _ctx()
+        _ensure_docs_oracle(sf_dir)
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id"])
+        blobs = docs.map_batches(
+            lambda t: pa.table({
+                "media_id": t["doc_id"],
+                "payload": pa.array([make_codec_blob(i)
+                                     for i in t["doc_id"].to_pylist()],
+                                    pa.binary()),
+            }), batch_format="pyarrow")
+        return decode_media(blobs, fake=False).select_columns(
+            ["media_id", "kind", "width", "height", "channels",
+             "pixel_hash"])
+
     return {
         # --- SQL-checked relational operators over the testdata views -----
         "latest_event_per_user": R.latest_event_per_user,
@@ -929,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": knn_ivfpq_q,
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
+        "multimodal_codecs": multimodal_codecs,
         "curate_docs": curate_docs,
     }
 
@@ -1307,6 +1329,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_docs": _docs_oracle_select("curate_docs"),
         "multimodal_decode": _docs_oracle_select("multimodal_decode"),
         "multimodal_png": _docs_oracle_select("multimodal_png"),
+        "multimodal_codecs": _docs_oracle_select("multimodal_codecs"),
         "knn_ivf": _docs_oracle_select("knn_ivf"),
         "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
     }

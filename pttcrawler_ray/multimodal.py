@@ -7,14 +7,19 @@ rows).
 
 Codec coverage in this container:
 
-- **PNG is decoded for real** — :func:`decode_png` is a pure-stdlib
-  (zlib inflate + per-filter unfilter) pixel decoder for 8-bit
-  non-interlaced PNGs (gray / gray+alpha / RGB / RGBA), with
-  :func:`encode_png` as its fixture-side twin.  ``DecodeMedia`` (any
-  mode) recognises the PNG signature and returns real width / height /
-  channels / pixel_hash / byte-histogram features.
-- Every other container (JPEG/ffmpeg/torchaudio class) is STUBBED: the
-  libraries are not in this environment, so non-PNG payloads decode only
+- **PNG, GIF, BMP and WAV are decoded for real**, pure stdlib:
+  :func:`decode_png` (zlib inflate + the five scanline unfilters, 8-bit
+  non-interlaced gray / gray+alpha / RGB / RGBA), :func:`decode_gif`
+  (full GIF-variant LZW with growing code widths and table resets,
+  global/local color tables), :func:`decode_bmp` (24-bit uncompressed,
+  top-down and bottom-up), and :func:`decode_wav` (stdlib ``wave``,
+  8/16-bit PCM).  Each has a fixture-side encoder twin (
+  :func:`encode_png` / :func:`encode_gif` / :func:`encode_bmp` /
+  :func:`encode_wav`) so tests pin decode(encode(x)) == x and the
+  driver oracle hashes real pixels.  ``DecodeMedia`` (any mode)
+  recognises all four signatures.
+- Everything else (JPEG/ffmpeg/torchaudio class) is STUBBED: those
+  libraries are not in this environment, so such payloads decode only
   via the clearly-marked deterministic fake codec (``fake=True``,
   header-parse of the synthetic ``PTMM`` blob format) and otherwise come
   back as typed error rows.  Everything around the stub — schema, actor
@@ -221,6 +226,350 @@ def make_png_blob(media_id: int) -> bytes:
     return encode_png(px, filters=filters)
 
 
+# ------------------------------------------------------------ real WAV codec
+
+def decode_wav(blob: bytes):
+    """Real WAV PCM decode (stdlib ``wave``): returns ``(n_frames,
+    sample_rate, channels, samples)`` with ``samples`` an ``(n_frames,
+    channels)`` array — uint8 for 8-bit PCM, int16 for 16-bit.
+    Compressed / float WAV raises ``ValueError``."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(blob)) as w:
+            ch, sw, sr = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            n = w.getnframes()
+            data = w.readframes(n)
+    except wave.Error as e:
+        raise ValueError(f"bad WAV: {e}") from None
+    if sw == 1:
+        samples = np.frombuffer(data, np.uint8)
+    elif sw == 2:
+        samples = np.frombuffer(data, "<i2")
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if len(samples) != n * ch:
+        raise ValueError("WAV frame count mismatch")
+    return n, sr, ch, samples.reshape(n, ch)
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int) -> bytes:
+    """Fixture-side WAV encoder: ``(n_frames, channels)`` uint8 or int16
+    PCM → RIFF/WAVE bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    sw = 1 if samples.dtype == np.uint8 else 2
+    if sw == 2:
+        samples = samples.astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(sw)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def make_wav_source(media_id: int):
+    """Deterministic synthetic 16-bit PCM clip (pure fn of media_id):
+    ``(samples (n, ch) int16, sample_rate)`` — the oracle side hashes
+    these directly, no round-trip."""
+    rng = np.random.default_rng(media_id ^ 0x574156)  # 'WAV'
+    n = int(rng.integers(64, 2048))
+    ch = int(rng.choice([1, 2]))
+    sr = int(rng.choice([8000, 16000, 44100]))
+    return rng.integers(-32768, 32768, size=(n, ch)).astype("<i2"), sr
+
+
+def make_wav_blob(media_id: int) -> bytes:
+    samples, sr = make_wav_source(media_id)
+    return encode_wav(samples, sr)
+
+
+# ------------------------------------------------------------ real BMP codec
+
+def decode_bmp(blob: bytes):
+    """Real BMP decode (24-bit uncompressed BITMAPINFOHEADER, the
+    overwhelmingly common on-disk form): returns ``(width, height, 3,
+    pixels)`` with ``pixels`` ``(h, w, 3)`` uint8 RGB.  Top-down
+    (negative height) and bottom-up rows both handled; other bit depths
+    / compressions raise ``ValueError``."""
+    if blob[:2] != b"BM" or len(blob) < 54:
+        raise ValueError("not a BMP")
+    (off,) = struct.unpack("<I", blob[10:14])
+    hdr_sz, w, h = struct.unpack("<Iii", blob[14:26])
+    planes, bpp = struct.unpack("<HH", blob[26:30])
+    (comp,) = struct.unpack("<I", blob[30:34])
+    if hdr_sz < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_sz}")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP bpp={bpp} compression={comp}")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    data = blob[off:off + stride * h]
+    if len(data) != stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data, np.uint8).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if not top_down:
+        px = px[::-1]
+    return int(w), int(h), 3, np.ascontiguousarray(px)
+
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """Fixture-side 24-bit BMP encoder: ``(h, w, 3)`` uint8 RGB →
+    bottom-up BITMAPINFOHEADER bytes."""
+    arr = np.asarray(arr, np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    return (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                          2835, 2835, 0, 0) + data)
+
+
+def make_bmp_source(media_id: int):
+    """Deterministic synthetic RGB image for the BMP path: (h, w, 3)."""
+    rng = np.random.default_rng(media_id ^ 0x424D50)  # 'BMP'
+    w, h = int(rng.integers(3, 40)), int(rng.integers(3, 40))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def make_bmp_blob(media_id: int) -> bytes:
+    return encode_bmp(make_bmp_source(media_id))
+
+
+# ------------------------------------------------------------ real GIF codec
+
+def _lzw_decode(data: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/END codes,
+    code width grows to 12 bits, table reset on CLEAR)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code + 1
+    out = bytearray()
+    prev = None
+    bitbuf = bits = pos = 0
+    while True:
+        while bits < code_size:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without END code")
+            bitbuf |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # deferred-clear streams stop growing
+                table.append(prev + entry[:1])
+        elif code == len(table) and code < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        if prev is not None and len(table) >= (1 << code_size) \
+                and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+
+
+def _lzw_encode(data: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW encode — the exact inverse convention of
+    :func:`_lzw_decode` (emit-then-add, width grows when the NEXT code
+    wouldn't fit, table reset at 4096 entries)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    bitbuf = bits = 0
+
+    def emit(code, size):
+        nonlocal bitbuf, bits
+        bitbuf |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(bitbuf & 255)
+            bitbuf >>= 8
+            bits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code + 1
+    emit(clear, code_size)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        # decoder mirrors this entry; widen when the next emit could
+        # reference it and it no longer fits
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        next_code += 1
+        if next_code >= 4096:  # table full — 4096 won't fit in 12 bits
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code + 1
+        w = wk[-1:]
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if bits:
+        out.append(bitbuf & 255)
+    return bytes(out)
+
+
+def decode_gif(blob: bytes):
+    """Real GIF decode (stdlib-only LZW): first image frame of a
+    GIF87a/89a stream → ``(width, height, 3, pixels)`` uint8 RGB.
+    Extensions are skipped; local color tables honored; interlaced
+    frames raise ``ValueError``."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(blob[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _l, _t, w, h, iflags = struct.unpack("<HHHHB", blob[pos:pos + 9])
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(blob[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = blob[pos]
+        pos += 1
+        chunks = []
+        while blob[pos]:
+            ln = blob[pos]
+            chunks.append(blob[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(b"".join(chunks), min_code),
+                            np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data short")
+        idx = idx[: w * h]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("GIF index outside color table")
+        return int(w), int(h), 3, pal[idx].reshape(h, w, 3)
+    raise ValueError("GIF missing image descriptor")
+
+
+def encode_gif(indices: "np.ndarray", palette: "np.ndarray") -> bytes:
+    """Fixture-side GIF89a encoder: ``(h, w)`` uint8 palette indices +
+    ``(n, 3)`` uint8 palette (n a power of two ≥ 2) → single-frame GIF
+    with real LZW compression."""
+    indices = np.asarray(indices, np.uint8)
+    palette = np.asarray(palette, np.uint8)
+    h, w = indices.shape
+    n = len(palette)
+    assert n >= 2 and (n & (n - 1)) == 0, "palette size must be a power of 2"
+    depth = max(int(n).bit_length() - 1, 1)
+    min_code = max(depth, 2)  # GIF LZW minimum code size floor
+    lzw = _lzw_encode(indices.tobytes(), min_code)
+    subs = b"".join(bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+                    for i in range(0, len(lzw), 255))
+    return (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+            + palette.tobytes()
+            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([min_code]) + subs + b"\x00" + b"\x3B")
+
+
+def make_gif_source(media_id: int):
+    """Deterministic synthetic paletted frame: (indices (h, w), palette)."""
+    rng = np.random.default_rng(media_id ^ 0x474946)  # 'GIF'
+    w, h = int(rng.integers(3, 48)), int(rng.integers(3, 48))
+    n = int(rng.choice([2, 4, 16, 64, 256]))
+    pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+    return idx, pal
+
+
+def make_gif_blob(media_id: int) -> bytes:
+    idx, pal = make_gif_source(media_id)
+    return encode_gif(idx, pal)
+
+
+_CODEC_KINDS = ("gif", "bmp", "wav")
+
+
+def make_codec_blob(media_id: int) -> bytes:
+    """Round-robin real-codec blob for the driver query: media_id % 3
+    picks GIF / BMP / WAV."""
+    k = _CODEC_KINDS[media_id % 3]
+    if k == "gif":
+        return make_gif_blob(media_id)
+    if k == "bmp":
+        return make_bmp_blob(media_id)
+    return make_wav_blob(media_id)
+
+
+def codec_expected_row(media_id: int):
+    """Oracle-side expected (kind, width, height, channels, pixel_hash)
+    computed from the GENERATED source arrays — no encode/decode
+    round-trip, so the engine must really inflate the container bytes
+    to match (wav maps as width=n_frames, height=sample_rate)."""
+    k = _CODEC_KINDS[media_id % 3]
+    if k == "gif":
+        idx, pal = make_gif_source(media_id)
+        px = pal[idx]
+        return ("image", px.shape[1], px.shape[0], 3,
+                hash_u64(px.reshape(-1).tobytes()))
+    if k == "bmp":
+        px = make_bmp_source(media_id)
+        return ("image", px.shape[1], px.shape[0], 3,
+                hash_u64(px.reshape(-1).tobytes()))
+    samples, sr = make_wav_source(media_id)
+    return ("audio", samples.shape[0], sr, samples.shape[1],
+            hash_u64(samples.tobytes()))
+
+
 class DecodeMedia:
     """map_batches actor: payload → decoded metadata + feature vector +
     ``pixel_hash`` (64-bit hash of the decoded pixel bytes).
@@ -244,7 +593,11 @@ class DecodeMedia:
         return hist / max(1, hist.sum())
 
     def _decode_one(self, blob: bytes):
-        """(kind, w, h, c, feature, pixel_hash) or an error string."""
+        """(kind, w, h, c, feature, pixel_hash) or an error string.
+
+        Audio (WAV) maps onto the image-shaped schema as width=n_frames,
+        height=sample_rate, channels=n_channels; pixel_hash hashes the
+        raw PCM sample bytes."""
         if blob[:8] == _PNG_SIG:
             try:
                 w, h, c, px = decode_png(blob)
@@ -253,6 +606,31 @@ class DecodeMedia:
             flat = px.reshape(-1)
             return ("image", w, h, c, self._features(flat),
                     hash_u64(flat.tobytes()))
+        if blob[:2] == b"BM":
+            try:
+                w, h, c, px = decode_bmp(blob)
+            except ValueError as e:
+                return f"bmp decode failed: {e}"
+            flat = px.reshape(-1)
+            return ("image", w, h, c, self._features(flat),
+                    hash_u64(flat.tobytes()))
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            try:
+                w, h, c, px = decode_gif(blob)
+            except ValueError as e:
+                return f"gif decode failed: {e}"
+            flat = px.reshape(-1)
+            return ("image", w, h, c, self._features(flat),
+                    hash_u64(flat.tobytes()))
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            try:
+                n, sr, c, samples = decode_wav(blob)
+            except ValueError as e:
+                return f"wav decode failed: {e}"
+            raw = samples.tobytes()
+            return ("audio", n, sr, c,
+                    self._features(np.frombuffer(raw, np.uint8)),
+                    hash_u64(raw))
         if blob[:4] == _MAGIC:
             if not self.fake:
                 return ("codec unavailable for synthetic PTMM container "

@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 4
+ORACLE_VERSION = 5
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -582,6 +582,30 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "pixel_hash": pa.array(mp["pixel_hash"], pa.uint64()),
     })
 
+    # --- multimodal_codecs: GIF/BMP/WAV expected rows from the GENERATED
+    # sources (palette-mapped pixels / RGB array / PCM samples) — the
+    # engine must LZW-inflate / row-unpad / PCM-parse real bytes to match
+    from ..multimodal import codec_expected_row
+
+    mc = {"media_id": [], "kind": [], "width": [], "height": [],
+          "channels": [], "pixel_hash": []}
+    for i in ids:
+        kind, w, h, c, ph = codec_expected_row(i)
+        mc["media_id"].append(i)
+        mc["kind"].append(kind)
+        mc["width"].append(w)
+        mc["height"].append(h)
+        mc["channels"].append(c)
+        mc["pixel_hash"].append(ph)
+    multimodal_codecs = pa.table({
+        "media_id": pa.array(mc["media_id"], pa.int64()),
+        "kind": pa.array(mc["kind"], pa.string()),
+        "width": pa.array(mc["width"], pa.int32()),
+        "height": pa.array(mc["height"], pa.int32()),
+        "channels": pa.array(mc["channels"], pa.int32()),
+        "pixel_hash": pa.array(mc["pixel_hash"], pa.uint64()),
+    })
+
     # --- knn_ivf: sequential single-process run of the same algorithm -------
     emb_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
@@ -674,6 +698,7 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "curate_docs": curate,
         "multimodal_decode": multimodal,
         "multimodal_png": multimodal_png,
+        "multimodal_codecs": multimodal_codecs,
         "knn_ivf": knn_ivf,
         "knn_ivfpq": knn_ivfpq,
     }

@@ -71,7 +71,8 @@ _PATH_ORACLES = {
     "crawl_export_articles", "crawl_board_report", "crawl_users",
     "crawl_watermarks", "crawl_robots_blocked", "user_last_record",
     "fingerprint_docs", "simhash_pairs_docs", "curate_docs",
-    "multimodal_decode", "multimodal_png", "knn_ivf", "knn_ivfpq",
+    "multimodal_decode", "multimodal_png", "multimodal_codecs",
+    "knn_ivf", "knn_ivfpq",
 }
 
 

@@ -191,3 +191,74 @@ def test_decode_media_real_png(ray_session):
         assert r["pixel_hash"] == hash_u64(img.reshape(-1).tobytes())
         assert abs(sum(r["feature"]) - 1.0) < 1e-9
     assert by_id[9]["error"].startswith("png decode failed")
+
+
+def test_lzw_round_trip_growth_and_reset():
+    """GIF-variant LZW encoder/decoder agree through code-width growth
+    to 12 bits and the 4096-entry table reset."""
+    import numpy as np
+
+    from pttcrawler_ray.multimodal import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(0)
+    for min_code in (2, 4, 8):
+        for n in (1, 5, 300, 120_000):
+            data = rng.integers(0, 1 << min_code, n).astype(np.uint8).tobytes()
+            assert _lzw_decode(_lzw_encode(data, min_code), min_code) == data
+            runs = np.repeat(rng.integers(0, 1 << min_code,
+                                          max(n // 50, 1)), 50)
+            runs = runs.astype(np.uint8).tobytes()[:n]
+            assert _lzw_decode(_lzw_encode(runs, min_code), min_code) == runs
+
+
+def test_decode_gif_bmp_wav_round_trip():
+    import numpy as np
+
+    from pttcrawler_ray.multimodal import (decode_bmp, decode_gif,
+                                           decode_wav, encode_bmp,
+                                           encode_gif, encode_wav)
+
+    rng = np.random.default_rng(11)
+    # GIF: palette sizes from 2-color to 256-color, incl. 12-bit growth
+    for n in (2, 16, 256):
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(40, 60), dtype=np.uint8)
+        w, h, c, px = decode_gif(encode_gif(idx, pal))
+        assert (w, h, c) == (60, 40, 3)
+        np.testing.assert_array_equal(px, pal[idx])
+    # BMP: odd width exercises the 4-byte row padding
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    w, h, c, px = decode_bmp(encode_bmp(img))
+    assert (w, h, c) == (7, 9, 3)
+    np.testing.assert_array_equal(px, img)
+    # WAV: 16-bit stereo and 8-bit mono
+    smp = rng.integers(-32768, 32768, size=(500, 2)).astype("<i2")
+    nf, sr, ch, out = decode_wav(encode_wav(smp, 16000))
+    assert (nf, sr, ch) == (500, 16000, 2)
+    np.testing.assert_array_equal(out, smp)
+    smp8 = np.arange(256, dtype=np.uint8)
+    nf, sr, ch, out = decode_wav(encode_wav(smp8, 8000))
+    assert (nf, sr, ch, out.ravel().tolist()) == (256, 8000, 1,
+                                                  list(range(256)))
+
+
+def test_decode_media_real_codecs(ray_session):
+    """decode_media(fake=False) recognises GIF/BMP/WAV signatures and
+    reproduces hashes of the generated SOURCE arrays (no round-trip on
+    the expectation side)."""
+    from pttcrawler_ray.multimodal import (codec_expected_row,
+                                           decode_media, make_codec_blob)
+
+    rows = [{"media_id": i, "payload": make_codec_blob(i)}
+            for i in range(9)]
+    rows.append({"media_id": 99, "payload": b"GIF89a broken"})
+    tbl = pa.concat_tables(
+        ray.get(decode_media(rd.from_items(rows), fake=False).to_arrow_refs()))
+    by_id = {r["media_id"]: r for r in tbl.to_pylist()}
+    for i in range(9):
+        kind, w, h, c, ph = codec_expected_row(i)
+        r = by_id[i]
+        assert (r["kind"], r["width"], r["height"], r["channels"],
+                r["pixel_hash"]) == (kind, w, h, c, ph), i
+        assert r["error"] is None
+    assert by_id[99]["error"].startswith("gif decode failed")
