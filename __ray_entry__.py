@@ -573,6 +573,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = docs.map_batches(not_bench, batch_format="pyarrow")
         return decontaminate(corpus, bench, n=_BENCH_NGRAM)
 
+    def decontaminate_part_docs(sf_dir):
+        """Same contamination scan through the PARTITIONED plan (the
+        benchmark-side-too-big-to-broadcast path): bench gram hashes
+        spilled to a sharded parquet store + compact bloom, corpus
+        bloom-prefiltered, one narrow shuffle, per-shard exact recheck.
+        Must equal decontaminate_docs exactly — same oracle SQL."""
+        import tempfile
+
+        from pttcrawler_ray.textops.decontam import (
+            build_benchmark_store, decontaminate_partitioned)
+
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+
+        def is_bench(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False) % _BENCH_MOD == 0))
+
+        def not_bench(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False) % _BENCH_MOD != 0))
+
+        bench = docs.map_batches(is_bench, batch_format="pyarrow")
+        corpus = docs.map_batches(not_bench, batch_format="pyarrow")
+        store = tempfile.mkdtemp(prefix="decontam_store_", dir="/tmp")
+        build_benchmark_store(bench, store, n=_BENCH_NGRAM)
+        return decontaminate_partitioned(corpus, store)
+
     def _ppm_col(arr) -> pa.Array:
         """floor(x * 1e6) as int64 — float columns are quantized with the
         SAME operation order as the SQL oracle so the comparison is exact
@@ -921,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_docs": bigram_docs,
         "repetition_docs": repetition_docs,
         "decontaminate_docs": decontaminate_docs,
+        "decontaminate_part_docs": decontaminate_part_docs,
         "lineitem_order_join": R.lineitem_order_join,
         "events_asof_orders": R.events_asof_orders,
         "events_range_orders": R.events_range_orders,
@@ -1151,6 +1180,21 @@ def oracle_sql() -> dict[str, str]:
         # engine's 64-bit rolling hashes agree except with ~2^-64
         # collision probability (same identity argument as text_hash)
         "decontaminate_docs": rf"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+                                                         '\S+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, unnest(list_transform(
+                      range(1, greatest(len(toks) - {_BENCH_NGRAM - 2}, 1)),
+                      i -> array_to_string(toks[i:i+{_BENCH_NGRAM - 1}], ' ')))
+                    AS gram FROM d),
+            bench AS (SELECT DISTINCT gram FROM g
+                      WHERE doc_id % {_BENCH_MOD} = 0)
+            SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_hits
+            FROM g JOIN bench USING (gram)
+            WHERE doc_id % {_BENCH_MOD} != 0 GROUP BY doc_id
+        """,
+        # partitioned plan must equal the broadcast plan exactly
+        "decontaminate_part_docs": rf"""
             WITH d AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''),
                                                          '\S+') AS toks
                        FROM documents),

@@ -198,6 +198,13 @@ def main(argv=None):
                          "self-report as contaminated — exclude eval doc "
                          "ids from --input if that is not wanted")
     cs.add_argument("--decontam-ngram", type=int, default=5)
+    cs.add_argument("--benchmark-store",
+                    help="use the partitioned contamination plan (for "
+                         "benchmark sides too big to broadcast): the "
+                         "sharded gram store is (re)built at this "
+                         "directory, the corpus is bloom-prefiltered and "
+                         "exactly rechecked per shard.  Same results as "
+                         "the default broadcast plan")
     cs.add_argument("--num-cpus", type=int, default=None)
 
     sch = sub.add_parser("schedule", help="upsert/remove a recurring cron job "
@@ -396,11 +403,25 @@ def main(argv=None):
                     .write_parquet(args.repetition_dest)
                 out["repetition_dest"] = args.repetition_dest
             if args.benchmark:
-                from .textops.decontam import decontaminate
+                if args.benchmark_store:
+                    import shutil
 
-                hits = decontaminate(read_parquet_clean(args.input),
-                                     read_parquet_clean(args.benchmark),
-                                     n=args.decontam_ngram).to_pandas()
+                    from .textops.decontam import (build_benchmark_store,
+                                                   decontaminate_partitioned)
+
+                    shutil.rmtree(args.benchmark_store, ignore_errors=True)
+                    build_benchmark_store(read_parquet_clean(args.benchmark),
+                                          args.benchmark_store,
+                                          n=args.decontam_ngram)
+                    hits = decontaminate_partitioned(
+                        read_parquet_clean(args.input),
+                        args.benchmark_store).to_pandas()
+                else:
+                    from .textops.decontam import decontaminate
+
+                    hits = decontaminate(read_parquet_clean(args.input),
+                                         read_parquet_clean(args.benchmark),
+                                         n=args.decontam_ngram).to_pandas()
                 out["contaminated_docs"] = int(len(hits))
                 # sum of per-doc DISTINCT-hit counts (doc × gram pairs),
                 # not a distinct-gram count

@@ -985,6 +985,39 @@ def test_decontaminate_matches_python_and_is_nonvacuous(docs):
     assert dict(zip(got["doc_id"], got["n_hits"])) == exp
 
 
+def test_decontaminate_partitioned_equals_broadcast(docs, tmp_path):
+    """The sharded-store plan (bloom prefilter -> one narrow shuffle ->
+    per-shard exact recheck) returns EXACTLY the broadcast plan's rows.
+    bits_per_key=2 forces heavy bloom false positives and n_shards=16 on
+    a tiny bench set leaves some shards empty — both must be harmless."""
+    from pttcrawler_ray.textops.decontam import (
+        build_benchmark_store, decontaminate, decontaminate_partitioned)
+
+    NGRAM, MOD = 5, 29
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % MOD == 0))
+
+    def not_bench(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % MOD != 0))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    corpus = docs.map_batches(not_bench, batch_format="pyarrow")
+
+    store = str(tmp_path / "bench_store")
+    mf = build_benchmark_store(bench, store, n=NGRAM, n_shards=16,
+                               bits_per_key=2)
+    assert mf["n_grams"] > 0
+
+    exp = decontaminate(corpus, bench, n=NGRAM).to_pandas()
+    got = decontaminate_partitioned(corpus, store).to_pandas()
+    assert len(exp) > 0
+    assert dict(zip(got["doc_id"], got["n_hits"])) == \
+        dict(zip(exp["doc_id"], exp["n_hits"]))
+
+
 def test_corpus_stats_null_and_tiny_docs(ray_session):
     """Null / empty / sub-n-gram texts flow through all three new ops
     without nulls leaking into grams or NaNs into scores."""
@@ -1055,6 +1088,18 @@ def test_corpus_stats_cli(tmp_path):
     # CLI scans the WHOLE input (bench docs self-match), so hits ⊇ the
     # 7 cross-slice near-dups known from the oracle check
     assert res["contaminated_docs"] >= 7
+
+    # --benchmark-store switches to the partitioned plan; identical counts
+    out2 = subprocess.run(
+        [sys.executable, "-m", "pttcrawler_ray", "corpus-stats",
+         "--input", src, "--benchmark", bench,
+         "--benchmark-store", str(tmp_path / "bstore"), "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    res2 = _json.loads(out2.stdout.strip().splitlines()[-1])
+    assert res2["contaminated_docs"] == res["contaminated_docs"]
+    assert res2["contaminated_doc_gram_pairs"] == \
+        res["contaminated_doc_gram_pairs"]
 
 
 def test_paragraph_dedup_paths_match_duckdb(ray_session, monkeypatch):
