@@ -203,7 +203,8 @@ def run_queries_bench(sf_dir: str) -> dict[str, float]:
              "top_orders", "orders_denorm", "exact_dedup_docs",
              "token_counts_docs", "minhash_pairs_docs", "knn_top1",
              "split_docs", "pack_docs", "vocab_docs", "decontaminate_docs",
-             "paragraph_dedup_docs", "redact_pii_docs", "quantiles_price"]
+             "decontaminate_part_docs", "paragraph_dedup_docs",
+             "redact_pii_docs", "quantiles_price"]
     times: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()
