@@ -898,9 +898,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "width", "height", "channels", "pixel_hash"])
 
     def multimodal_codecs(sf_dir):
-        """REAL GIF/BMP/WAV decode: per doc a round-robin container blob
-        (full LZW inflate for GIF, row-unpad for BMP, PCM parse for WAV)
-        must reproduce the oracle's hash of the GENERATED source arrays."""
+        """REAL GIF/BMP/WAV/JPEG decode: per doc a round-robin container
+        blob (full LZW inflate for GIF, row-unpad for BMP, PCM parse for
+        WAV, baseline Huffman+IDCT for JPEG) must reproduce the oracle's
+        hash of the GENERATED source arrays."""
         from pttcrawler_ray.multimodal import decode_media, make_codec_blob
 
         _ctx()

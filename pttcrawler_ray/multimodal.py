@@ -7,23 +7,30 @@ rows).
 
 Codec coverage in this container:
 
-- **PNG, GIF, BMP and WAV are decoded for real**, pure stdlib:
-  :func:`decode_png` (zlib inflate + the five scanline unfilters, 8-bit
-  non-interlaced gray / gray+alpha / RGB / RGBA), :func:`decode_gif`
-  (full GIF-variant LZW with growing code widths and table resets,
-  global/local color tables), :func:`decode_bmp` (24-bit uncompressed,
-  top-down and bottom-up), and :func:`decode_wav` (stdlib ``wave``,
-  8/16-bit PCM).  Each has a fixture-side encoder twin (
-  :func:`encode_png` / :func:`encode_gif` / :func:`encode_bmp` /
-  :func:`encode_wav`) so tests pin decode(encode(x)) == x and the
-  driver oracle hashes real pixels.  ``DecodeMedia`` (any mode)
-  recognises all four signatures.
-- Everything else (JPEG/ffmpeg/torchaudio class) is STUBBED: those
-  libraries are not in this environment, so such payloads decode only
-  via the clearly-marked deterministic fake codec (``fake=True``,
-  header-parse of the synthetic ``PTMM`` blob format) and otherwise come
-  back as typed error rows.  Everything around the stub — schema, actor
-  signature, batch sizing, output layout — is real and tested.
+- **PNG, GIF, BMP, WAV and JPEG are decoded for real**, pure
+  stdlib/numpy: :func:`decode_png` (zlib inflate + the five scanline
+  unfilters, 8-bit non-interlaced gray / gray+alpha / RGB / RGBA),
+  :func:`decode_gif` (full GIF-variant LZW with growing code widths and
+  table resets, global/local color tables), :func:`decode_bmp` (24-bit
+  uncompressed, top-down and bottom-up), :func:`decode_wav` (stdlib
+  ``wave``, 8/16-bit PCM), and :func:`decode_jpeg` (baseline SOF0:
+  marker parse, canonical Huffman entropy decode with byte-unstuffing
+  and RSTn restarts, dequantize + vectorized IDCT, JFIF YCbCr→RGB;
+  grayscale or 4:4:4 — progressive/subsampled/12-bit raise).  Each has
+  a fixture-side encoder twin (:func:`encode_png` / :func:`encode_gif`
+  / :func:`encode_bmp` / :func:`encode_wav` / :func:`encode_jpeg`) so
+  tests pin decode(encode(x)) == x (JPEG: bit-exact on 8x8
+  block-constant sources under quantizer-of-ones, bounded-error on
+  arbitrary images — it is a lossy codec) and the driver oracle hashes
+  real pixels.  ``DecodeMedia`` (any mode) recognises all five
+  signatures.
+- Everything else (ffmpeg/torchaudio-class video+audio codecs) is
+  STUBBED: those libraries are not in this environment, so such
+  payloads decode only via the clearly-marked deterministic fake codec
+  (``fake=True``, header-parse of the synthetic ``PTMM`` blob format)
+  and otherwise come back as typed error rows.  Everything around the
+  stub — schema, actor signature, batch sizing, output layout — is
+  real and tested.
 
 Synthetic blob format (``make_fake_blob``):
 ``b"PTMM" | u8 kind | u16 width | u16 height | u8 channels | payload``.
@@ -536,17 +543,433 @@ def make_gif_blob(media_id: int) -> bytes:
     return encode_gif(idx, pal)
 
 
-_CODEC_KINDS = ("gif", "bmp", "wav")
+# ---------------------------------------------------------- real JPEG codec
+# Baseline DCT JPEG (ITU T.81 SOF0), pure numpy/stdlib: generic marker
+# parse (DQT / DHT / DRI / SOS, APPn/COM skipped), canonical Huffman
+# entropy decode with byte-unstuffing and RSTn predictor resets,
+# dequantize + inverse zigzag + vectorized 8x8 IDCT (one einsum over all
+# blocks per component), JFIF YCbCr->RGB.  Scope: 8-bit baseline,
+# grayscale or 3-component 4:4:4 (all sampling factors 1x1); progressive
+# (SOF2), subsampled, arithmetic-coded or 12-bit streams raise
+# ``ValueError`` and surface as typed error rows.  The fixture-side
+# encoder twin emits quantizer-of-ones streams with fixed-length
+# canonical Huffman tables (legal per Annex C, wasteful on purpose —
+# the decoder must read real DHT segments either way), so 8x8
+# block-constant sources round-trip BIT-EXACTLY: a constant block has
+# only a DC coefficient 8*(c-128), an exact integer under quant 1.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    np.int64)
+
+
+def _dct_basis() -> "np.ndarray":
+    k = np.arange(8, dtype=np.float64)
+    c = 0.5 * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    c[0] *= 1 / np.sqrt(2)
+    return c  # F = C @ (block-128) @ C.T ; block = C.T @ F @ C + 128
+
+
+_DCT_C = _dct_basis()
+
+
+def ycbcr_to_rgb(ycc: "np.ndarray") -> "np.ndarray":
+    """JFIF (BT.601 full-range) YCbCr → RGB, rounded and clipped — the
+    SAME closed form the oracle uses to compute expected pixels."""
+    f = ycc.astype(np.float64)
+    y, cb, cr = f[..., 0], f[..., 1] - 128.0, f[..., 2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def rgb_to_ycbcr(rgb: "np.ndarray") -> "np.ndarray":
+    f = rgb.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    ycc = np.stack([0.299 * r + 0.587 * g + 0.114 * b,
+                    128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                    128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b], axis=-1)
+    return np.clip(np.round(ycc), 0, 255).astype(np.uint8)
+
+
+class _BitReader:
+    """MSB-first reader over UNSTUFFED scan bytes."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("JPEG scan data exhausted")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.bits):
+            raise ValueError("JPEG scan data exhausted")
+        v = 0
+        for b in self.bits[self.pos:self.pos + n]:
+            v = (v << 1) | int(b)
+        self.pos += n
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude code."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_decode_table(bits: "list[int]", vals: bytes) -> dict:
+    """DHT (BITS, HUFFVAL) → {(length, code): symbol} canonical map."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _idct_blocks(coef: "np.ndarray") -> "np.ndarray":
+    """(n, 8, 8) dequantized coefficients → (n, 8, 8) uint8 samples."""
+    spatial = np.einsum("ij,njk,kl->nil", _DCT_C.T, coef, _DCT_C)
+    return np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(blob: bytes):
+    """Real baseline JPEG decode → ``(width, height, channels, pixels)``
+    (pixels ``(h, w)`` uint8 gray or ``(h, w, 3)`` uint8 RGB)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, qt, ht = 2, {}, {}
+    frame, restart = None, 0
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seg_len = struct.unpack(">H", blob[pos:pos + 2])[0]
+        seg = blob[pos + 2:pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quantizers unsupported")
+                qt[tq] = np.frombuffer(seg[i + 1:i + 65], np.uint8) \
+                    .astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                ht[(tc, th)] = _huff_decode_table(
+                    bits, seg[i + 17:i + 17 + n])
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (4:4:4 only)")
+                comps.append({"id": cid, "tq": tq})
+            frame = {"w": int(w), "h": int(h), "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG frame 0x{marker:02x}")
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c:3 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append({"tq": comp["tq"],
+                             "dc": (0, tda >> 4), "ac": (1, tda & 15)})
+            return _decode_scan(blob, pos, frame, scan, qt, ht, restart)
+    raise ValueError("JPEG has no scan")
+
+
+def _decode_scan(blob: bytes, pos: int, frame, scan, qt, ht, restart: int):
+    w, h = frame["w"], frame["h"]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    n_mcu = bw * bh
+    # split the entropy stream at RSTn markers, unstuffing 0xFF00
+    segments, cur = [], bytearray()
+    i = pos
+    while i < len(blob) - 1:
+        if blob[i] == 0xFF:
+            nxt = blob[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(blob[i])
+        i += 1
+    segments.append(bytes(cur))
+
+    coefs = [np.zeros((n_mcu, 64), np.int32) for _ in scan]
+    mcu = 0
+    for seg_bytes in segments:
+        br = _BitReader(seg_bytes)
+        pred = [0] * len(scan)
+        end = min(n_mcu, mcu + restart) if restart else n_mcu
+        while mcu < end:
+            for ci, comp in enumerate(scan):
+                dc_tab, ac_tab = ht[comp["dc"]], ht[comp["ac"]]
+                s = _huff_read(br, dc_tab)
+                pred[ci] += _extend(br.receive(s), s)
+                blk = coefs[ci][mcu]
+                blk[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_read(br, ac_tab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    blk[k] = _extend(br.receive(s), s)
+                    k += 1
+            mcu += 1
+        if mcu >= n_mcu:
+            break
+    if mcu < n_mcu:
+        raise ValueError("JPEG scan truncated")
+
+    planes = []
+    for ci, comp in enumerate(scan):
+        dq = coefs[ci] * qt[comp["tq"]][None, :]
+        blocks = np.zeros_like(dq)  # inverse zigzag via fancy index
+        blocks[:, _ZIGZAG] = dq
+        px = _idct_blocks(blocks.reshape(-1, 8, 8).astype(np.float64))
+        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3) \
+                  .reshape(bh * 8, bw * 8)[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        return w, h, 1, planes[0]
+    if len(planes) != 3:
+        raise ValueError(f"{len(planes)}-component JPEG unsupported")
+    return w, h, 3, ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+# fixed-length canonical tables (see section comment): 12 DC symbols at
+# 5 bits; the 162 AC symbols legal in 8-bit baseline (EOB, ZRL, and
+# run 0-15 x size 1-10) at 8 bits — neither set reaches the all-ones
+# code, and each per-length count fits the one-byte DHT Li field
+_ENC_DC_BITS = [0, 0, 0, 0, 12] + [0] * 11
+_ENC_DC_VALS = bytes(range(12))
+_ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
+_ENC_AC_VALS = bytes(sorted({0x00, 0xF0} | {(r << 4) | s
+                                            for r in range(16)
+                                            for s in range(1, 11)}))
+
+
+def _huff_encode_table(bits, vals) -> dict:
+    enc, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, length: int, code: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def pad(self) -> None:
+        """Pad to a byte boundary with 1-bits (before RSTn / at scan end)."""
+        if self.nbits:
+            n = 8 - self.nbits
+            self.write(n, (1 << n) - 1)
+
+    def raw(self, data: bytes) -> None:
+        """Emit marker bytes verbatim (caller must be byte-aligned)."""
+        assert self.nbits == 0
+        self.out += data
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (SSSS category, SSSS-bit code) per T.81 F.1.2.1."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(arr: "np.ndarray", source: str = "ycbcr",
+                restart_interval: int = 0) -> bytes:
+    """Fixture-side baseline JPEG encoder twin: ``(h, w)`` uint8 gray or
+    ``(h, w, 3)`` uint8 planes → JFIF bytes with quantizer-of-ones
+    tables.  ``source='ycbcr'`` treats 3-channel input as already-YCbCr
+    planes (what block-exact fixtures want); ``source='rgb'`` converts
+    first (a real-image path, lossy by rounding).  ``restart_interval``
+    > 0 emits a DRI segment and RSTn markers every that many MCUs (so
+    the decoder's restart/predictor-reset path is pinned by test)."""
+    arr = np.asarray(arr, np.uint8)
+    if arr.ndim == 3 and source == "rgb":
+        arr = rgb_to_ycbcr(arr)
+    h, w = arr.shape[:2]
+    ncomp = 1 if arr.ndim == 2 else arr.shape[2]
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 channels")
+    planes = [arr] if ncomp == 1 else [arr[..., c] for c in range(ncomp)]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    dc_enc = _huff_encode_table(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_enc = _huff_encode_table(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    bwr = _BitWriter()
+    pred = [0] * ncomp
+    mcu = rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bwr.pad()
+                bwr.raw(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                pred = [0] * ncomp
+            mcu += 1
+            for ci, plane in enumerate(planes):
+                pad = np.empty((8, 8), np.float64)
+                ys = np.minimum(np.arange(by * 8, by * 8 + 8), h - 1)
+                xs = np.minimum(np.arange(bx * 8, bx * 8 + 8), w - 1)
+                pad[:] = plane[np.ix_(ys, xs)].astype(np.float64) - 128.0
+                coef = np.round(_DCT_C @ pad @ _DCT_C.T).astype(np.int64)
+                zz = coef.reshape(-1)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, code = _magnitude(diff)
+                bwr.write(*dc_enc[s])
+                if s:
+                    bwr.write(s, code)
+                nz = np.nonzero(zz[1:])[0]
+                k = 0
+                for idx in nz:
+                    run = int(idx) - k
+                    while run > 15:
+                        bwr.write(*ac_enc[0xF0])  # ZRL
+                        run -= 16
+                    s, code = _magnitude(int(zz[1 + idx]))
+                    bwr.write(*ac_enc[(run << 4) | s])
+                    bwr.write(s, code)
+                    k = int(idx) + 1
+                if k < 63:
+                    bwr.write(*ac_enc[0x00])  # EOB
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([c + 1, 0x11, 0]) for c in range(ncomp)))
+    dht = seg(0xC4, b"\x00" + bytes(_ENC_DC_BITS) + _ENC_DC_VALS) + \
+        seg(0xC4, b"\x10" + bytes(_ENC_AC_BITS) + _ENC_AC_VALS)
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
+    sos = seg(0xDA, bytes([ncomp]) + b"".join(
+        bytes([c + 1, 0x00]) for c in range(ncomp)) + b"\x00\x3f\x00")
+    return (b"\xff\xd8" + dqt + sof + dht + dri + sos + bwr.flush()
+            + b"\xff\xd9")
+
+
+def make_jpeg_source(media_id: int):
+    """Deterministic 8x8-block-constant source: ``(planes,
+    expected_pixels)``.  Gray ids return ``((h, w) gray, same array)``;
+    color ids return ``((h, w, 3) YCbCr planes, closed-form RGB)`` —
+    block-constant planes survive DCT+quant-1 bit-exactly, so the
+    decoder must reproduce ``expected_pixels`` EXACTLY."""
+    rng = np.random.default_rng(media_id ^ 0x4A504547)  # 'JPEG'
+    hb, wb = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+    if rng.integers(0, 2) == 0:
+        cells = rng.integers(0, 256, size=(hb, wb), dtype=np.uint8)
+        img = np.repeat(np.repeat(cells, 8, 0), 8, 1)
+        return img, img
+    cells = rng.integers(0, 256, size=(hb, wb, 3), dtype=np.uint8)
+    ycc = np.repeat(np.repeat(cells, 8, 0), 8, 1)
+    return ycc, ycbcr_to_rgb(ycc)
+
+
+def make_jpeg_blob(media_id: int) -> bytes:
+    planes, _ = make_jpeg_source(media_id)
+    return encode_jpeg(planes, source="ycbcr")
+
+
+_CODEC_KINDS = ("gif", "bmp", "wav", "jpeg")
 
 
 def make_codec_blob(media_id: int) -> bytes:
-    """Round-robin real-codec blob for the driver query: media_id % 3
-    picks GIF / BMP / WAV."""
-    k = _CODEC_KINDS[media_id % 3]
+    """Round-robin real-codec blob for the driver query: media_id % 4
+    picks GIF / BMP / WAV / JPEG."""
+    k = _CODEC_KINDS[media_id % len(_CODEC_KINDS)]
     if k == "gif":
         return make_gif_blob(media_id)
     if k == "bmp":
         return make_bmp_blob(media_id)
+    if k == "jpeg":
+        return make_jpeg_blob(media_id)
     return make_wav_blob(media_id)
 
 
@@ -554,8 +977,10 @@ def codec_expected_row(media_id: int):
     """Oracle-side expected (kind, width, height, channels, pixel_hash)
     computed from the GENERATED source arrays — no encode/decode
     round-trip, so the engine must really inflate the container bytes
-    to match (wav maps as width=n_frames, height=sample_rate)."""
-    k = _CODEC_KINDS[media_id % 3]
+    to match (wav maps as width=n_frames, height=sample_rate; JPEG
+    expected pixels are the closed-form color transform of the
+    block-constant source planes, bit-exact under quant 1)."""
+    k = _CODEC_KINDS[media_id % len(_CODEC_KINDS)]
     if k == "gif":
         idx, pal = make_gif_source(media_id)
         px = pal[idx]
@@ -564,6 +989,11 @@ def codec_expected_row(media_id: int):
     if k == "bmp":
         px = make_bmp_source(media_id)
         return ("image", px.shape[1], px.shape[0], 3,
+                hash_u64(px.reshape(-1).tobytes()))
+    if k == "jpeg":
+        _, px = make_jpeg_source(media_id)
+        c = 1 if px.ndim == 2 else 3
+        return ("image", px.shape[1], px.shape[0], c,
                 hash_u64(px.reshape(-1).tobytes()))
     samples, sr = make_wav_source(media_id)
     return ("audio", samples.shape[0], sr, samples.shape[1],
@@ -574,11 +1004,12 @@ class DecodeMedia:
     """map_batches actor: payload → decoded metadata + feature vector +
     ``pixel_hash`` (64-bit hash of the decoded pixel bytes).
 
-    PNG payloads decode for REAL in every mode (:func:`decode_png`,
-    stdlib zlib).  The synthetic ``PTMM`` container decodes only with
-    ``fake=True`` (the clearly-marked deterministic fake codec); any
-    other container returns a typed error row naming the missing codec —
-    the libraries (Pillow/ffmpeg) are not in this environment.
+    PNG / GIF / BMP / WAV / JPEG payloads decode for REAL in every mode
+    (pure stdlib/numpy codecs above).  The synthetic ``PTMM`` container
+    decodes only with ``fake=True`` (the clearly-marked deterministic
+    fake codec); any other container returns a typed error row naming
+    the missing codec — the libraries (Pillow/ffmpeg) are not in this
+    environment.
     """
 
     def __init__(self, fake: bool = False, feature_dim: int = 16):
@@ -619,6 +1050,14 @@ class DecodeMedia:
                 w, h, c, px = decode_gif(blob)
             except ValueError as e:
                 return f"gif decode failed: {e}"
+            flat = px.reshape(-1)
+            return ("image", w, h, c, self._features(flat),
+                    hash_u64(flat.tobytes()))
+        if blob[:2] == b"\xff\xd8":
+            try:
+                w, h, c, px = decode_jpeg(blob)
+            except ValueError as e:
+                return f"jpeg decode failed: {e}"
             flat = px.reshape(-1)
             return ("image", w, h, c, self._features(flat),
                     hash_u64(flat.tobytes()))

@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 5
+ORACLE_VERSION = 6  # v6: JPEG joined the multimodal_codecs rotation
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -582,9 +582,11 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "pixel_hash": pa.array(mp["pixel_hash"], pa.uint64()),
     })
 
-    # --- multimodal_codecs: GIF/BMP/WAV expected rows from the GENERATED
-    # sources (palette-mapped pixels / RGB array / PCM samples) — the
-    # engine must LZW-inflate / row-unpad / PCM-parse real bytes to match
+    # --- multimodal_codecs: GIF/BMP/WAV/JPEG expected rows from the
+    # GENERATED sources (palette-mapped pixels / RGB array / PCM samples /
+    # closed-form color transform of block-constant planes) — the engine
+    # must LZW-inflate / row-unpad / PCM-parse / Huffman+IDCT-decode real
+    # bytes to match
     from ..multimodal import codec_expected_row
 
     mc = {"media_id": [], "kind": [], "width": [], "height": [],

@@ -242,20 +242,83 @@ def test_decode_gif_bmp_wav_round_trip():
                                                   list(range(256)))
 
 
+def test_decode_jpeg_block_exact_and_lossy_bounds():
+    """Baseline JPEG: 8x8 block-constant sources (DC-only coefficients)
+    round-trip BIT-EXACTLY under quantizer-of-ones; arbitrary images
+    come back within DCT-rounding bounds; restart markers (DRI + RSTn,
+    predictor resets) decode identically to the unsegmented stream."""
+    import numpy as np
+
+    from pttcrawler_ray.multimodal import (decode_jpeg, encode_jpeg,
+                                           make_jpeg_blob,
+                                           make_jpeg_source)
+
+    for mid in range(40):
+        _, exp = make_jpeg_source(mid)
+        w, h, c, px = decode_jpeg(make_jpeg_blob(mid))
+        assert (w, h) == (exp.shape[1], exp.shape[0])
+        assert c == (1 if exp.ndim == 2 else 3)
+        np.testing.assert_array_equal(px, exp)
+
+    rng = np.random.default_rng(11)
+    # gray, non-multiple-of-8 dims (edge-replication padding + crop)
+    img = rng.integers(0, 256, size=(37, 51), dtype=np.uint8)
+    w, h, c, px = decode_jpeg(encode_jpeg(img))
+    assert (w, h, c) == (51, 37, 1)
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 2
+    # rgb: color-transform rounding adds a little
+    img3 = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    w, h, c, px = decode_jpeg(encode_jpeg(img3, source="rgb"))
+    assert (w, h, c) == (24, 24, 3)
+    assert np.abs(px.astype(int) - img3.astype(int)).max() <= 4
+
+    # restart intervals must not change decoded pixels
+    base = decode_jpeg(encode_jpeg(img))[3]
+    for ri in (1, 3, 7):
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg(img, restart_interval=ri))[3], base)
+
+
+def test_decode_jpeg_rejects_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pttcrawler_ray.multimodal import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"JUNK")
+    blob = bytearray(encode_jpeg(
+        np.zeros((8, 8), np.uint8)))
+    sof = blob.index(b"\xff\xc0")
+    prog = bytes(blob[:sof]) + b"\xff\xc2" + bytes(blob[sof + 2:])
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(prog)
+    # corrupt the sampling byte -> subsampled rejection
+    sub = bytearray(blob)
+    sub[sof + 2 + 2 + 6 + 1] = 0x22  # component 0 H/V
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(sub))
+    # truncated scan
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob[:sof]) + b"\xff\xd9")
+
+
 def test_decode_media_real_codecs(ray_session):
-    """decode_media(fake=False) recognises GIF/BMP/WAV signatures and
-    reproduces hashes of the generated SOURCE arrays (no round-trip on
-    the expectation side)."""
+    """decode_media(fake=False) recognises GIF/BMP/WAV/JPEG signatures
+    and reproduces hashes of the generated SOURCE arrays (no round-trip
+    on the expectation side)."""
     from pttcrawler_ray.multimodal import (codec_expected_row,
                                            decode_media, make_codec_blob)
 
     rows = [{"media_id": i, "payload": make_codec_blob(i)}
-            for i in range(9)]
+            for i in range(12)]
     rows.append({"media_id": 99, "payload": b"GIF89a broken"})
     tbl = pa.concat_tables(
         ray.get(decode_media(rd.from_items(rows), fake=False).to_arrow_refs()))
     by_id = {r["media_id"]: r for r in tbl.to_pylist()}
-    for i in range(9):
+    for i in range(12):
         kind, w, h, c, ph = codec_expected_row(i)
         r = by_id[i]
         assert (r["kind"], r["width"], r["height"], r["channels"],
