@@ -919,6 +919,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "kind", "width", "height", "channels",
              "pixel_hash"])
 
+    def multimodal_resize(sf_dir):
+        """REAL resize stage over real containers: GIF/BMP/JPEG blobs
+        decode, nearest-neighbor resample to 16x12 (closed-form index
+        map), re-encode as lossless PNG, then RE-DECODE — the final
+        pixel hash must equal the oracle's resample of the GENERATED
+        source arrays (audio rotation slots excluded)."""
+        from pttcrawler_ray.multimodal import (decode_media,
+                                               make_codec_blob,
+                                               resize_media)
+
+        _ctx()
+        _ensure_docs_oracle(sf_dir)
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id"])
+        def mk(t: pa.Table) -> pa.Table:
+            ids = [i for i in t["doc_id"].to_pylist() if i % 4 != 2]
+            return pa.table({
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array([make_codec_blob(i) for i in ids],
+                                    pa.binary())})
+
+        blobs = docs.map_batches(mk, batch_format="pyarrow")
+        resized = resize_media(blobs, 16, 12, fake=False)
+        return decode_media(resized, fake=False).select_columns(
+            ["media_id", "width", "height", "channels", "pixel_hash"])
+
     return {
         # --- SQL-checked relational operators over the testdata views -----
         "latest_event_per_user": R.latest_event_per_user,
@@ -981,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
         "multimodal_codecs": multimodal_codecs,
+        "multimodal_resize": multimodal_resize,
         "curate_docs": curate_docs,
     }
 
@@ -1375,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _docs_oracle_select("multimodal_decode"),
         "multimodal_png": _docs_oracle_select("multimodal_png"),
         "multimodal_codecs": _docs_oracle_select("multimodal_codecs"),
+        "multimodal_resize": _docs_oracle_select("multimodal_resize"),
         "knn_ivf": _docs_oracle_select("knn_ivf"),
         "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
     }

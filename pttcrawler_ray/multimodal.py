@@ -1000,6 +1000,27 @@ def codec_expected_row(media_id: int):
             hash_u64(samples.tobytes()))
 
 
+def resize_expected_row(media_id: int, width: int, height: int):
+    """Oracle-side expected (width, height, channels, pixel_hash) of the
+    REAL resize stage: :func:`resize_pixels` applied to the GENERATED
+    source pixels — independent of the container decode/encode
+    machinery.  Returns ``None`` for audio rotation slots (resize is
+    undefined there)."""
+    k = _CODEC_KINDS[media_id % len(_CODEC_KINDS)]
+    if k == "wav":
+        return None
+    if k == "gif":
+        idx, pal = make_gif_source(media_id)
+        src = pal[idx]
+    elif k == "bmp":
+        src = make_bmp_source(media_id)
+    else:
+        _, src = make_jpeg_source(media_id)
+    out = resize_pixels(src, width, height)
+    return (width, height, out.shape[2],
+            hash_u64(out.reshape(-1).tobytes()))
+
+
 class DecodeMedia:
     """map_batches actor: payload → decoded metadata + feature vector +
     ``pixel_hash`` (64-bit hash of the decoded pixel bytes).
@@ -1111,46 +1132,91 @@ class DecodeMedia:
         })
 
 
-def decode_media(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 64):
-    """Actor-pool decode stage; small batch size — binary rows are wide."""
+def decode_media(ds, fake: bool = True, concurrency=(1, 2), batch_size: int = 64):
+    """Actor-pool decode stage; small batch size — binary rows are wide.
+    Autoscaling ``(1, n)`` pool so chained codec stages (resize → decode)
+    can't starve each other on small CPU budgets."""
     return ds.map_batches(
         DecodeMedia, fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
 
 
+def decode_image(blob: bytes):
+    """Container dispatch over the REAL image codecs: PNG / BMP / GIF /
+    JPEG signature → ``(w, h, c, pixels)``; other bytes raise
+    ``ValueError``."""
+    if blob[:8] == _PNG_SIG:
+        return decode_png(blob)
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(blob)
+    if blob[:2] == b"\xff\xd8":
+        return decode_jpeg(blob)
+    raise ValueError("not a supported image container")
+
+
+def resize_pixels(px: "np.ndarray", width: int, height: int) -> "np.ndarray":
+    """Nearest-neighbor resample with the fixed index map
+    ``src = arange(dst) * src_dim // dst_dim`` — closed-form, so the
+    oracle can compute expected output pixels without the codecs."""
+    px = np.asarray(px, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w = px.shape[:2]
+    ys = np.arange(height) * h // height
+    xs = np.arange(width) * w // width
+    return px[ys][:, xs]
+
+
 class ResizeMedia:
     """map_batches actor: payload → payload resized to (w, h).
 
-    Real path = codec resample (unavailable here → stub); fake path
-    deterministically rewrites the header and nearest-neighbor-samples the
-    byte grid, so output blobs are themselves decodable."""
+    REAL image containers (PNG/BMP/GIF/JPEG) decode through the stdlib
+    codecs, nearest-neighbor resample (:func:`resize_pixels`), and
+    re-encode LOSSLESSLY as PNG — output blobs are themselves decodable
+    by the decode stage.  The synthetic ``PTMM`` container resizes only
+    with ``fake=True`` (header rewrite + byte-grid sampling); audio and
+    unknown containers come back as typed error rows."""
 
     def __init__(self, width: int, height: int, fake: bool = False):
-        if not fake:
-            raise NotImplementedError(
-                "media codecs are not available; use ResizeMedia(..., fake=True)")
         self.w = width
         self.h = height
+        self.fake = fake
 
     def _resize_one(self, blob: bytes):
-        if blob[:4] != _MAGIC:
-            return None
-        kind_i, w, h, c = struct.unpack("<BHHB", blob[4:10])
-        grid = np.frombuffer(blob[10:10 + w * h * c], dtype=np.uint8)
-        if len(grid) < w * h * c:
-            return None
-        grid = grid.reshape(h, w, c)
-        ys = (np.arange(self.h) * h // self.h)
-        xs = (np.arange(self.w) * w // self.w)
-        out = grid[ys][:, xs].tobytes()
-        return _MAGIC + struct.pack("<BHHB", kind_i, self.w, self.h, c) + out
+        """Resized payload bytes, or an error string."""
+        if blob[:4] == _MAGIC:
+            if not self.fake:
+                return ("codec unavailable for synthetic PTMM container "
+                        "(use fake=True)")
+            kind_i, w, h, c = struct.unpack("<BHHB", blob[4:10])
+            grid = np.frombuffer(blob[10:10 + w * h * c], dtype=np.uint8)
+            if len(grid) < w * h * c:
+                return "resize failed: PTMM payload short"
+            out = resize_pixels(grid.reshape(h, w, c), self.w, self.h)
+            return _MAGIC + struct.pack("<BHHB", kind_i, self.w, self.h,
+                                        c) + out.tobytes()
+        if blob[:4] == b"RIFF":
+            return "resize undefined for audio container"
+        try:
+            _w, _h, c, px = decode_image(blob)
+        except ValueError as e:
+            return f"resize failed: {e}"
+        out = resize_pixels(px, self.w, self.h)
+        return encode_png(out if c > 1 else out[:, :, 0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads, errors = [], []
         for blob in batch["payload"].to_pylist():
-            res = self._resize_one(blob) if blob else None
-            payloads.append(res)
-            errors.append(None if res is not None else "resize failed")
+            res = (self._resize_one(blob) if blob
+                   else "resize failed: empty payload")
+            if isinstance(res, str):
+                payloads.append(None)
+                errors.append(res)
+            else:
+                payloads.append(res)
+                errors.append(None)
         out = batch.drop_columns(["payload"])
         out = out.append_column("payload", pa.array(payloads, pa.binary()))
         return out.append_column("error", pa.array(errors, pa.string()))
@@ -1199,7 +1265,7 @@ class FrameSample:
 
 
 def resize_media(ds, width: int, height: int, fake: bool = True,
-                 concurrency: int = 2, batch_size: int = 64):
+                 concurrency=(1, 2), batch_size: int = 64):
     return ds.map_batches(
         ResizeMedia, fn_constructor_kwargs={"width": width, "height": height, "fake": fake},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 6  # v6: JPEG joined the multimodal_codecs rotation
+ORACLE_VERSION = 7  # v6: JPEG joined multimodal_codecs; v7: real resize
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -608,6 +608,31 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "pixel_hash": pa.array(mc["pixel_hash"], pa.uint64()),
     })
 
+    # --- multimodal_resize: closed-form nearest-neighbor resample of the
+    # GENERATED image sources to 16x12 (audio rotation slots skipped) —
+    # the engine must decode + resample + PNG-re-encode + re-decode to match
+    from ..multimodal import resize_expected_row
+
+    mr = {"media_id": [], "width": [], "height": [], "channels": [],
+          "pixel_hash": []}
+    for i in ids:
+        row = resize_expected_row(i, 16, 12)
+        if row is None:
+            continue
+        w, h, c, ph = row
+        mr["media_id"].append(i)
+        mr["width"].append(w)
+        mr["height"].append(h)
+        mr["channels"].append(c)
+        mr["pixel_hash"].append(ph)
+    multimodal_resize = pa.table({
+        "media_id": pa.array(mr["media_id"], pa.int64()),
+        "width": pa.array(mr["width"], pa.int32()),
+        "height": pa.array(mr["height"], pa.int32()),
+        "channels": pa.array(mr["channels"], pa.int32()),
+        "pixel_hash": pa.array(mr["pixel_hash"], pa.uint64()),
+    })
+
     # --- knn_ivf: sequential single-process run of the same algorithm -------
     emb_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
@@ -701,6 +726,7 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "multimodal_decode": multimodal,
         "multimodal_png": multimodal_png,
         "multimodal_codecs": multimodal_codecs,
+        "multimodal_resize": multimodal_resize,
         "knn_ivf": knn_ivf,
         "knn_ivfpq": knn_ivfpq,
     }

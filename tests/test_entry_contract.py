@@ -72,7 +72,7 @@ _PATH_ORACLES = {
     "crawl_watermarks", "crawl_robots_blocked", "user_last_record",
     "fingerprint_docs", "simhash_pairs_docs", "curate_docs",
     "multimodal_decode", "multimodal_png", "multimodal_codecs",
-    "knn_ivf", "knn_ivfpq",
+    "multimodal_resize", "knn_ivf", "knn_ivfpq",
 }
 
 

@@ -13,20 +13,56 @@ import ray.data as rd
 
 
 def test_resize_media(ray_session):
-    from pttcrawler_ray.multimodal import DecodeMedia, ResizeMedia, make_fake_blob, resize_media
-
-    with pytest.raises(NotImplementedError):
-        ResizeMedia(8, 8, fake=False)
+    from pttcrawler_ray.multimodal import DecodeMedia, make_fake_blob, resize_media
 
     rows = [{"media_id": i, "payload": make_fake_blob(i)} for i in range(12)]
     rows.append({"media_id": 99, "payload": b"junk"})
     out = resize_media(rd.from_items(rows), 8, 6, fake=True).to_pandas()
     ok = out[out["error"].isna()]
-    assert len(ok) == 12 and out[out["media_id"] == 99]["error"].iloc[0] == "resize failed"
+    assert len(ok) == 12
+    assert out[out["media_id"] == 99]["error"].iloc[0].startswith(
+        "resize failed")
     # resized blobs are themselves decodable at the new dimensions
     dec = DecodeMedia(fake=True)
     k, w, h, c, _, _ph = dec._decode_one(ok.iloc[0]["payload"])
     assert (w, h, c) == (8, 6, 3)
+    # PTMM without fake=True is a typed error row, not a crash
+    out2 = resize_media(rd.from_items(rows[:1]), 8, 6, fake=False).to_pandas()
+    assert out2["error"].iloc[0].startswith("codec unavailable")
+
+
+def test_resize_media_real_containers(ray_session):
+    """Real containers resize for real: decode -> closed-form
+    nearest-neighbor -> lossless PNG re-encode; output pixels equal
+    resize_pixels() of the generated SOURCE arrays, and audio payloads
+    come back as typed error rows."""
+    import numpy as np
+
+    from pttcrawler_ray.multimodal import (decode_png, make_bmp_source,
+                                           make_codec_blob, make_gif_source,
+                                           make_jpeg_source, resize_media,
+                                           resize_pixels)
+
+    rows = [{"media_id": i, "payload": make_codec_blob(i)} for i in range(8)]
+    out = resize_media(rd.from_items(rows), 16, 12, fake=False).to_pandas() \
+        .set_index("media_id").sort_index()
+    for i in range(8):
+        k = i % 4
+        if k == 2:  # wav
+            assert out.loc[i, "error"] == "resize undefined for audio container"
+            continue
+        assert out.loc[i, "error"] is None, out.loc[i, "error"]
+        if k == 0:
+            idx, pal = make_gif_source(i)
+            src = pal[idx]
+        elif k == 1:
+            src = make_bmp_source(i)
+        else:
+            _, src = make_jpeg_source(i)
+        exp = resize_pixels(src, 16, 12)
+        w, h, c, px = decode_png(out.loc[i, "payload"])
+        assert (w, h) == (16, 12)
+        np.testing.assert_array_equal(px.reshape(12, 16, -1), exp)
 
 
 def test_frame_sample(ray_session):
