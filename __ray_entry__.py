@@ -68,6 +68,11 @@ _ORACLE_BASE = "/tmp/ptt_oracle"
 # shared by the split/mix queries and their pure-SQL oracles (identical
 # integer ppm thresholds are derived from these on both sides)
 _SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+# fixed BM25 probe queries over the synthetic token vocabulary — shared
+# verbatim by the sequential oracle (oracle/queryoracle.py)
+_BM25_QUERIES = [(0, "fast table scan"), (1, "customer query join"),
+                 (2, "vector hash merge batch")]
 _MIX_RATES = {"en": 0.5, "de": 0.25, "zh": 1.0}  # others: default 0.1
 
 # corpus-stats / decontamination knobs shared with the SQL oracles
@@ -652,6 +657,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return docs.map_batches(fingerprint_batch, batch_format="pyarrow") \
                    .select_columns(["doc_id", "text_hash"])
 
+    def perplexity_docs(sf_dir):
+        """CCNet-style corpus quality signal: train a unigram LM on the
+        corpus (top-16 vocab < the 31 distinct synthetic tokens, so OOV
+        is really exercised), then score per-doc cross-entropy in a
+        streaming pass.  xent is quantized to int ppm with the identical
+        op order on both sides (float-hash safety)."""
+        from pttcrawler_ray.textops.perplexity import (
+            perplexity_docs as _ppl)
+
+        _ctx()
+        # benched at sf0.1 — only build the sequential oracle at the
+        # driver-compare scale so oracle prep never pollutes bench timing
+        if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+            _ensure_docs_oracle(sf_dir)
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        return _ppl(docs, top_v=16)
+
+    def bm25_docs(sf_dir):
+        """BM25 keyword retrieval (the keyword twin of the ANN family):
+        top-10 docs per query for a fixed 3-query probe set.  Per-term
+        contributions are quantized to int ppm BEFORE the per-query sum
+        (integer matmul), so float addition order can never differ from
+        the sequential oracle's."""
+        from pttcrawler_ray.textops.retrieval import bm25_topk
+
+        _ctx()
+        if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+            _ensure_docs_oracle(sf_dir)
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        return bm25_topk(docs, _BM25_QUERIES, topk=10)
+
+    def shuffle_docs(sf_dir):
+        """Deterministic global training-order shuffle as a rank column:
+        position in the corpus ordered by splitmix64(doc_id + salt).
+        Payload never moves — a counts pass over the hash's top bits
+        gives each range's base rank, then one narrow (key, hash)
+        exchange; the DuckDB oracle is a pure-SQL ROW_NUMBER over the
+        IDENTICAL hash, so this is view-checkable at any scale."""
+        from pttcrawler_ray.textops.sampling import shuffle_rank
+
+        _ctx()
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id"])
+        return shuffle_rank(docs, salt=7)
+
     def minhash_pairs_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import minhash_lsh_pairs
@@ -996,6 +1048,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": quality_docs,
         "langid_docs": langid_docs,
         "fingerprint_docs": fingerprint_docs,
+        "perplexity_docs": perplexity_docs,
+        "bm25_docs": bm25_docs,
+        "shuffle_docs": shuffle_docs,
         "minhash_pairs_docs": minhash_pairs_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "dedup_components": dedup_components,
@@ -1149,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
         # IDENTICAL splitmix64 hash (32-bit-split multiplies) with the
         # same inlined integer ppm thresholds — view-based, any scale
         "split_docs": _split_sql_oracle(),
+        "shuffle_docs": _shuffle_sql_oracle(),
         "domain_mix_docs": _mix_sql_oracle(),
         "pack_docs": _pack_sql_oracle(),
         "doc_stats_by_lang": """
@@ -1397,6 +1453,8 @@ def oracle_sql() -> dict[str, str]:
         # --- sequential-parquet oracles (hash-based / composed ops whose
         # semantics are not SQL-expressible; see oracle/queryoracle.py)
         "fingerprint_docs": _docs_oracle_select("fingerprint_docs"),
+        "perplexity_docs": _docs_oracle_select("perplexity_docs"),
+        "bm25_docs": _docs_oracle_select("bm25_docs"),
         "simhash_pairs_docs": _docs_oracle_select("simhash_pairs_docs"),
         "curate_docs": _docs_oracle_select("curate_docs"),
         "multimodal_decode": _docs_oracle_select("multimodal_decode"),
@@ -1436,6 +1494,12 @@ def _split_sql_oracle() -> str:
     from pttcrawler_ray.textops.sampling import split_sql
 
     return split_sql("documents", _SPLIT_RATIOS, key="doc_id", salt=42)
+
+
+def _shuffle_sql_oracle() -> str:
+    from pttcrawler_ray.textops.sampling import shuffle_rank_sql
+
+    return shuffle_rank_sql("documents", key="doc_id", salt=7)
 
 
 def _mix_sql_oracle() -> str:

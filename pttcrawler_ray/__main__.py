@@ -145,6 +145,12 @@ def main(argv=None):
     pr.add_argument("--mix", nargs="*", default=None, metavar="LANG=RATE",
                     help="per-language keep rates for the train split")
     pr.add_argument("--seq-len", type=int, default=512)
+    pr.add_argument("--max-xent-ppm", type=int, default=None,
+                    help="CCNet-style perplexity gate: drop curated docs "
+                         "whose unigram-LM cross-entropy (nats, ppm) "
+                         "exceeds this; omit to skip the LM stage")
+    pr.add_argument("--ppl-top-v", type=int, default=50_000,
+                    help="LM vocabulary size for --max-xent-ppm")
     pr.add_argument("--num-cpus", type=int, default=None)
 
     di = sub.add_parser("dedup-inc", help="incremental near-dup removal: "
@@ -295,7 +301,8 @@ def main(argv=None):
                 dedup_threshold=args.threshold,
                 decontam_n=args.decontam_ngram,
                 ratios=_kv(args.ratios, float), mix_rates=_kv(args.mix, float),
-                seq_len=args.seq_len)
+                seq_len=args.seq_len, xent_max_ppm=args.max_xent_ppm,
+                ppl_top_v=args.ppl_top_v)
             print(json.dumps(manifest["stages"]))
         elif args.cmd == "dedup-inc":
             import shutil

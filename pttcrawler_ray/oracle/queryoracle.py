@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 7  # v6: JPEG joined multimodal_codecs; v7: real resize
+ORACLE_VERSION = 9  # v8: unigram-LM perplexity; v9: BM25 retrieval
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -469,6 +469,81 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
                 "be a fair stand-in for banded candidate generation; "
                 "regenerate the testdata pair outside this band")
 
+    # --- perplexity_docs: unigram LM (top-16 vocab, add-one smoothing) ------
+    # sequential twin of textops/perplexity.py at top_v=16 (< the corpus's
+    # 31 distinct tokens, so the OOV path is really exercised).  logp table
+    # via math.log, per-doc sum in token order — the engine's np.add.at
+    # accumulates in the same order, so float addition order is identical.
+    import math as _math
+    from collections import Counter as _Counter
+
+    _PPL_TOP_V = 16
+    tok_lists = [(t or "").split() for t in texts]
+    _ctr: _Counter = _Counter()
+    for tl in tok_lists:
+        _ctr.update(tl)
+    _total = sum(_ctr.values())
+    _vocab = sorted(_ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:_PPL_TOP_V]
+    _denom = float(_total + len(_vocab) + 1)
+    _logp = {w: _math.log((c + 1) / _denom) for w, c in _vocab}
+    _oov = _math.log(1.0 / _denom)
+    pp_nt, pp_x = [], []
+    for tl in tok_lists:
+        s = 0.0
+        for w in tl:
+            s += _logp.get(w, _oov)
+        x = -s / len(tl) if tl else 0.0
+        pp_nt.append(len(tl))
+        pp_x.append(_math.floor(x * 1e6))
+    perplexity = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(pp_nt, pa.int64()),
+        "xent_ppm": pa.array(pp_x, pa.int64()),
+    })
+
+    # --- bm25_docs: Okapi BM25 top-10 per probe query -----------------------
+    # sequential twin of textops/retrieval.py over the SAME probe set
+    # (__ray_entry__._BM25_QUERIES).  idf via math.log, bb/contrib with the
+    # engine's exact op order, per-term floor-to-ppm BEFORE the per-query
+    # integer sum — so float addition order cannot differ by construction.
+    _BM25_QUERIES = [(0, "fast table scan"), (1, "customer query join"),
+                     (2, "vector hash merge batch")]
+    _K1, _B, _TOPK = 1.2, 0.75, 10
+    _terms = sorted({w for _, q in _BM25_QUERIES for w in q.split()})
+    _tpos = {w: i for i, w in enumerate(_terms)}
+    _N = len(tok_lists)
+    _ntok_all = sum(len(tl) for tl in tok_lists)
+    _df = [0] * len(_terms)
+    for tl in tok_lists:
+        for w in set(tl) & set(_terms):
+            _df[_tpos[w]] += 1
+    _avgdl = _ntok_all / max(_N, 1)
+    _idf = [_math.log(1.0 + (max(_N, 1) - d + 0.5) / (d + 0.5))
+            for d in _df]
+    bm_q, bm_d, bm_s = [], [], []
+    for qid, qtext in _BM25_QUERIES:
+        scored = []
+        for di, tl in enumerate(tok_lists):
+            dl = float(len(tl))
+            bb = _K1 * (1.0 - _B + _B * dl / _avgdl)
+            score = 0
+            for w in set(qtext.split()):
+                tf = float(tl.count(w))
+                contrib = _idf[_tpos[w]] * ((tf * (_K1 + 1.0)) / (tf + bb))
+                score += int(_math.floor(contrib * 1e6))
+            if score > 0:
+                scored.append((score, ids[di]))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for score, did in scored[:_TOPK]:
+            bm_q.append(qid)
+            bm_d.append(did)
+            bm_s.append(score)
+    bm25 = pa.table({
+        "query_id": pa.array(bm_q, pa.int64()),
+        "doc_id": pa.array(bm_d, pa.int64()),
+        "score_ppm": pa.array(bm_s, pa.int64()),
+    })
+
     # --- fingerprint_docs: (doc_id, text_hash) ------------------------------
     fingerprint = pa.table({
         "doc_id": pa.array(ids, pa.int64()),
@@ -721,6 +796,8 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
 
     return {
         "fingerprint_docs": fingerprint,
+        "perplexity_docs": perplexity,
+        "bm25_docs": bm25,
         "simhash_pairs_docs": simhash_pairs,
         "curate_docs": curate,
         "multimodal_decode": multimodal,

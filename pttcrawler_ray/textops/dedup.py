@@ -550,9 +550,12 @@ _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
 
 def _collect_pairs(verified: "rd.Dataset") -> pa.Table:
     """Gather a verified-pair dataset (output-sized) to a sorted table."""
-    df = verified.to_pandas().sort_values(["doc_a", "doc_b"])
+    df = verified.to_pandas()
     if df.empty:
+        # a zero-pair dataset can also be zero-BLOCK (no schema, no
+        # columns) — guard before sort_values, not after
         return _PAIR_SCHEMA.empty_table()
+    df = df.sort_values(["doc_a", "doc_b"])
     return pa.Table.from_pandas(df, preserve_index=False).cast(_PAIR_SCHEMA)
 
 

@@ -88,13 +88,20 @@ def prepare(docs: "rd.Dataset", benchmark: "rd.Dataset | None", dest: str,
             ratios: "dict[str, float] | None" = None,
             mix_rates: "dict[str, float] | None" = None,
             mix_group: str = "pred_lang", seq_len: int = 512,
-            split_salt: int = 0, mix_salt: int = 1) -> dict:
+            split_salt: int = 0, mix_salt: int = 1,
+            xent_max_ppm: "int | None" = None,
+            ppl_top_v: int = 50_000,
+            require_stopwords: bool = True) -> dict:
     """Run the full preparation pipeline and write the training layout
     under ``dest``.  Returns the manifest dict (also written as
-    ``dest/manifest.json``).
+    ``dest/manifest.json``).  ``require_stopwords`` passes through to
+    :func:`.curate.curate`.
 
     ``benchmark=None`` skips decontamination; ``mix_rates=None`` skips
     domain mixing.  ``ratios`` defaults to 98/1/1 train/val/test.
+    ``xent_max_ppm`` (CCNet-style) trains a unigram LM on the CURATED
+    corpus (vocab ≤ ``ppl_top_v`` — driver-bounded) and drops docs whose
+    cross-entropy exceeds it, before decontamination.
     """
     from .curate import curate
     from .decontam import decontaminate
@@ -109,16 +116,29 @@ def prepare(docs: "rd.Dataset", benchmark: "rd.Dataset | None", dest: str,
                    "decontam_n": decontam_n, "ratios": ratios,
                    "mix_rates": mix_rates, "mix_group": mix_group,
                    "seq_len": seq_len, "split_salt": split_salt,
-                   "mix_salt": mix_salt},
+                   "mix_salt": mix_salt, "xent_max_ppm": xent_max_ppm,
+                   "ppl_top_v": ppl_top_v if xent_max_ppm is not None
+                   else None},
         "stages": {},
     }
     n_input = docs.count()
     manifest["stages"]["input_docs"] = n_input
 
     kept = curate(docs, quality_min=quality_min, langs=langs,
+                  require_stopwords=require_stopwords,
                   dedup_threshold=dedup_threshold).materialize()
     n_curated = kept.count()
     manifest["stages"]["curated_docs"] = n_curated
+
+    if xent_max_ppm is not None:
+        from .perplexity import filter_by_perplexity, train_unigram_lm
+
+        lm = train_unigram_lm(kept, top_v=ppl_top_v)
+        kept = filter_by_perplexity(kept, lm,
+                                    xent_max_ppm=xent_max_ppm).materialize()
+        n_fluent = kept.count()
+        manifest["stages"]["perplexity_dropped"] = n_curated - n_fluent
+        n_curated = n_fluent
 
     if benchmark is not None:
         hits = decontaminate(kept, benchmark, n=decontam_n).materialize()

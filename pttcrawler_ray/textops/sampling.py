@@ -147,6 +147,97 @@ def stratified_sample(ds, rates: "dict[str, float]", group_col: str,
         batch_format="pyarrow")
 
 
+def _rank_hash_batch(batch: pa.Table, *, key: str, salt: int,
+                     shift: int) -> pa.Table:
+    ids = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(ids + np.uint64(salt))
+    return pa.table({
+        key: pa.array(ids.astype(np.int64), pa.int64()),
+        "__sr_h": pa.array(h.astype(np.int64), pa.int64()),
+        "__sr_part": pa.array((h >> np.uint64(shift)).astype(np.int32),
+                              pa.int32()),
+    })
+
+
+def _rank_count_batch(batch: pa.Table, *, key: str, salt: int, shift: int,
+                      n_parts: int) -> pa.Table:
+    ids = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+    p = splitmix64(ids + np.uint64(salt)) >> np.uint64(shift)
+    cnt = np.bincount(p.astype(np.int64), minlength=n_parts)
+    nz = np.nonzero(cnt)[0]
+    return pa.table({"part": pa.array(nz, pa.int64()),
+                     "cnt": pa.array(cnt[nz], pa.int64())})
+
+
+def _rank_group(t: pa.Table, *, key: str, base: np.ndarray) -> pa.Table:
+    p = t["__sr_part"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = t["__sr_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.lexsort((h, p))
+    ps, n = p[order], len(p)
+    new_run = np.r_[True, ps[1:] != ps[:-1]]
+    starts = np.flatnonzero(new_run)
+    within = np.arange(n, dtype=np.int64) - starts[np.cumsum(new_run) - 1]
+    return pa.table({
+        key: t[key].take(pa.array(order)),
+        "shuffle_rank": pa.array(base[ps] + within, pa.int64()),
+    })
+
+
+def shuffle_rank(ds, key: str = "doc_id", salt: int = 0,
+                 n_parts: "int | None" = None,
+                 approx_rows: "int | None" = None):
+    """Global training-order shuffle as a RANK column: row ``i``'s
+    position in the corpus ordered by ``splitmix64(key + salt)`` — the
+    deterministic, seed-reproducible "global shuffle" an epoch scheduler
+    wants, without ever calling ``random_shuffle`` (whose order is
+    scheduler-dependent) or sorting the payload (only ``(key, hash)``
+    moves).
+
+    Three payload-free steps, same family as ``packing.pack_offsets``:
+    (1) a streaming counts pass — per-block bincount over the hash's TOP
+    BITS (a range partition, so partition order == hash order), reduced
+    to one tiny driver array whose exclusive scan gives each range's
+    base rank; (2) one narrow ``(key, h, part)`` shuffle via the coarse
+    group machinery; (3) per-partition vectorized lexsort + base offset.
+    Requires distinct keys (splitmix64 is a bijection, so distinct keys
+    guarantee a total order — no ties exist).
+
+    Returns rows ``(key, shuffle_rank)``; join rank back to payload by
+    key, or feed it to a trainer as the epoch permutation."""
+    from ..util.rayops import _resolve_parts, partitioned_map_groups
+
+    want = _resolve_parts(n_parts, approx_rows, 2_000_000)
+    bits = max(1, int(want - 1).bit_length())
+    n_ranges, shift = 1 << bits, 64 - bits
+
+    counts = ds.map_batches(
+        _rank_count_batch,
+        fn_kwargs={"key": key, "salt": salt, "shift": shift,
+                   "n_parts": n_ranges},
+        batch_format="pyarrow").to_pandas()
+    total = np.zeros(n_ranges, np.int64)
+    np.add.at(total, counts["part"].to_numpy(), counts["cnt"].to_numpy())
+    base = np.concatenate(([0], np.cumsum(total)[:-1]))
+
+    import functools
+    narrow = ds.map_batches(
+        _rank_hash_batch,
+        fn_kwargs={"key": key, "salt": salt, "shift": shift},
+        batch_format="pyarrow")
+    return partitioned_map_groups(
+        narrow, "__sr_part",
+        functools.partial(_rank_group, key=key, base=base),
+        n_parts=min(n_ranges, 256) if n_parts is None else n_parts)
+
+
+def shuffle_rank_sql(table: str, key: str = "doc_id", salt: int = 0) -> str:
+    """DuckDB twin of :func:`shuffle_rank` (identical hash, dense ranks
+    from 0 in hash order)."""
+    return (f"SELECT {key}, ROW_NUMBER() OVER (ORDER BY h) - 1 "
+            f"AS shuffle_rank FROM (SELECT {key}, "
+            f"{splitmix64_sql(f'{key} + {salt}')} AS h FROM {table})")
+
+
 def stratified_sample_sql(table: str, rates: "dict[str, float]",
                           group_col: str, key: str = "doc_id",
                           default_rate: float = 1.0, salt: int = 0,

@@ -154,3 +154,47 @@ def test_prepare_cli(ray_session, tmp_path):
     assert stats["input_docs"] == 49 and stats["contaminated_docs"] == 2
     assert stats["docs_train"] + stats["docs_val"] == 41
     assert (dest / "manifest.json").exists()
+
+
+def test_prepare_perplexity_gate(ray_session, tmp_path):
+    """The CCNet-style LM gate sits between curate and decontamination:
+    junk docs (disjoint gibberish vocab → OOV-heavy → high cross-entropy)
+    are dropped by xent_max_ppm, the manifest counts them, and no gated
+    doc reaches any split file."""
+    from pttcrawler_ray.textops.perplexity import (perplexity_docs,
+                                                   train_unigram_lm)
+    from pttcrawler_ray.textops.prepare import prepare
+
+    corpus, _ = _mk_corpus()
+    # disarm the quality/stopword filters so the junk docs survive curate
+    # and the LM gate is the only thing that can remove them; near-dup
+    # still drops 201
+    curated_ids = sorted(set(corpus["doc_id"].to_pylist()) - {201})
+    cur_tbl = corpus.filter(
+        pa.compute.is_in(corpus["doc_id"],
+                         value_set=pa.array(curated_ids, pa.int64())))
+    scores = perplexity_docs(rd.from_arrow(cur_tbl), top_v=24).to_pandas() \
+        .set_index("doc_id")["xent_ppm"]
+    junk = [100 + i for i in range(5)]
+    thr = int(min(scores.loc[junk]) - 1)
+    assert max(scores.drop(junk)) <= thr, "corpus no longer separates"
+
+    dest = tmp_path / "gated"
+    m = prepare(rd.from_arrow(corpus), None, str(dest), quality_min=-1.0,
+                dedup_threshold=0.7, ratios={"train": 0.9, "val": 0.1},
+                seq_len=64, split_salt=7, xent_max_ppm=thr, ppl_top_v=24,
+                require_stopwords=False)
+    s = m["stages"]
+    assert s["curated_docs"] == len(curated_ids)  # pre-gate curate count
+    assert s["perplexity_dropped"] == 5
+    assert s["docs_train"] + s["docs_val"] == len(curated_ids) - 5
+    assert m["params"]["xent_max_ppm"] == thr
+    written = set()
+    for label in ("train", "val"):
+        written |= set(pq.read_table(
+            str(dest / "docs" / f"split={label}"))["doc_id"].to_pylist())
+    assert written == set(curated_ids) - set(junk)
+
+    # the bounded-vocab LM the gate trains is the same one scored above
+    lm = train_unigram_lm(rd.from_arrow(cur_tbl), top_v=24)
+    assert len(lm["vocab"]) == 24

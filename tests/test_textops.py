@@ -201,10 +201,10 @@ def test_knn_ivf_recall(embs):
 
 
 def test_multimodal_stub(ray_session):
-    from pttcrawler_ray.multimodal import ResizeMedia, decode_media, make_fake_blob
+    from pttcrawler_ray.multimodal import FrameSample, decode_media, make_fake_blob
 
     with pytest.raises(NotImplementedError):
-        ResizeMedia(4, 4, fake=False)  # real codecs absent → marked stub
+        FrameSample(3, fake=False)  # video codecs absent → marked stub
 
     # fake containers in real mode come back as typed error rows, never
     # silently fake-decoded
@@ -1158,3 +1158,162 @@ def test_redact_pii_batch():
     out2 = redact_pii_batch(t2)
     assert out2["text_redacted"].to_pylist() == ["reach <EMAIL> fast"]
     assert out2["n_redactions"].to_pylist() == [1]
+
+
+def test_perplexity_matches_sequential(docs):
+    """Distributed unigram-LM perplexity == a sequential Python twin,
+    EXACTLY (int ppm): same vocab tie-break, same math.log table, same
+    per-doc float addition order."""
+    import math
+    from collections import Counter
+
+    from pttcrawler_ray.textops.perplexity import (perplexity_docs,
+                                                   train_unigram_lm)
+
+    top_v = 16  # < the corpus's distinct-token count -> OOV really hit
+    out = perplexity_docs(docs, top_v=top_v).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    texts = docs.to_pandas().set_index("doc_id").sort_index()["text"]
+    tok_lists = [(t or "").split() for t in texts]
+    ctr = Counter()
+    for tl in tok_lists:
+        ctr.update(tl)
+    total = sum(ctr.values())
+    vocab = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    denom = float(total + len(vocab) + 1)
+    logp = {w: math.log((c + 1) / denom) for w, c in vocab}
+    oov = math.log(1.0 / denom)
+    exp_nt, exp_x = [], []
+    for tl in tok_lists:
+        s = 0.0
+        for w in tl:
+            s += logp.get(w, oov)
+        exp_nt.append(len(tl))
+        exp_x.append(math.floor((-s / len(tl) if tl else 0.0) * 1e6))
+    assert out["n_tokens"].tolist() == exp_nt
+    assert out["xent_ppm"].tolist() == exp_x
+    # OOV path genuinely exercised: some scored token fell outside vocab
+    assert len(ctr) > top_v
+
+    # model is bounded and reusable: train once, reported totals honest
+    lm = train_unigram_lm(docs, top_v=top_v)
+    assert len(lm["vocab"]) == top_v and lm["total_tokens"] == total
+
+
+def test_perplexity_edge_rows(ray_session):
+    """Empty and null texts score 0; an all-OOV doc scores the OOV
+    logp exactly; batching never changes a per-doc score."""
+    import math
+
+    from pttcrawler_ray.textops.perplexity import (score_perplexity,
+                                                   train_unigram_lm)
+
+    rows = [{"doc_id": 0, "text": "a a b"},
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": None},
+            {"doc_id": 3, "text": "zz zz"}]
+    ds = rd.from_items(rows)
+    lm = train_unigram_lm(ds, top_v=2)  # vocab = {a, zz or b by count}
+    out = score_perplexity(ds, lm).to_pandas().set_index("doc_id") \
+        .sort_index()
+    assert out.loc[1, "xent_ppm"] == 0 and out.loc[1, "n_tokens"] == 0
+    assert out.loc[2, "xent_ppm"] == 0 and out.loc[2, "n_tokens"] == 0
+    # vocab by (count DESC, token ASC): a(2), zz(2) -> b is OOV
+    assert lm["vocab"] == ["a", "zz"]
+    exp0 = math.floor(-(2 * lm["logp"][0] + lm["logp_oov"]) / 3 * 1e6)
+    assert out.loc[0, "xent_ppm"] == exp0
+    # batch-size invariance: per-doc scores don't depend on blocking
+    out2 = score_perplexity(ds.repartition(4), lm).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out2["xent_ppm"].tolist() == out["xent_ppm"].tolist()
+
+
+def test_bm25_matches_sequential(docs):
+    """Distributed BM25 top-k == a sequential Python twin EXACTLY:
+    same math.log idf, same op order, per-term ppm floor before the
+    integer per-query sum."""
+    import math
+
+    from pttcrawler_ray.textops.retrieval import bm25_topk
+
+    queries = [(0, "fast table scan"), (7, "customer query join slow")]
+    K1, B, TOPK = 1.2, 0.75, 8
+    out = bm25_topk(docs, queries, topk=TOPK, k1=K1, b=B).to_pandas() \
+        .sort_values(["query_id", "score_ppm", "doc_id"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+
+    pdf = docs.to_pandas().sort_values("doc_id")
+    ids = pdf["doc_id"].tolist()
+    toks = [(t or "").split() for t in pdf["text"]]
+    terms = sorted({w for _, q in queries for w in q.split()})
+    N, ntok = len(toks), sum(len(t) for t in toks)
+    df = {w: sum(1 for tl in toks if w in tl) for w in terms}
+    avgdl = ntok / N
+    idf = {w: math.log(1.0 + (N - df[w] + 0.5) / (df[w] + 0.5))
+           for w in terms}
+    exp_rows = []
+    for qid, q in queries:
+        scored = []
+        for did, tl in zip(ids, toks):
+            dl = float(len(tl))
+            bb = K1 * (1.0 - B + B * dl / avgdl)
+            s = 0
+            for w in set(q.split()):
+                tf = float(tl.count(w))
+                contrib = idf[w] * ((tf * (K1 + 1.0)) / (tf + bb))
+                s += int(math.floor(contrib * 1e6))
+            if s > 0:
+                scored.append((s, did))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        exp_rows += [(qid, did, s) for s, did in scored[:TOPK]]
+    got = list(out.itertuples(index=False, name=None))
+    assert got == exp_rows
+    # every query actually retrieved a full page (non-vacuous corpus)
+    assert out.groupby("query_id").size().eq(TOPK).all()
+
+
+def test_shuffle_rank_permutation_and_sql(docs):
+    """shuffle_rank is a dense permutation 0..n-1 in splitmix64-hash
+    order, invariant to input partitioning, and equals the pure-SQL
+    DuckDB twin row for row."""
+    import duckdb
+
+    from pttcrawler_ray.textops.sampling import (shuffle_rank,
+                                                 shuffle_rank_sql,
+                                                 splitmix64)
+
+    out = shuffle_rank(docs, salt=7).to_pandas().sort_values("doc_id")
+    n = len(out)
+    assert sorted(out["shuffle_rank"]) == list(range(n))
+    ids = out["doc_id"].to_numpy().astype(np.uint64)
+    h = splitmix64(ids + np.uint64(7))
+    # rank order == hash order
+    assert (np.argsort(out["shuffle_rank"].to_numpy()) == np.argsort(h)).all()
+
+    out2 = shuffle_rank(docs.repartition(7), salt=7).to_pandas() \
+        .sort_values("doc_id")
+    assert out2["shuffle_rank"].tolist() == out["shuffle_rank"].tolist()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    sql = con.execute(shuffle_rank_sql("documents", salt=7)).df() \
+        .sort_values("doc_id")
+    assert sql["shuffle_rank"].astype(int).tolist() == \
+        out["shuffle_rank"].tolist()
+
+
+def test_minhash_dedup_zero_pairs(ray_session):
+    """A corpus with NO near-dups must pass through minhash_dedup
+    unchanged — the verified-pair set is then a zero-BLOCK dataset with
+    no schema, which the pair collector must guard before sorting
+    (regression: KeyError 'doc_a' from sort_values on a column-less
+    empty frame)."""
+    from pttcrawler_ray.textops.dedup import minhash_dedup
+
+    rows = [{"doc_id": i,
+             "text": " ".join(f"u{i}w{j}" for j in range(30))}
+            for i in range(20)]
+    out = minhash_dedup(rd.from_items(rows), threshold=0.7).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(20))
