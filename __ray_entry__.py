@@ -802,6 +802,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return embedding_neardup_pairs(planted, dim=64, threshold=0.95,
                                        bits=8, tables=4).select(["doc_a", "doc_b"])
 
+    def semdedup_embeddings(sf_dir):
+        """SemDeDup verdicts (Abbas et al. 2023) over embeddings with the
+        same deterministic planted twins as embedding_neardup (the
+        testdata has no natural near-dups, so the twins make the drop
+        decisions non-vacuous: each twin ties its original on centroid
+        similarity EXACTLY — identical bytes, fixed-order einsum — and
+        loses the vec_id tiebreak).  Oracle = sequential replay of the
+        documented determinism spec (oracle/queryoracle.py)."""
+        import ray.data as rd
+        from pttcrawler_ray.textops.semdedup import semdedup
+
+        _ctx()
+        _ensure_docs_oracle(sf_dir)
+        embs = _rpq(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+
+        def plant(t: pa.Table) -> pa.Table:
+            twins = t.filter(pc.less(t["vec_id"], 5))
+            if twins.num_rows:
+                twins = twins.set_column(
+                    twins.column_names.index("vec_id"), "vec_id",
+                    pc.add(twins["vec_id"], 10000))
+                return pa.concat_tables([t, twins])
+            return t
+
+        planted = embs.map_batches(plant, batch_format="pyarrow")
+        return semdedup(planted, n_clusters=8, threshold=0.95).sort("vec_id")
+
     def knn_ivf_q(sf_dir):
         """IVF knn over the PERSISTED index (round-2 verdict item 4): the
         ivf_cluster-partitioned store is built once per sf_dir and the
@@ -1057,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_docs": dedup_incremental_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
         "embedding_neardup": embedding_neardup,
+        "semdedup_embeddings": semdedup_embeddings,
         "knn_ivf": knn_ivf_q,
         "knn_ivfpq": knn_ivfpq_q,
         "multimodal_decode": multimodal_decode,
@@ -1463,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _docs_oracle_select("multimodal_resize"),
         "knn_ivf": _docs_oracle_select("knn_ivf"),
         "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
+        "semdedup_embeddings": _docs_oracle_select("semdedup_embeddings"),
     }
 
 

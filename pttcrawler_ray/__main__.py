@@ -183,6 +183,19 @@ def main(argv=None):
                     help="IVF-PQ rerank multiplier")
     an.add_argument("--num-cpus", type=int, default=None)
 
+    sd = sub.add_parser("semdedup", help="semantic dedup (SemDeDup): "
+                        "cluster a (vec_id, embedding) parquet and drop "
+                        "per-cluster semantic duplicates, writing "
+                        "(vec_id, cluster, kept) verdicts")
+    sd.add_argument("--input", required=True, help="embeddings parquet file/dir")
+    sd.add_argument("--dest", required=True, help="verdicts parquet directory")
+    sd.add_argument("--clusters", type=int, default=16)
+    sd.add_argument("--threshold", type=float, default=0.9)
+    sd.add_argument("--distributed-train", action="store_true",
+                    help="full-data Lloyd training instead of the "
+                         "driver-sample trainer (the at-scale path)")
+    sd.add_argument("--num-cpus", type=int, default=None)
+
     cs = sub.add_parser("corpus-stats", help="corpus statistics: top-K gram "
                         "counts, per-doc repetition scores, optional "
                         "benchmark decontamination over a (doc_id, text) "
@@ -380,6 +393,28 @@ def main(argv=None):
                     "stats": {k: v for k, v in stats.items()
                               if not isinstance(v, list)},
                     "neighbors": out}))
+        elif args.cmd == "semdedup":
+            import pyarrow.compute as pc
+
+            from .textops.semdedup import semdedup
+            from .util.rayops import read_parquet_clean
+
+            ds = read_parquet_clean(args.input,
+                                    columns=["vec_id", "embedding"])
+            verdicts = semdedup(ds, n_clusters=args.clusters,
+                                threshold=args.threshold,
+                                distributed_train=args.distributed_train)
+            verdicts.write_parquet(args.dest)
+            import ray.data as rd
+
+            vd = rd.read_parquet(args.dest, columns=["kept"])
+            total = vd.count()
+            kept = vd.filter(expr="kept == 1").count()
+            print(json.dumps({"vectors": total, "kept": kept,
+                              "dropped": total - kept,
+                              "clusters": args.clusters,
+                              "threshold": args.threshold,
+                              "dest": args.dest}))
         elif args.cmd == "corpus-stats":
             from .util.rayops import read_parquet_clean
 

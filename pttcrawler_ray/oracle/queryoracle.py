@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 9  # v8: unigram-LM perplexity; v9: BM25 retrieval
+ORACLE_VERSION = 10  # v9: BM25 retrieval; v10: SemDeDup verdicts
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -794,6 +794,53 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "rank": pa.array(pq_r, pa.int64()),
     })
 
+    # --- semdedup: sequential replay of textops/semdedup.py's documented
+    # determinism spec over the planted-twin augmentation (twins = exact
+    # centroid-sim ties that lose the vec_id tiebreak).  Independent
+    # full-matrix triangular max, no chunking — the engine's chunked scan
+    # must agree through the threshold margin. -------------------------------
+    twin_mask = vec_ids < 5
+    aug_ids = np.concatenate([vec_ids, vec_ids[twin_mask] + 10000])
+    aug_mat = np.concatenate([mat, mat[twin_mask]], axis=0)  # unit rows
+    # centroid training replays textops.similarity.train_centroids on the
+    # planted dataset: sample = all rows sorted by vec_id (<= 2048 here)
+    sd_order0 = np.argsort(aug_ids, kind="stable")
+    sd_x = aug_mat[sd_order0]
+    sd_rng = np.random.default_rng(7)
+    sd_k = 8
+    sd_c = sd_x[sd_rng.choice(len(sd_x), size=min(sd_k, len(sd_x)),
+                              replace=False)].copy()
+    for _ in range(8):
+        sd_a = (sd_x @ sd_c.T).argmax(axis=1)
+        for j in range(sd_k):
+            members = sd_x[sd_a == j]
+            if len(members):
+                sd_c[j] = members.mean(axis=0)
+        sd_c = sd_c / np.maximum(
+            np.linalg.norm(sd_c, axis=1, keepdims=True), 1e-12)
+    sd_assign = (aug_mat @ sd_c.T).argmax(axis=1).astype(np.int64)
+    sd_csim = np.einsum("nd,nd->n", aug_mat, sd_c[sd_assign])
+    sd_thresh = 0.95
+    order = np.lexsort((aug_ids, sd_csim, sd_assign))
+    o_cluster, o_ids, o_m = sd_assign[order], aug_ids[order], aug_mat[order]
+    kept = np.ones(len(o_ids), bool)
+    starts = np.flatnonzero(np.r_[True, o_cluster[1:] != o_cluster[:-1]])
+    ends = np.r_[starts[1:], o_cluster.size]
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        mm = o_m[s:e]
+        sims = mm @ mm.T
+        prior = np.where(np.tri(e - s, k=-1, dtype=bool), sims,
+                         -np.inf).max(axis=1)
+        kept[s:e] = prior < sd_thresh
+    sd_sort = np.argsort(o_ids, kind="stable")
+    semdedup_tbl = pa.table({
+        "vec_id": pa.array(o_ids[sd_sort], pa.int64()),
+        "cluster": pa.array(o_cluster[sd_sort], pa.int64()),
+        "kept": pa.array(kept[sd_sort].astype(np.int32), pa.int32()),
+    })
+
     return {
         "fingerprint_docs": fingerprint,
         "perplexity_docs": perplexity,
@@ -806,6 +853,7 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "multimodal_resize": multimodal_resize,
         "knn_ivf": knn_ivf,
         "knn_ivfpq": knn_ivfpq,
+        "semdedup_embeddings": semdedup_tbl,
     }
 
 

@@ -73,7 +73,7 @@ _PATH_ORACLES = {
     "fingerprint_docs", "perplexity_docs", "bm25_docs",
     "simhash_pairs_docs", "curate_docs",
     "multimodal_decode", "multimodal_png", "multimodal_codecs",
-    "multimodal_resize", "knn_ivf", "knn_ivfpq",
+    "multimodal_resize", "knn_ivf", "knn_ivfpq", "semdedup_embeddings",
 }
 
 

@@ -1317,3 +1317,57 @@ def test_minhash_dedup_zero_pairs(ray_session):
             for i in range(20)]
     out = minhash_dedup(rd.from_items(rows), threshold=0.7).to_pandas()
     assert sorted(out["doc_id"]) == list(range(20))
+
+
+def test_semdedup_planted_groups(ray_session):
+    """Planted anchor/subgroup structure: 3 orthogonal anchors × 2
+    subgroups × 3 byte-identical members.  Within a subgroup cosine is
+    exactly 1 (drop all but the scan-first member); across subgroups of
+    one anchor cosine is 0.8 (< threshold, kept); centroid similarity
+    ties everywhere, so the vec_id tiebreak decides — kept must be the
+    minimum id of every (anchor, subgroup)."""
+    from pttcrawler_ray.textops.semdedup import semdedup
+
+    anchors = np.eye(8)[:3]
+    rows = []
+    i = 0
+    for a in range(3):
+        for g in range(2):
+            base = anchors[a] + 0.5 * np.eye(8)[4 + g]
+            for _ in range(3):
+                rows.append({"vec_id": i,
+                             "embedding": [float(x) for x in base]})
+                i += 1
+    out = semdedup(rd.from_items(rows), centroids=anchors,
+                   threshold=0.9).to_pandas().sort_values("vec_id")
+    assert len(out) == 18
+    assert sorted(out[out.kept == 1].vec_id) == [0, 3, 6, 9, 12, 15]
+    assert (out.cluster.to_numpy() == np.repeat([0, 1, 2], 6)).all()
+    # stable under repartitioning (batch boundaries must not matter)
+    out2 = semdedup(rd.from_items(rows).repartition(5), centroids=anchors,
+                    threshold=0.9).to_pandas().sort_values("vec_id")
+    assert out2.kept.tolist() == out.kept.tolist()
+
+
+def test_semdedup_chunked_scan_matches_full():
+    """triangular_prior_max's chunked scan == the one-shot full-matrix
+    triangular max, including a chunk size that forces many chunks."""
+    from pttcrawler_ray.textops import semdedup as sd
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((97, 16))
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    want = np.where(np.tri(97, k=-1, dtype=bool), sims, -np.inf).max(axis=1)
+    got = sd.triangular_prior_max(m)
+    assert np.allclose(got[1:], want[1:]) and got[0] == -np.inf
+    old = sd._CHUNK_CELLS
+    try:
+        sd._CHUNK_CELLS = 300   # ~3-row chunks
+        got2 = sd.triangular_prior_max(m)
+    finally:
+        sd._CHUNK_CELLS = old
+    # BLAS blocking differs per chunk shape → last-ulp drift is expected;
+    # drop decisions are protected by the threshold margin, not bitwise
+    # equality (see the module docstring's determinism spec)
+    assert np.allclose(got2[1:], got[1:], rtol=0, atol=1e-12)
