@@ -704,6 +704,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     columns=["doc_id"])
         return shuffle_rank(docs, salt=7)
 
+    def dsir_docs(sf_dir):
+        """DSIR importance resampling (Xie et al. 2023): select the raw
+        docs (source != 'src0') whose hashed-ngram distribution looks
+        like the target slice (source == 'src0'), k = ceil(n_raw/10).
+        All-integer output (ppm weights, integer Gumbel-top-k cut);
+        oracle = sequential replay of the documented determinism spec
+        (oracle/queryoracle.py)."""
+        from pttcrawler_ray.textops.dsir import dsir_select
+
+        _ctx()
+        if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+            _ensure_docs_oracle(sf_dir)
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text", "source"])
+        target = docs.filter(expr="source == 'src0'")
+        raw = docs.filter(expr="source != 'src0'")
+        k = -(-raw.count() // 10)
+        return dsir_select(raw, target, k=k, buckets=4096, salt=7)
+
     def minhash_pairs_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import minhash_lsh_pairs
@@ -1079,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_docs": perplexity_docs,
         "bm25_docs": bm25_docs,
         "shuffle_docs": shuffle_docs,
+        "dsir_docs": dsir_docs,
         "minhash_pairs_docs": minhash_pairs_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "dedup_components": dedup_components,
@@ -1493,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf": _docs_oracle_select("knn_ivf"),
         "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
         "semdedup_embeddings": _docs_oracle_select("semdedup_embeddings"),
+        "dsir_docs": _docs_oracle_select("dsir_docs"),
     }
 
 

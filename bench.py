@@ -205,7 +205,8 @@ def run_queries_bench(sf_dir: str) -> dict[str, float]:
              "split_docs", "pack_docs", "vocab_docs", "decontaminate_docs",
              "decontaminate_part_docs", "paragraph_dedup_docs",
              "redact_pii_docs", "quantiles_price", "perplexity_docs",
-             "bm25_docs", "shuffle_docs", "semdedup_embeddings"]
+             "bm25_docs", "shuffle_docs", "semdedup_embeddings",
+             "dsir_docs"]
     times: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()

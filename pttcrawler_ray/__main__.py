@@ -196,6 +196,22 @@ def main(argv=None):
                          "driver-sample trainer (the at-scale path)")
     sd.add_argument("--num-cpus", type=int, default=None)
 
+    di = sub.add_parser("dsir", help="DSIR importance resampling (Xie et "
+                        "al. 2023): weight a raw (doc_id, text) corpus by "
+                        "hashed-ngram similarity to a target corpus and "
+                        "mark the Gumbel-top-k resample")
+    di.add_argument("--raw", required=True, help="raw corpus parquet file/dir")
+    di.add_argument("--target", required=True,
+                    help="target-domain (doc_id, text) parquet file/dir")
+    di.add_argument("--dest", required=True,
+                    help="weights parquet directory (doc_id, n_grams, "
+                         "logw_ppm, key_ppm, selected)")
+    di.add_argument("--k", type=int, required=True,
+                    help="resample size (docs to select)")
+    di.add_argument("--buckets", type=int, default=10_000)
+    di.add_argument("--salt", type=int, default=7)
+    di.add_argument("--num-cpus", type=int, default=None)
+
     cs = sub.add_parser("corpus-stats", help="corpus statistics: top-K gram "
                         "counts, per-doc repetition scores, optional "
                         "benchmark decontamination over a (doc_id, text) "
@@ -394,8 +410,6 @@ def main(argv=None):
                               if not isinstance(v, list)},
                     "neighbors": out}))
         elif args.cmd == "semdedup":
-            import pyarrow.compute as pc
-
             from .textops.semdedup import semdedup
             from .util.rayops import read_parquet_clean
 
@@ -415,6 +429,24 @@ def main(argv=None):
                               "clusters": args.clusters,
                               "threshold": args.threshold,
                               "dest": args.dest}))
+        elif args.cmd == "dsir":
+            import ray.data as rd
+
+            from .textops.dsir import dsir_select
+            from .util.rayops import read_parquet_clean
+
+            raw = read_parquet_clean(args.raw, columns=["doc_id", "text"])
+            target = read_parquet_clean(args.target,
+                                        columns=["doc_id", "text"])
+            marked = dsir_select(raw, target, k=args.k,
+                                 buckets=args.buckets, salt=args.salt)
+            marked.write_parquet(args.dest)
+            md = rd.read_parquet(args.dest, columns=["selected"])
+            total = md.count()
+            selected = md.filter(expr="selected == 1").count()
+            print(json.dumps({"raw_docs": total, "selected": selected,
+                              "k": args.k, "buckets": args.buckets,
+                              "salt": args.salt, "dest": args.dest}))
         elif args.cmd == "corpus-stats":
             from .util.rayops import read_parquet_clean
 

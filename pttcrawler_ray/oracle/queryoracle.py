@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 10  # v9: BM25 retrieval; v10: SemDeDup verdicts
+ORACLE_VERSION = 11  # v10: SemDeDup verdicts; v11: DSIR selection
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -841,9 +841,86 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "kept": pa.array(kept[sd_sort].astype(np.int32), pa.int32()),
     })
 
+    # --- dsir_docs: hashed-ngram importance resampling (Xie et al. 2023) ----
+    # sequential twin of textops/dsir.py: target = source 'src0', raw = the
+    # rest, B=4096, alpha=1, salt=7, k = ceil(n_raw / 10).  Gram hashes
+    # replay the engine spec (blake2b-64 token hashes + the decontam rolling
+    # polynomial, bucket = hash % B); per-doc weight sums run per doc in
+    # (unigrams in token order, then bigrams) — the engine's np.add.at flat
+    # order; gumbel keys are the same elementwise numpy expression over the
+    # same splitmix64-derived uniforms, so the integer top-k cut is exact.
+    import math as _m2
+
+    from ..util.hashing import hash_u64_many as _h64m
+    from ..util.hashing import splitmix64 as _smx
+
+    _DS_B, _DS_SALT, _DS_ALPHA, _DS_KR = 4096, 7, 1.0, np.uint64(1000003)
+    sources = docs["source"].to_pylist()
+
+    def _ds_buckets(text: str) -> "list[np.ndarray]":
+        th = _h64m((text or "").split())
+        out = []
+        for n_ in (1, 2):
+            if len(th) >= n_:
+                win = np.lib.stride_tricks.sliding_window_view(th, n_)
+                pw = _DS_KR ** np.arange(n_, dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    gh = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+                out.append((gh % np.uint64(_DS_B)).astype(np.int64))
+            else:
+                out.append(np.empty(0, np.int64))
+        return out
+
+    all_buckets = [_ds_buckets(t) for t in texts]
+    tgt_counts = np.zeros(_DS_B, np.int64)
+    raw_counts = np.zeros(_DS_B, np.int64)
+    raw_rows = []
+    for i, src in enumerate(sources):
+        side = tgt_counts if src == "src0" else raw_counts
+        for bk in all_buckets[i]:
+            if len(bk):
+                side += np.bincount(bk, minlength=_DS_B)
+        if src != "src0":
+            raw_rows.append(i)
+    _tp = float(int(tgt_counts.sum()) + _DS_ALPHA * _DS_B)
+    _rp = float(int(raw_counts.sum()) + _DS_ALPHA * _DS_B)
+    _ratio = np.array(
+        [_m2.log((int(t) + _DS_ALPHA) / _tp) - _m2.log((int(r) + _DS_ALPHA) / _rp)
+         for t, r in zip(tgt_counts, raw_counts)], np.float64)
+    ds_ids = np.array([ids[i] for i in raw_rows], np.int64)
+    ds_ng, ds_logw = [], []
+    for i in raw_rows:
+        s = 0.0
+        ng = 0
+        for bk in all_buckets[i]:
+            for b_ in bk:
+                s += _ratio[b_]
+            ng += len(bk)
+        ds_ng.append(ng)
+        ds_logw.append(_m2.floor(s * 1e6))
+    ds_logw = np.array(ds_logw, np.int64)
+    _h = _smx(ds_ids.astype(np.uint64) + np.uint64(_DS_SALT))
+    _u = ((_h >> np.uint64(11)).astype(np.float64) + 0.5) * 2.0 ** -53
+    ds_key = ds_logw + np.floor(-np.log(-np.log(_u)) * 1e6).astype(np.int64)
+    _k = -(-len(raw_rows) // 10)
+    _ord = np.lexsort((ds_ids, -ds_key))
+    if len(_ord) >= _k > 0:
+        _ck, _ci = int(ds_key[_ord[_k - 1]]), int(ds_ids[_ord[_k - 1]])
+        ds_sel = ((ds_key > _ck) | ((ds_key == _ck) & (ds_ids <= _ci)))
+    else:
+        ds_sel = np.ones(len(ds_ids), bool)
+    dsir_tbl = pa.table({
+        "doc_id": pa.array(ds_ids, pa.int64()),
+        "n_grams": pa.array(ds_ng, pa.int64()),
+        "logw_ppm": pa.array(ds_logw, pa.int64()),
+        "key_ppm": pa.array(ds_key, pa.int64()),
+        "selected": pa.array(ds_sel.astype(np.int32), pa.int32()),
+    })
+
     return {
         "fingerprint_docs": fingerprint,
         "perplexity_docs": perplexity,
+        "dsir_docs": dsir_tbl,
         "bm25_docs": bm25,
         "simhash_pairs_docs": simhash_pairs,
         "curate_docs": curate,

@@ -1371,3 +1371,56 @@ def test_semdedup_chunked_scan_matches_full():
     # drop decisions are protected by the threshold margin, not bitwise
     # equality (see the module docstring's determinism spec)
     assert np.allclose(got2[1:], got[1:], rtol=0, atol=1e-12)
+
+
+def test_dsir_selects_target_like_docs(ray_session):
+    """Planted domain structure: raw corpus = 10 target-like docs + 10
+    junk docs; DSIR must weight every target-like doc above every junk
+    doc and the Gumbel-top-10 resample must pick exactly the
+    target-like set (the weight gap ~16e6 ppm dwarfs the noise)."""
+    from pttcrawler_ray.textops.dsir import dsir_select
+
+    target = rd.from_items([
+        {"doc_id": 100 + i, "text": "alpha beta gamma delta"}
+        for i in range(5)])
+    raw_rows = (
+        [{"doc_id": i, "text": "alpha beta gamma delta epsilon"}
+         for i in range(10)] +
+        [{"doc_id": 10 + i, "text": "zig zag zog quux blorp"}
+         for i in range(10)])
+    out = dsir_select(rd.from_items(raw_rows), target, k=10,
+                      buckets=512).to_pandas().sort_values("doc_id")
+    assert len(out) == 20
+    assert sorted(out[out.selected == 1].doc_id) == list(range(10))
+    w = dict(zip(out.doc_id, out.logw_ppm))
+    assert min(w[i] for i in range(10)) > max(w[10 + i] for i in range(10))
+    # 5 tokens -> 5 unigrams + 4 bigrams
+    assert (out.n_grams == 9).all()
+    # stable under repartitioning (batch boundaries must not matter)
+    out2 = dsir_select(rd.from_items(raw_rows).repartition(7), target,
+                       k=10, buckets=512).to_pandas().sort_values("doc_id")
+    for c in ["n_grams", "logw_ppm", "key_ppm", "selected"]:
+        assert out2[c].tolist() == out[c].tolist(), c
+
+
+def test_dsir_topk_cut_ties_and_small_corpus(ray_session):
+    """The integer cut keeps exactly k rows with (key DESC, id ASC)
+    tiebreak; k >= corpus selects everything; empty docs weigh 0."""
+    from pttcrawler_ray.textops.dsir import (dsir_weights, log_ratio_table,
+                                             topk_cut)
+    import numpy as np
+
+    ratio = np.zeros(16)
+    docs = rd.from_items([{"doc_id": i, "text": ""} for i in range(6)])
+    w = dsir_weights(docs, ratio, salt=3).materialize()
+    df = w.to_pandas()
+    assert (df.logw_ppm == 0).all() and (df.n_grams == 0).all()
+    # keys are the pure gumbel_ppm: distinct hashes, exact k survive
+    cut = topk_cut(w, 3)
+    ck, ci = cut
+    sel = df[(df.key_ppm > ck) |
+             ((df.key_ppm == ck) & (df.doc_id <= ci))]
+    assert len(sel) == 3
+    assert topk_cut(w, 6) is not None and topk_cut(w, 7) is None
+    assert log_ratio_table(np.zeros(4, np.int64),
+                           np.zeros(4, np.int64)).tolist() == [0.0] * 4
