@@ -849,6 +849,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         planted = embs.map_batches(plant, batch_format="pyarrow")
         return semdedup(planted, n_clusters=8, threshold=0.95).sort("vec_id")
 
+    def d4_embeddings(sf_dir):
+        """D4 (Tirumala et al. 2023): SemDeDup then prototype pruning,
+        fused into one cluster-partition scan — same planted twins as
+        semdedup_embeddings so stage 1 is non-vacuous; drop_frac=0.25
+        exercises stage 2 on every cluster."""
+        import ray.data as rd
+        from pttcrawler_ray.textops.semdedup import d4
+
+        _ctx()
+        _ensure_docs_oracle(sf_dir)
+        embs = _rpq(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+
+        def plant(t: pa.Table) -> pa.Table:
+            twins = t.filter(pc.less(t["vec_id"], 5))
+            if twins.num_rows:
+                twins = twins.set_column(
+                    twins.column_names.index("vec_id"), "vec_id",
+                    pc.add(twins["vec_id"], 10000))
+                return pa.concat_tables([t, twins])
+            return t
+
+        planted = embs.map_batches(plant, batch_format="pyarrow")
+        return d4(planted, n_clusters=8, threshold=0.95,
+                  drop_frac=0.25).sort("vec_id")
+
     def knn_ivf_q(sf_dir):
         """IVF knn over the PERSISTED index (round-2 verdict item 4): the
         ivf_cluster-partitioned store is built once per sf_dir and the
@@ -1106,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": simhash_pairs_docs,
         "embedding_neardup": embedding_neardup,
         "semdedup_embeddings": semdedup_embeddings,
+        "d4_embeddings": d4_embeddings,
         "knn_ivf": knn_ivf_q,
         "knn_ivfpq": knn_ivfpq_q,
         "multimodal_decode": multimodal_decode,
@@ -1514,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
         "semdedup_embeddings": _docs_oracle_select("semdedup_embeddings"),
         "dsir_docs": _docs_oracle_select("dsir_docs"),
+        "d4_embeddings": _docs_oracle_select("d4_embeddings"),
     }
 
 

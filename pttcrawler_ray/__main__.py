@@ -194,6 +194,11 @@ def main(argv=None):
     sd.add_argument("--distributed-train", action="store_true",
                     help="full-data Lloyd training instead of the "
                          "driver-sample trainer (the at-scale path)")
+    sd.add_argument("--d4-drop-frac", type=float, default=None,
+                    help="run the fused D4 plan (Tirumala et al. 2023): "
+                         "after the SemDeDup scan also drop this fraction "
+                         "of the most prototypical survivors per cluster "
+                         "(adds a drop_stage column)")
     sd.add_argument("--num-cpus", type=int, default=None)
 
     di = sub.add_parser("dsir", help="DSIR importance resampling (Xie et "
@@ -410,25 +415,37 @@ def main(argv=None):
                               if not isinstance(v, list)},
                     "neighbors": out}))
         elif args.cmd == "semdedup":
-            from .textops.semdedup import semdedup
+            from .textops.semdedup import d4, semdedup
             from .util.rayops import read_parquet_clean
 
             ds = read_parquet_clean(args.input,
                                     columns=["vec_id", "embedding"])
-            verdicts = semdedup(ds, n_clusters=args.clusters,
-                                threshold=args.threshold,
-                                distributed_train=args.distributed_train)
+            if args.d4_drop_frac is not None:
+                verdicts = d4(ds, n_clusters=args.clusters,
+                              threshold=args.threshold,
+                              drop_frac=args.d4_drop_frac,
+                              distributed_train=args.distributed_train)
+            else:
+                verdicts = semdedup(ds, n_clusters=args.clusters,
+                                    threshold=args.threshold,
+                                    distributed_train=args.distributed_train)
             verdicts.write_parquet(args.dest)
             import ray.data as rd
 
             vd = rd.read_parquet(args.dest, columns=["kept"])
             total = vd.count()
             kept = vd.filter(expr="kept == 1").count()
-            print(json.dumps({"vectors": total, "kept": kept,
-                              "dropped": total - kept,
-                              "clusters": args.clusters,
-                              "threshold": args.threshold,
-                              "dest": args.dest}))
+            out = {"vectors": total, "kept": kept,
+                   "dropped": total - kept, "clusters": args.clusters,
+                   "threshold": args.threshold, "dest": args.dest}
+            if args.d4_drop_frac is not None:
+                sd_ = rd.read_parquet(args.dest, columns=["drop_stage"])
+                out["d4_drop_frac"] = args.d4_drop_frac
+                out["dropped_semdedup"] = sd_.filter(
+                    expr="drop_stage == 1").count()
+                out["dropped_prototype"] = sd_.filter(
+                    expr="drop_stage == 2").count()
+            print(json.dumps(out))
         elif args.cmd == "dsir":
             import ray.data as rd
 

@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 11  # v10: SemDeDup verdicts; v11: DSIR selection
+ORACLE_VERSION = 12  # v11: DSIR selection; v12: D4 verdicts
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -823,6 +823,7 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
     sd_thresh = 0.95
     order = np.lexsort((aug_ids, sd_csim, sd_assign))
     o_cluster, o_ids, o_m = sd_assign[order], aug_ids[order], aug_mat[order]
+    o_csim = sd_csim[order]
     kept = np.ones(len(o_ids), bool)
     starts = np.flatnonzero(np.r_[True, o_cluster[1:] != o_cluster[:-1]])
     ends = np.r_[starts[1:], o_cluster.size]
@@ -839,6 +840,24 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "vec_id": pa.array(o_ids[sd_sort], pa.int64()),
         "cluster": pa.array(o_cluster[sd_sort], pa.int64()),
         "kept": pa.array(kept[sd_sort].astype(np.int32), pa.int32()),
+    })
+
+    # --- d4: semdedup (above), then prototype pruning over survivors —
+    # per cluster, order survivors by (csim DESC, vec_id ASC) and drop
+    # the first floor(0.25 × n_survivors) (textops/semdedup.py d4 spec)
+    d4_stage = np.where(kept, 0, 1).astype(np.int32)
+    for s, e in zip(starts, ends):
+        surv = np.flatnonzero(d4_stage[s:e] == 0) + s
+        n_drop = int(np.floor(0.25 * surv.size))
+        if n_drop:
+            proto = surv[np.lexsort((o_ids[surv], -o_csim[surv]))[:n_drop]]
+            d4_stage[proto] = 2
+    d4_tbl = pa.table({
+        "vec_id": pa.array(o_ids[sd_sort], pa.int64()),
+        "cluster": pa.array(o_cluster[sd_sort], pa.int64()),
+        "kept": pa.array((d4_stage[sd_sort] == 0).astype(np.int32),
+                         pa.int32()),
+        "drop_stage": pa.array(d4_stage[sd_sort], pa.int32()),
     })
 
     # --- dsir_docs: hashed-ngram importance resampling (Xie et al. 2023) ----
@@ -931,6 +950,7 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "knn_ivf": knn_ivf,
         "knn_ivfpq": knn_ivfpq,
         "semdedup_embeddings": semdedup_tbl,
+        "d4_embeddings": d4_tbl,
     }
 
 

@@ -119,6 +119,107 @@ def _semdedup_partition(group: pa.Table, *, threshold: float) -> pa.Table:
                      "kept": pa.array(kept.astype(np.int32), pa.int32())})
 
 
+def _rank_in_runs(starts: np.ndarray, size: int) -> np.ndarray:
+    """0-based position of each element within its run."""
+    out = np.arange(size, dtype=np.int64)
+    run_base = np.zeros(size, np.int64)
+    run_base[starts] = starts
+    np.maximum.accumulate(run_base, out=run_base)
+    return out - run_base
+
+
+def _proto_partition(group: pa.Table, *, drop_frac: float) -> pa.Table:
+    """Prototype pruning within whole clusters: order each cluster by
+    (csim DESC, vec_id ASC) and drop the first floor(drop_frac × size)
+    members — the MOST prototypical (closest to centroid) ones, keeping
+    the diverse tail (SSL-prototypes, Sorscher et al. 2022)."""
+    if group.num_rows == 0:
+        return _OUT_SCHEMA.empty_table()
+    cluster = group["cluster"].to_numpy(zero_copy_only=False)
+    ids = group["vec_id"].to_numpy(zero_copy_only=False)
+    csim = group["csim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -csim, cluster))
+    cluster, ids = cluster[order], ids[order]
+    starts = np.flatnonzero(np.r_[True, cluster[1:] != cluster[:-1]])
+    ends = np.r_[starts[1:], cluster.size]
+    rank = _rank_in_runs(starts, cluster.size)
+    sizes = (ends - starts)
+    drop_n = np.floor(drop_frac * sizes).astype(np.int64)
+    per_row_drop = np.repeat(drop_n, sizes)
+    kept = rank >= per_row_drop
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "cluster": pa.array(cluster, pa.int64()),
+                     "kept": pa.array(kept.astype(np.int32), pa.int32())})
+
+
+_D4_SCHEMA = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64()),
+                        ("kept", pa.int32()), ("drop_stage", pa.int32())])
+
+
+def _d4_partition(group: pa.Table, *, threshold: float,
+                  drop_frac: float) -> pa.Table:
+    """Fused D4 (Tirumala et al. 2023): the SemDeDup triangular scan,
+    then prototype pruning over the SURVIVORS — one shuffle, one pass.
+    ``drop_stage``: 0 kept, 1 dropped by semdedup, 2 by prototypes."""
+    if group.num_rows == 0:
+        return _D4_SCHEMA.empty_table()
+    cluster = group["cluster"].to_numpy(zero_copy_only=False)
+    ids = group["vec_id"].to_numpy(zero_copy_only=False)
+    csim = group["csim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, csim, cluster))
+    cluster, ids, csim = cluster[order], ids[order], csim[order]
+    m = _normalize(list_col_matrix(group["embedding"]))[order]
+    stage = np.zeros(len(ids), np.int32)
+    starts = np.flatnonzero(np.r_[True, cluster[1:] != cluster[:-1]])
+    ends = np.r_[starts[1:], cluster.size]
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            dup = triangular_prior_max(m[s:e]) >= threshold
+            stage[s:e][dup] = 1
+        surv = np.flatnonzero(stage[s:e] == 0) + s
+        n_drop = int(np.floor(drop_frac * surv.size))
+        if n_drop:
+            proto = surv[np.lexsort((ids[surv], -csim[surv]))[:n_drop]]
+            stage[proto] = 2
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "cluster": pa.array(cluster, pa.int64()),
+                     "kept": pa.array((stage == 0).astype(np.int32),
+                                      pa.int32()),
+                     "drop_stage": pa.array(stage, pa.int32())})
+
+
+def _clustered_scan(emb_ds, partition_fn, *, n_clusters, id_col, centroids,
+                    seed, distributed_train, n_parts, keep_embedding):
+    """Shared plumbing: train/normalize centroids, assignment pass, ONE
+    coarse cluster-partition shuffle, per-partition vectorized scan."""
+    if centroids is None:
+        train = (train_centroids_distributed if distributed_train
+                 else train_centroids)
+        centroids = train(emb_ds, n_clusters=n_clusters, seed=seed)
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    if n_parts is None:
+        # size partitions to ~50 MB of shuffle payload, never more
+        # partitions than clusters (empty groups emit schema-less blocks)
+        row_bytes = c.shape[1] * 8 if keep_embedding else 24
+        target = max(20_000, 50_000_000 // max(row_bytes, 1))
+        approx = emb_ds.count()
+        n_parts = min(len(c), scale_parts(approx, floor=1, target_rows=target))
+    narrow = emb_ds.map_batches(
+        _assign_batch,
+        fn_kwargs={"centroids_ref": ray.put(c), "n_parts": n_parts,
+                   "id_col": id_col},
+        batch_format="pyarrow")
+    if not keep_embedding:
+        # scans that never look at the vectors shuffle only
+        # (part, cluster, vec_id, csim) — drop BEFORE the exchange
+        narrow = narrow.drop_columns(["embedding"])
+
+    def run(g: pa.Table) -> pa.Table:
+        return partition_fn(g.drop_columns(["part"]))
+
+    return narrow.groupby("part").map_groups(run, batch_format="pyarrow")
+
+
 def semdedup(emb_ds: "rd.Dataset", n_clusters: int = 16,
              threshold: float = 0.9, id_col: str = "vec_id",
              centroids: "np.ndarray | None" = None, seed: int = 7,
@@ -132,27 +233,45 @@ def semdedup(emb_ds: "rd.Dataset", n_clusters: int = 16,
     ``distributed_train=True`` for the full-data Lloyd pass
     (:func:`~.similarity.train_centroids_distributed`) when the corpus
     exceeds the driver-sample regime."""
-    if centroids is None:
-        train = (train_centroids_distributed if distributed_train
-                 else train_centroids)
-        centroids = train(emb_ds, n_clusters=n_clusters, seed=seed)
-    c = _normalize(np.asarray(centroids, dtype=np.float64))
-    if n_parts is None:
-        # embedding payloads are dim×8 B/row: size partitions to ~50 MB,
-        # never more partitions than clusters (empty groups emit
-        # schema-less blocks)
-        dim = c.shape[1]
-        target = max(20_000, 50_000_000 // max(dim * 8, 1))
-        approx = emb_ds.count()
-        n_parts = min(len(c), scale_parts(approx, floor=1, target_rows=target))
-    narrow = emb_ds.map_batches(
-        _assign_batch,
-        fn_kwargs={"centroids_ref": ray.put(c), "n_parts": n_parts,
-                   "id_col": id_col},
-        batch_format="pyarrow")
-    fn = functools.partial(_semdedup_partition, threshold=threshold)
+    return _clustered_scan(
+        emb_ds, functools.partial(_semdedup_partition, threshold=threshold),
+        n_clusters=n_clusters, id_col=id_col, centroids=centroids,
+        seed=seed, distributed_train=distributed_train, n_parts=n_parts,
+        keep_embedding=True)
 
-    def run(g: pa.Table) -> pa.Table:
-        return fn(g.drop_columns(["part"]))
 
-    return narrow.groupby("part").map_groups(run, batch_format="pyarrow")
+def prototype_prune(emb_ds: "rd.Dataset", n_clusters: int = 16,
+                    drop_frac: float = 0.1, id_col: str = "vec_id",
+                    centroids: "np.ndarray | None" = None, seed: int = 7,
+                    distributed_train: bool = False,
+                    n_parts: "int | None" = None) -> "rd.Dataset":
+    """SSL-prototypes pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): drop the ``drop_frac`` MOST prototypical members
+    (highest centroid cosine, vec_id ASC tiebreak) of every cluster.
+    Returns ``(vec_id, cluster, kept)``.  The shuffle payload is only
+    ``(cluster, vec_id, csim)`` — the pruning decision never needs the
+    vectors themselves, so embeddings stay at the read."""
+    return _clustered_scan(
+        emb_ds, functools.partial(_proto_partition, drop_frac=drop_frac),
+        n_clusters=n_clusters, id_col=id_col, centroids=centroids,
+        seed=seed, distributed_train=distributed_train, n_parts=n_parts,
+        keep_embedding=False)
+
+
+def d4(emb_ds: "rd.Dataset", n_clusters: int = 16, threshold: float = 0.9,
+       drop_frac: float = 0.1, id_col: str = "vec_id",
+       centroids: "np.ndarray | None" = None, seed: int = 7,
+       distributed_train: bool = False,
+       n_parts: "int | None" = None) -> "rd.Dataset":
+    """D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+    Document De-Duplication and Diversification"): SemDeDup, then
+    prototype pruning over the survivors — fused into the SAME
+    cluster-partition scan, so the composition costs one assignment
+    pass and one shuffle total.  Returns ``(vec_id, cluster, kept,
+    drop_stage)`` with ``drop_stage`` 0=kept, 1=semdedup, 2=prototype."""
+    return _clustered_scan(
+        emb_ds, functools.partial(_d4_partition, threshold=threshold,
+                                  drop_frac=drop_frac),
+        n_clusters=n_clusters, id_col=id_col, centroids=centroids,
+        seed=seed, distributed_train=distributed_train, n_parts=n_parts,
+        keep_embedding=True)

@@ -1424,3 +1424,60 @@ def test_dsir_topk_cut_ties_and_small_corpus(ray_session):
     assert topk_cut(w, 6) is not None and topk_cut(w, 7) is None
     assert log_ratio_table(np.zeros(4, np.int64),
                            np.zeros(4, np.int64)).tolist() == [0.0] * 4
+
+
+def test_prototype_prune_graded_clusters(ray_session):
+    """Graded prototypicality: cluster 0 has 10 members at strictly
+    decreasing centroid cosine, cluster 1 has 4.  drop_frac=0.3 must
+    drop floor(3)=3 / floor(1.2)=1 members — exactly the highest-csim
+    ones — and the shuffle is embedding-free by construction."""
+    from pttcrawler_ray.textops.semdedup import prototype_prune
+
+    anchors = np.eye(8)[:2]
+    rows = []
+    for j in range(10):  # cluster 0: csim = cos(j * 0.05), id order = csim order
+        th = 0.05 * j
+        v = np.cos(th) * anchors[0] + np.sin(th) * np.eye(8)[2]
+        rows.append({"vec_id": j, "embedding": [float(x) for x in v]})
+    for j in range(4):   # cluster 1
+        th = 0.1 * j
+        v = np.cos(th) * anchors[1] + np.sin(th) * np.eye(8)[3]
+        rows.append({"vec_id": 100 + j, "embedding": [float(x) for x in v]})
+    out = prototype_prune(rd.from_items(rows), centroids=anchors,
+                          drop_frac=0.3).to_pandas().sort_values("vec_id")
+    assert len(out) == 14
+    dropped = sorted(out[out.kept == 0].vec_id)
+    assert dropped == [0, 1, 2, 100]
+    # stable under repartitioning
+    out2 = prototype_prune(rd.from_items(rows).repartition(5),
+                           centroids=anchors,
+                           drop_frac=0.3).to_pandas().sort_values("vec_id")
+    assert out2.kept.tolist() == out.kept.tolist()
+
+
+def test_d4_fused_stages(ray_session):
+    """D4 over the semdedup planted structure (3 anchors x 2 subgroups x
+    3 identical members): semdedup keeps the min-id member of each
+    subgroup (csim tie, id ASC); prototypes then drop floor(0.5 x 2)=1
+    of the 2 survivors per cluster — the csim-tied LOWER id — so the
+    final kept set is the g=1 subgroup representatives."""
+    from pttcrawler_ray.textops.semdedup import d4
+
+    anchors = np.eye(8)[:3]
+    rows = []
+    i = 0
+    for a in range(3):
+        for g in range(2):
+            base = anchors[a] + 0.5 * np.eye(8)[4 + g]
+            for _ in range(3):
+                rows.append({"vec_id": i,
+                             "embedding": [float(x) for x in base]})
+                i += 1
+    out = d4(rd.from_items(rows), centroids=anchors, threshold=0.9,
+             drop_frac=0.5).to_pandas().sort_values("vec_id")
+    assert len(out) == 18
+    assert sorted(out[out.kept == 1].vec_id) == [3, 9, 15]
+    stage = out.set_index("vec_id").drop_stage
+    assert sorted(stage[stage == 2].index) == [0, 6, 12]
+    assert (stage == 1).sum() == 12
+    assert (out.kept == (out.drop_stage == 0).astype(int)).all()

@@ -43,16 +43,18 @@ def make_centroids(k: int, dim: int) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def sequential_verdicts(ids: np.ndarray, vecs: np.ndarray,
-                        c: np.ndarray) -> "tuple[np.ndarray, ...]":
+def sequential_verdicts(ids: np.ndarray, vecs: np.ndarray, c: np.ndarray,
+                        d4_frac: "float | None" = None):
     """Sequential replay of textops/semdedup.py's determinism spec:
     argmax assignment, fixed-order einsum csim, (cluster, csim, vec_id)
-    lexsort, UNCHUNKED full-matrix triangular prior-max per cluster."""
+    lexsort, UNCHUNKED full-matrix triangular prior-max per cluster;
+    with ``d4_frac`` the prototype stage runs over the survivors."""
     emb = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
     assign = (emb @ c.T).argmax(axis=1).astype(np.int64)
     csim = np.einsum("nd,nd->n", emb, c[assign])
     order = np.lexsort((ids, csim, assign))
     o_cl, o_id, o_m = assign[order], ids[order], emb[order]
+    o_cs = csim[order]
     kept = np.ones(o_id.size, bool)
     starts = np.flatnonzero(np.r_[True, o_cl[1:] != o_cl[:-1]])
     ends = np.r_[starts[1:], o_cl.size]
@@ -63,8 +65,17 @@ def sequential_verdicts(ids: np.ndarray, vecs: np.ndarray,
         prior = np.where(np.tri(e - s, k=-1, dtype=bool), sims,
                          -np.inf).max(axis=1)
         kept[s:e] = prior < THRESHOLD
+    stage = np.where(kept, 0, 1).astype(np.int32)
+    if d4_frac is not None:
+        for s, e in zip(starts, ends):
+            surv = np.flatnonzero(stage[s:e] == 0) + s
+            n_drop = int(np.floor(d4_frac * surv.size))
+            if n_drop:
+                proto = surv[np.lexsort((o_id[surv], -o_cs[surv]))[:n_drop]]
+                stage[proto] = 2
+        kept = stage == 0
     back = np.argsort(o_id, kind="stable")
-    return o_id[back], o_cl[back], kept[back]
+    return o_id[back], o_cl[back], kept[back], stage[back]
 
 
 def main():
@@ -73,6 +84,8 @@ def main():
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--twins", type=int, default=30_000)
     ap.add_argument("--clusters", type=int, default=1024)
+    ap.add_argument("--d4-drop-frac", type=float, default=None,
+                    help="soak the fused D4 scan instead of plain semdedup")
     ap.add_argument("--out", default="/tmp/ptt_emb_soak")
     args = ap.parse_args()
 
@@ -96,7 +109,7 @@ def main():
     DataContext.get_current().enable_progress_bars = False
     DataContext.get_current().enable_tensor_extension_casting = False
 
-    from pttcrawler_ray.textops.semdedup import semdedup
+    from pttcrawler_ray.textops.semdedup import d4, semdedup
     from pttcrawler_ray.util.rayops import read_parquet_clean
 
     c = make_centroids(args.clusters, args.dim)
@@ -108,13 +121,19 @@ def main():
     vdf = pq.read_table(corpus).to_pandas()
     ids = vdf["vec_id"].to_numpy(np.int64)
     vecs = np.stack(vdf["embedding"])
-    e_id, e_cl, e_kept = sequential_verdicts(ids, vecs, c)
+    e_id, e_cl, e_kept, e_stage = sequential_verdicts(
+        ids, vecs, c, d4_frac=args.d4_drop_frac)
     t_oracle = time.time() - t0
     del vdf, vecs
 
     t1 = time.time()
     ds = read_parquet_clean(corpus)
-    verdicts = semdedup(ds, threshold=THRESHOLD, centroids=c).materialize()
+    if args.d4_drop_frac is not None:
+        verdicts = d4(ds, threshold=THRESHOLD, centroids=c,
+                      drop_frac=args.d4_drop_frac).materialize()
+    else:
+        verdicts = semdedup(ds, threshold=THRESHOLD,
+                            centroids=c).materialize()
     n_rows = verdicts.count()
     t_engine = time.time() - t1
     got = verdicts.to_pandas().sort_values("vec_id")  # output-sized, soak-only
@@ -123,6 +142,9 @@ def main():
     g_kept = got["kept"].to_numpy(np.int32).astype(bool)
     ok = (n_rows == args.vectors and np.array_equal(g_id, e_id)
           and np.array_equal(g_cl, e_cl) and np.array_equal(g_kept, e_kept))
+    if args.d4_drop_frac is not None:
+        ok = ok and np.array_equal(got["drop_stage"].to_numpy(np.int32),
+                                   e_stage)
 
     kept_by_id = dict(zip(g_id.tolist(), g_kept.tolist()))
     twin_one_kept = sum(kept_by_id[2 * i] + kept_by_id[2 * i + 1] == 1
@@ -131,10 +153,13 @@ def main():
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     ray.shutdown()
     print(json.dumps({
-        "metric": "semdedup soak (assign + coarse cluster shuffle + "
-                  "chunked triangular scan) vs sequential spec replay",
+        "metric": ("d4 soak (fused semdedup + prototype scan)"
+                   if args.d4_drop_frac is not None else
+                   "semdedup soak (assign + coarse cluster shuffle + "
+                   "chunked triangular scan)") + " vs sequential spec replay",
         "n_vectors": args.vectors, "dim": args.dim,
         "clusters": args.clusters, "threshold": THRESHOLD,
+        "d4_drop_frac": args.d4_drop_frac,
         "kept": int(g_kept.sum()), "dropped": int((~g_kept).sum()),
         "twin_pairs_one_kept": twin_one_kept, "twin_pairs": args.twins,
         "oracle_sec": round(t_oracle, 1), "engine_sec": round(t_engine, 1),
