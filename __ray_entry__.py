@@ -704,6 +704,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     columns=["doc_id"])
         return shuffle_rank(docs, salt=7)
 
+    def chunk_docs_q(sf_dir):
+        """Sliding token-window chunking (RAG prep): size 16 / stride 12
+        over the documents table — vectorized gather, no shuffle; the
+        oracle is a pure-SQL view twin, checkable at any scale."""
+        from pttcrawler_ray.textops.chunking import chunk_docs
+
+        _ctx()
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+        return chunk_docs(docs, size=16, stride=12)
+
     def dsir_docs(sf_dir):
         """DSIR importance resampling (Xie et al. 2023): select the raw
         docs (source != 'src0') whose hashed-ngram distribution looks
@@ -1125,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": bm25_docs,
         "shuffle_docs": shuffle_docs,
         "dsir_docs": dsir_docs,
+        "chunk_docs": chunk_docs_q,
         "minhash_pairs_docs": minhash_pairs_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "dedup_components": dedup_components,
@@ -1281,6 +1293,7 @@ def oracle_sql() -> dict[str, str]:
         # same inlined integer ppm thresholds — view-based, any scale
         "split_docs": _split_sql_oracle(),
         "shuffle_docs": _shuffle_sql_oracle(),
+        "chunk_docs": _chunk_sql_oracle(),
         "domain_mix_docs": _mix_sql_oracle(),
         "pack_docs": _pack_sql_oracle(),
         "doc_stats_by_lang": """
@@ -1579,6 +1592,12 @@ def _shuffle_sql_oracle() -> str:
     from pttcrawler_ray.textops.sampling import shuffle_rank_sql
 
     return shuffle_rank_sql("documents", key="doc_id", salt=7)
+
+
+def _chunk_sql_oracle() -> str:
+    from pttcrawler_ray.textops.chunking import chunk_sql
+
+    return chunk_sql("documents", size=16, stride=12)
 
 
 def _mix_sql_oracle() -> str:

@@ -1481,3 +1481,25 @@ def test_d4_fused_stages(ray_session):
     assert sorted(stage[stage == 2].index) == [0, 6, 12]
     assert (stage == 1).sum() == 12
     assert (out.kept == (out.drop_stage == 0).astype(int)).all()
+
+
+def test_chunk_docs_windows(ray_session):
+    """Sliding-window spec: n=16/size=16 is one chunk; n=17 is two
+    (second = tokens 12..16, 5 tokens); empty docs emit nothing; chunk
+    text is the space-joined token slice."""
+    from pttcrawler_ray.textops.chunking import chunk_docs
+
+    docs = [
+        {"doc_id": 0, "text": " ".join(f"w{j}" for j in range(16))},
+        {"doc_id": 1, "text": " ".join(f"w{j}" for j in range(17))},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "  a   b  "},
+    ]
+    out = chunk_docs(rd.from_items(docs), size=16,
+                     stride=12).to_pandas().sort_values(
+        ["doc_id", "chunk_id"]).reset_index(drop=True)
+    assert out.doc_id.tolist() == [0, 1, 1, 3]
+    assert out.chunk_id.tolist() == [0, 0, 1, 0]
+    assert out.n_tokens.tolist() == [16, 16, 5, 2]
+    assert out.text[2] == "w12 w13 w14 w15 w16"
+    assert out.text[3] == "a b"
