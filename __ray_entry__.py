@@ -844,7 +844,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.textops.semdedup import semdedup
 
         _ctx()
-        _ensure_docs_oracle(sf_dir)
+        if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+            _ensure_docs_oracle(sf_dir)
         embs = _rpq(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
 
@@ -869,7 +870,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from pttcrawler_ray.textops.semdedup import d4
 
         _ctx()
-        _ensure_docs_oracle(sf_dir)
+        if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+            _ensure_docs_oracle(sf_dir)
         embs = _rpq(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
 
