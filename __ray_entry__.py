@@ -400,6 +400,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     columns=["doc_id", "text"])
         return paragraph_dedup(docs, sep=" row ")
 
+    def spandedup_docs(sf_dir):
+        """Repeated-span exact-substring dedup (Lee et al. 2021): cut
+        every non-first occurrence of an 8-token span that repeats
+        corpus-wide.  Only narrow (span_h, doc_id, pos) rows shuffle;
+        the DuckDB twin groups by the span's token STRING, so a 64-bit
+        hash collision would surface as a mismatch here."""
+        from pttcrawler_ray.textops.spandedup import span_dedup
+
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+        return span_dedup(docs, k=8)
+
     def redact_pii_docs(sf_dir):
         """PII scrub (emails / IPv4 / phone runs → typed placeholders).
         The word-soup corpus carries no PII, so the query splices a
@@ -1101,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top1": R.knn_top1,
         "exact_dedup_docs": exact_dedup_docs,
         "paragraph_dedup_docs": paragraph_dedup_docs,
+        "spandedup_docs": spandedup_docs,
         "redact_pii_docs": redact_pii_docs,
         "quantiles_price": quantiles_price,
         "quantiles_price_by_flag": quantiles_price_by_flag,
@@ -1265,6 +1278,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
         "paragraph_dedup_docs": _paragraph_dedup_sql_oracle(),
+        "spandedup_docs": _spandedup_sql_oracle(),
         "redact_pii_docs": _redact_pii_sql_oracle(),
         "quantiles_price": " UNION ALL ".join(
             f"""SELECT CAST({int(round(q * 10000))} AS BIGINT) AS q_bp,
@@ -1582,6 +1596,12 @@ def _paragraph_dedup_sql_oracle() -> str:
     from pttcrawler_ray.textops.paradedup import paragraph_dedup_sql
 
     return paragraph_dedup_sql("documents", " row ")
+
+
+def _spandedup_sql_oracle() -> str:
+    from pttcrawler_ray.textops.spandedup import span_dedup_sql
+
+    return span_dedup_sql("documents", k=8)
 
 
 def _split_sql_oracle() -> str:

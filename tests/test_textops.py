@@ -1139,6 +1139,67 @@ def test_paragraph_dedup_paths_match_duckdb(ray_session, monkeypatch):
     run(keep_first=True)
 
 
+def test_span_dedup_paths_match_duckdb(ray_session, monkeypatch):
+    """span_dedup (both rewrite plans) must equal the DuckDB twin, which
+    groups by the span's token STRING — so this also cross-checks the
+    64-bit Karp-Rabin span hash at test scale."""
+    import duckdb
+    import pandas as pd
+
+    from pttcrawler_ray.textops import spandedup
+    from pttcrawler_ray.textops.spandedup import span_dedup, span_dedup_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+
+    def run(k):
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        got = span_dedup(ds, k=k).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        exp = con.execute(span_dedup_sql("documents", k=k)).fetch_df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        cols = ["doc_id", "text_clean", "n_tokens", "n_dropped"]
+        pd.testing.assert_frame_equal(got[cols], exp[cols],
+                                      check_dtype=False)
+        return got
+
+    got = run(k=8)
+    assert got["n_dropped"].sum() > 0          # repeats actually cut
+    assert got["n_dropped"].sum() < got["n_tokens"].sum()  # not everything
+    # overlapping duplicated windows merged into interval unions: planted
+    # near-dup passages are longer than k, so some doc lost > k tokens
+    assert (got["n_dropped"] > 8).any()
+
+    # at-scale plan: force the co-partition rewrite (no broadcast)
+    monkeypatch.setattr(spandedup, "_BCAST_DROP_MAX", 0)
+    run(k=8)
+
+
+def test_span_dedup_unit_semantics(ray_session):
+    """Hand-built corpus: first occurrence survives, later ones cut,
+    within-doc repeats cut, overlapping spans union into one gap."""
+    from pttcrawler_ray.textops.spandedup import span_dedup
+
+    a = "w1 w2 w3 w4 tail1 tail2"          # first occurrence (kept)
+    b = "head w1 w2 w3 w4 rest"            # cross-doc repeat (cut)
+    c = "w1 w2 w3 w4 mid w1 w2 w3 w4"      # both occurrences repeat -> cut
+    d = "u1 u2 u3 u4 u5"                   # untouched
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [a, b, c, d]}))
+    out = {r["doc_id"]: r for r in
+           span_dedup(ds, k=4).to_pandas().to_dict("records")}
+    assert out[0]["text_clean"] == a                  # globally first
+    assert out[1]["text_clean"] == "head rest"
+    assert out[1]["n_dropped"] == 4
+    assert out[2]["text_clean"] == "mid"              # both repeats cut
+    assert out[2]["n_dropped"] == 8
+    assert out[3]["text_clean"] == d
+    assert out[3]["n_dropped"] == 0
+
+
 def test_redact_pii_batch():
     from pttcrawler_ray.textops.redact import redact_pii_batch
 
