@@ -472,6 +472,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_quantiles(orders, "o_totalprice", _QUANT_GROUP_QS,
                                  "o_custkey")
 
+    def hll_custkey_orders(sf_dir):
+        """HyperLogLog distinct-custkey sketch (p=12) — the mergeable
+        approximate-distinct aggregate: per-batch dense register maxima,
+        ONE bounded single-key groupby.max, <= 4096 rows to the driver
+        at ANY corpus size.  The compared artifact is the integer
+        (register, rho) table itself; the float estimate is a driver
+        readout (sketches.hll_estimate)."""
+        from pttcrawler_ray.sketches import hll_registers
+
+        orders = _rpq(os.path.join(sf_dir, "orders.parquet"),
+                      columns=["o_custkey"])
+        return hll_registers(orders, "o_custkey", p=12, salt=7)
+
+    def cms_users_events(sf_dir):
+        """Count-Min frequency sketch (4 x 1024) over events.user_id —
+        the mergeable heavy-hitter counter: per-batch dense d*w bincount
+        partials, ONE bounded single-key groupby.sum."""
+        from pttcrawler_ray.sketches import cms_counts
+
+        ev = _rpq(os.path.join(sf_dir, "events.parquet"),
+                  columns=["user_id"])
+        return cms_counts(ev, "user_id", depth=4, width=1024, salt=7)
+
     def exact_dedup_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import exact_dedup
@@ -1115,6 +1138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "spandedup_docs": spandedup_docs,
         "redact_pii_docs": redact_pii_docs,
+        "hll_custkey_orders": hll_custkey_orders,
+        "cms_users_events": cms_users_events,
         "quantiles_price": quantiles_price,
         "quantiles_price_by_flag": quantiles_price_by_flag,
         "quantiles_per_customer": quantiles_per_customer,
@@ -1280,6 +1305,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup_docs": _paragraph_dedup_sql_oracle(),
         "spandedup_docs": _spandedup_sql_oracle(),
         "redact_pii_docs": _redact_pii_sql_oracle(),
+        "hll_custkey_orders": _hll_sql_oracle(),
+        "cms_users_events": _cms_sql_oracle(),
         "quantiles_price": " UNION ALL ".join(
             f"""SELECT CAST({int(round(q * 10000))} AS BIGINT) AS q_bp,
                        quantile_disc(l_extendedprice, {q}) AS value,
@@ -1596,6 +1623,18 @@ def _paragraph_dedup_sql_oracle() -> str:
     from pttcrawler_ray.textops.paradedup import paragraph_dedup_sql
 
     return paragraph_dedup_sql("documents", " row ")
+
+
+def _hll_sql_oracle() -> str:
+    from pttcrawler_ray.sketches import hll_sql
+
+    return hll_sql("orders", "o_custkey", p=12, salt=7)
+
+
+def _cms_sql_oracle() -> str:
+    from pttcrawler_ray.sketches import cms_sql
+
+    return cms_sql("events", "user_id", depth=4, width=1024, salt=7)
 
 
 def _spandedup_sql_oracle() -> str:

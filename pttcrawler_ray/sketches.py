@@ -1,0 +1,188 @@
+"""Mergeable sketches over integer key columns: HyperLogLog distinct
+count and Count-Min frequency.
+
+The 100-TB shape for "how many distinct users / how often does each key
+appear" questions where the exact answer would be a corpus-wide shuffle
+(``unique`` / ``groupby``): every batch reduces to a tiny dense partial
+(4096 register maxima / a d x w counter grid), partials merge with MAX /
+SUM — associative and order-free, so Ray's streaming aggregate is exact
+over any partitioning — and the driver sees at most ``m`` (HLL) or
+``d*w`` (CMS) rows no matter the input size.
+
+Determinism spec (what the pure-SQL DuckDB twins replay):
+
+- the row hash is ``splitmix64(key + salt)`` — the same integer mixer
+  (and the same exact INT128 SQL expression,
+  :func:`..textops.sampling.splitmix64_sql`) the split/shuffle
+  operators already pin;
+- HLL (Flajolet et al. 2007): register = top ``p`` hash bits,
+  ``rho`` = position of the leftmost 1-bit in the remaining ``64 - p``
+  bits (``64 - p + 1`` when they are all zero); the sketch IS the
+  ``(register, max rho)`` table, pure integers, so the engine/SQL
+  comparison is exact — the float estimate
+  (:func:`hll_estimate`) is a driver-side readout of that table;
+- CMS (Cormode & Muthukrishnan 2005): row ``i`` of ``d`` uses
+  ``splitmix64(key + salt + i * 0x9E3779B9) % width``; the sketch is
+  the ``(depth, col, count)`` table; :func:`cms_estimate` reads
+  ``min`` over depths.
+
+Bit-length of the suffix word is computed with a 6-step binary
+reduction (exact integer ops — no float ``log2``, whose rounding at
+powers of two could differ from SQL's string ``bin()`` length).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from .textops.sampling import splitmix64, splitmix64_sql
+
+_GOLD32 = 0x9E3779B9  # per-depth salt stride (golden-ratio odd constant)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length over uint64 (0 -> 0)."""
+    bl = np.zeros(w.shape, np.int64)
+    v = w.astype(np.uint64, copy=True)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = (v >> np.uint64(s)) > 0
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    return bl + (v == 1)
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+def _hll_batch(batch: pa.Table, *, key: str, p: int, salt: int) -> pa.Table:
+    ids = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(ids + np.uint64(salt))
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    rho = np.where(w == 0, 64 - p + 1, 64 - p - _bit_length_u64(w) + 1)
+    # dense per-batch partial: max rho per touched register
+    dense = np.zeros(1 << p, np.int64)
+    np.maximum.at(dense, reg, rho)
+    nz = np.flatnonzero(dense)
+    return pa.table({"register": pa.array(nz, pa.int64()),
+                     "rho": pa.array(dense[nz], pa.int64())})
+
+
+def hll_registers(ds, key: str, p: int = 12, salt: int = 0):
+    """The HLL sketch as a Dataset of ``(register, rho)`` rows — one row
+    per register observed at least once (empty registers are implicit
+    zeros).  Partials are per-batch dense maxima; the merge is ONE
+    bounded single-key ``groupby.max`` (<= 2^p groups)."""
+    agg = ds.map_batches(
+        _hll_batch, fn_kwargs={"key": key, "p": p, "salt": salt},
+        batch_size=8192, batch_format="pyarrow").groupby("register").max("rho")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"register": t["register"].cast(pa.int64()),
+                         "rho": t["max(rho)"].cast(pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def hll_estimate(registers: np.ndarray, rhos: np.ndarray, p: int = 12) -> float:
+    """Bias-corrected HLL cardinality readout of a ``(register, rho)``
+    table (empty registers implicit).  Driver-side float — the exactness
+    contract lives on the integer register table, not here."""
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m))
+    dense = np.zeros(m, np.int64)
+    dense[np.asarray(registers, np.int64)] = np.asarray(rhos, np.int64)
+    est = alpha * m * m / float(np.sum(np.exp2(-dense.astype(np.float64))))
+    zeros = int(np.sum(dense == 0))
+    if est <= 2.5 * m and zeros:            # small-range correction
+        return m * math.log(m / zeros)
+    return est
+
+
+def hll_sql(table: str, key_expr: str, p: int = 12, salt: int = 0) -> str:
+    """DuckDB twin of :func:`hll_registers` — identical splitmix64 hash
+    (INT128 expression), identical register/rho split; bit_length of the
+    suffix via ``length(bin(w))`` (exact string form, no float log)."""
+    q = 64 - p
+    mask = (1 << q) - 1
+    hv = splitmix64_sql(f"({key_expr})::HUGEINT + {salt}")
+    return f"""
+WITH h AS (SELECT {hv} AS hv FROM {table})
+SELECT CAST(hv >> {q} AS BIGINT) AS register,
+       CAST(MAX(CASE WHEN (hv % {mask + 1}) = 0 THEN {q + 1}
+                     ELSE {q} - length(bin((hv % {mask + 1})::UBIGINT)) + 1
+                END) AS BIGINT) AS rho
+FROM h GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Count-Min
+# --------------------------------------------------------------------------
+def _cms_batch(batch: pa.Table, *, key: str, depth: int, width: int,
+               salt: int) -> pa.Table:
+    ids = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+    packed = np.zeros(depth * width, np.int64)
+    for d in range(depth):
+        h = splitmix64(ids + np.uint64(salt + d * _GOLD32))
+        col = (h % np.uint64(width)).astype(np.int64)
+        packed[d * width:(d + 1) * width] += np.bincount(col, minlength=width)
+    nz = np.flatnonzero(packed)
+    return pa.table({"cell": pa.array(nz, pa.int64()),
+                     "cnt": pa.array(packed[nz], pa.int64())})
+
+
+def cms_counts(ds, key: str, depth: int = 4, width: int = 1024,
+               salt: int = 0):
+    """The Count-Min sketch as a Dataset of ``(depth, col, cnt)`` rows —
+    one row per touched counter.  Per-batch dense ``d x w`` bincount
+    partials, ONE bounded single-key ``groupby.sum`` (<= d*w groups)."""
+    agg = ds.map_batches(
+        _cms_batch,
+        fn_kwargs={"key": key, "depth": depth, "width": width, "salt": salt},
+        batch_size=8192, batch_format="pyarrow").groupby("cell").sum("cnt")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        cell = t["cell"].to_numpy(zero_copy_only=False)
+        return pa.table({"depth": pa.array(cell // width, pa.int64()),
+                         "col": pa.array(cell % width, pa.int64()),
+                         "cnt": t["sum(cnt)"].cast(pa.int64())})
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def cms_estimate(depths: np.ndarray, cols: np.ndarray, cnts: np.ndarray,
+                 keys: np.ndarray, depth: int = 4, width: int = 1024,
+                 salt: int = 0) -> np.ndarray:
+    """Point frequency estimates (min over depths) for ``keys`` from a
+    ``(depth, col, cnt)`` table.  Always >= the true count."""
+    dense = np.zeros((depth, width), np.int64)
+    dense[np.asarray(depths, np.int64), np.asarray(cols, np.int64)] = \
+        np.asarray(cnts, np.int64)
+    keys = np.asarray(keys, np.uint64)
+    est = np.full(len(keys), np.iinfo(np.int64).max, np.int64)
+    for d in range(depth):
+        h = splitmix64(keys + np.uint64(salt + d * _GOLD32))
+        est = np.minimum(est, dense[d, (h % np.uint64(width)).astype(np.int64)])
+    return est
+
+
+def cms_sql(table: str, key_expr: str, depth: int = 4, width: int = 1024,
+            salt: int = 0) -> str:
+    """DuckDB twin of :func:`cms_counts` — one UNION ALL branch per
+    depth, each hashing with the identical per-depth salt."""
+    branches = []
+    for d in range(depth):
+        hv = splitmix64_sql(f"({key_expr})::HUGEINT + {salt + d * _GOLD32}")
+        branches.append(
+            f"SELECT {d} AS depth, CAST(({hv}) % {width} AS BIGINT) AS col "
+            f"FROM {table}")
+    u = " UNION ALL ".join(branches)
+    return f"""
+SELECT depth, col, CAST(count(*) AS BIGINT) AS cnt
+FROM ({u}) GROUP BY depth, col
+"""

@@ -149,3 +149,71 @@ def test_grouped_quantiles_high_cardinality(ray_session):
     a = out[cols].sort_values(cols).reset_index(drop=True)
     b = exp[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# --------------------------------------------------------------------------
+# mergeable sketches (sketches.py)
+# --------------------------------------------------------------------------
+def test_hll_registers_match_duckdb_and_estimate(ray_session):
+    """Engine HLL register table == the pure-SQL twin on a planted key
+    stream (dups + skew), and the float readout lands within the p=12
+    error envelope on 50k distinct keys."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from pttcrawler_ray.sketches import hll_estimate, hll_registers, hll_sql
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 50_000, 200_000)  # ~49.2k distinct, heavy dups
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    got = hll_registers(rd.from_arrow(t), "k", p=12, salt=3) \
+        .to_pandas().sort_values("register").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(hll_sql("t", "k", p=12, salt=3)).fetch_df() \
+        .sort_values("register").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    true_d = len(np.unique(keys))
+    est = hll_estimate(got["register"].to_numpy(), got["rho"].to_numpy(), p=12)
+    assert abs(est - true_d) / true_d < 0.05  # ~1.6% std error at p=12
+
+    # merge property: sketch of two halves merged by max == full sketch
+    h1 = hll_registers(rd.from_arrow(t.slice(0, 100_000)), "k", p=12, salt=3) \
+        .to_pandas()
+    h2 = hll_registers(rd.from_arrow(t.slice(100_000)), "k", p=12, salt=3) \
+        .to_pandas()
+    merged = pd.concat([h1, h2]).groupby("register", as_index=False)["rho"] \
+        .max().sort_values("register").reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, got, check_dtype=False)
+
+
+def test_cms_counts_match_duckdb_and_bounds(ray_session):
+    """Engine CMS counter table == the pure-SQL twin; point estimates
+    are never below the true count and exact for uncollided keys."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from pttcrawler_ray.sketches import cms_counts, cms_estimate, cms_sql
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: key i appears ~ 1/(i+1) — heavy hitters + long tail
+    keys = np.repeat(np.arange(300), (2000 / np.arange(1, 301)).astype(int))
+    rng.shuffle(keys)
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    got = cms_counts(rd.from_arrow(t), "k", depth=4, width=512, salt=5) \
+        .to_pandas().sort_values(["depth", "col"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(cms_sql("t", "k", depth=4, width=512, salt=5)) \
+        .fetch_df().sort_values(["depth", "col"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    uniq, true_cnt = np.unique(keys, return_counts=True)
+    est = cms_estimate(got["depth"].to_numpy(), got["col"].to_numpy(),
+                       got["cnt"].to_numpy(), uniq, depth=4, width=512,
+                       salt=5)
+    assert (est >= true_cnt).all()          # CMS never undercounts
+    assert np.median(est - true_cnt) <= 32  # d=4 keeps collisions modest
