@@ -769,6 +769,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         k = -(-raw.count() // 10)
         return dsir_select(raw, target, k=k, buckets=4096, salt=7)
 
+    def classifier_docs(sf_dir):
+        """GPT-3-style quality classifier (Brown et al. 2020 App. A):
+        hashed-ngram NB fit on target ('src0') vs raw docs, sigmoid of
+        the MEAN gram log-odds, stochastic Pareto keep rule — all-integer
+        output (ppm score/draw, integer keep rule); oracle = sequential
+        replay of the documented spec (oracle/queryoracle.py)."""
+        from pttcrawler_ray.textops.classifier import quality_classifier
+
+        _ctx()
+        if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+            _ensure_docs_oracle(sf_dir)
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text", "source"])
+        target = docs.filter(expr="source == 'src0'")
+        raw = docs.filter(expr="source != 'src0'")
+        # alpha=3 (vs GPT-3's 9): the word-soup corpus scores cluster
+        # ~0.3, so the fatter tail keeps the decision non-vacuous
+        return quality_classifier(raw, target, buckets=4096,
+                                  pareto_alpha=3.0, salt=13)
+
     def minhash_pairs_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import minhash_lsh_pairs
@@ -1176,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": bm25_docs,
         "shuffle_docs": shuffle_docs,
         "dsir_docs": dsir_docs,
+        "classifier_docs": classifier_docs,
         "chunk_docs": chunk_docs_q,
         "minhash_pairs_docs": minhash_pairs_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -1597,6 +1618,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq": _docs_oracle_select("knn_ivfpq"),
         "semdedup_embeddings": _docs_oracle_select("semdedup_embeddings"),
         "dsir_docs": _docs_oracle_select("dsir_docs"),
+        "classifier_docs": _docs_oracle_select("classifier_docs"),
         "d4_embeddings": _docs_oracle_select("d4_embeddings"),
     }
 

@@ -206,7 +206,8 @@ def run_queries_bench(sf_dir: str) -> dict[str, float]:
              "decontaminate_part_docs", "paragraph_dedup_docs",
              "redact_pii_docs", "quantiles_price", "perplexity_docs",
              "bm25_docs", "shuffle_docs", "semdedup_embeddings",
-             "dsir_docs", "d4_embeddings", "chunk_docs", "spandedup_docs"]
+             "dsir_docs", "d4_embeddings", "chunk_docs", "spandedup_docs",
+             "classifier_docs"]
     times: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()

@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 12  # v11: DSIR selection; v12: D4 verdicts
+ORACLE_VERSION = 14  # v13: quality classifier; v14: clf alpha=3
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -936,10 +936,41 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "selected": pa.array(ds_sel.astype(np.int32), pa.int32()),
     })
 
+    # --- classifier_docs: GPT-3 quality classifier + Pareto keep rule ------
+    # sequential twin of textops/classifier.py over the SAME target/raw
+    # split and bucket model as dsir (reuses _ratio / all_buckets): score =
+    # sigmoid of the MEAN gram log-odds; kept iff the ppm-quantized Pareto
+    # draw (alpha=9, salt=13) beats 1 - score in integer arithmetic.
+    _CLF_SALT, _CLF_ALPHA = 13, 3.0
+    clf_sums = np.zeros(len(raw_rows), np.float64)
+    for j, i in enumerate(raw_rows):
+        s = 0.0
+        for bk in all_buckets[i]:
+            for b_ in bk:
+                s += _ratio[b_]
+        clf_sums[j] = s
+    clf_ng = np.array(ds_ng, np.int64)
+    clf_logit = clf_sums / np.maximum(clf_ng, 1)
+    clf_score = 1.0 / (1.0 + np.exp(-clf_logit))
+    clf_score_ppm = np.floor(clf_score * 1e6).astype(np.int64)
+    _ch = _smx(ds_ids.astype(np.uint64) + np.uint64(_CLF_SALT))
+    _cu = ((_ch >> np.uint64(11)).astype(np.float64) + 0.5) * 2.0 ** -53
+    clf_pareto_ppm = np.floor((_cu ** (-1.0 / _CLF_ALPHA) - 1.0)
+                              * 1e6).astype(np.int64)
+    clf_kept = (clf_score_ppm + clf_pareto_ppm > 10 ** 6).astype(np.int32)
+    classifier_tbl = pa.table({
+        "doc_id": pa.array(ds_ids, pa.int64()),
+        "n_grams": pa.array(clf_ng, pa.int64()),
+        "score_ppm": pa.array(clf_score_ppm, pa.int64()),
+        "pareto_ppm": pa.array(clf_pareto_ppm, pa.int64()),
+        "kept": pa.array(clf_kept, pa.int32()),
+    })
+
     return {
         "fingerprint_docs": fingerprint,
         "perplexity_docs": perplexity,
         "dsir_docs": dsir_tbl,
+        "classifier_docs": classifier_tbl,
         "bm25_docs": bm25,
         "simhash_pairs_docs": simhash_pairs,
         "curate_docs": curate,

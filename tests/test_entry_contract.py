@@ -74,7 +74,7 @@ _PATH_ORACLES = {
     "simhash_pairs_docs", "curate_docs",
     "multimodal_decode", "multimodal_png", "multimodal_codecs",
     "multimodal_resize", "knn_ivf", "knn_ivfpq", "semdedup_embeddings",
-    "dsir_docs", "d4_embeddings",
+    "dsir_docs", "d4_embeddings", "classifier_docs",
 }
 
 
