@@ -123,6 +123,17 @@ def main(argv=None):
                     help="keep only these predicted languages")
     cu.add_argument("--num-cpus", type=int, default=None)
 
+    sp = sub.add_parser("spandedup", help="repeated-span exact-substring "
+                        "dedup (Lee et al. 2021): cut non-first occurrences "
+                        "of repeated K-token spans over a (doc_id, text) "
+                        "parquet")
+    sp.add_argument("--input", required=True, help="documents parquet file/dir")
+    sp.add_argument("--dest", required=True, help="output parquet directory")
+    sp.add_argument("--k", type=int, default=50,
+                    help="span width in tokens (Lee et al. use 50)")
+    sp.add_argument("--min-count", type=int, default=2)
+    sp.add_argument("--num-cpus", type=int, default=None)
+
     pr = sub.add_parser("prepare", help="full training-data preparation: "
                         "curate -> decontaminate -> split -> domain-mix -> "
                         "pack, writing a training-ready parquet layout")
@@ -151,6 +162,17 @@ def main(argv=None):
                          "exceeds this; omit to skip the LM stage")
     pr.add_argument("--ppl-top-v", type=int, default=50_000,
                     help="LM vocabulary size for --max-xent-ppm")
+    pr.add_argument("--span-k", type=int, default=None,
+                    help="repeated-span dedup (Lee et al. 2021): cut "
+                         "non-first occurrences of repeated K-token spans "
+                         "BEFORE curation; omit to skip")
+    pr.add_argument("--classifier-target", default=None,
+                    help="high-quality target (doc_id, text) parquet: fit "
+                         "the GPT-3-style hashed-ngram quality classifier "
+                         "against the curated corpus and keep docs by the "
+                         "pareto_draw > 1 - score rule; omit to skip")
+    pr.add_argument("--pareto-alpha", type=float, default=9.0,
+                    help="Pareto shape for --classifier-target (GPT-3: 9)")
     pr.add_argument("--num-cpus", type=int, default=None)
 
     di = sub.add_parser("dedup-inc", help="incremental near-dup removal: "
@@ -316,6 +338,31 @@ def main(argv=None):
             n_kept = parquet_rows(args.dest)
             print(json.dumps({"input_docs": n_in, "kept_docs": n_kept,
                               "dropped": n_in - n_kept, "dest": args.dest}))
+        elif args.cmd == "spandedup":
+            import os
+            import shutil
+
+            import pyarrow.compute as pc
+
+            from .textops.spandedup import span_dedup
+            from .util.rayops import parquet_rows, read_parquet_clean
+
+            shutil.rmtree(args.dest, ignore_errors=True)  # see curate
+            out = span_dedup(read_parquet_clean(args.input), k=args.k,
+                             min_count=args.min_count)
+            out.write_parquet(args.dest)
+            import pyarrow.parquet as _pq
+
+            tot = dropped = 0
+            for part in sorted(os.listdir(args.dest)):
+                t = _pq.read_table(os.path.join(args.dest, part),
+                                   columns=["n_tokens", "n_dropped"])
+                tot += int(pc.sum(t["n_tokens"]).as_py() or 0)
+                dropped += int(pc.sum(t["n_dropped"]).as_py() or 0)
+            print(json.dumps({"input_docs": parquet_rows(args.input),
+                              "docs": parquet_rows(args.dest),
+                              "tokens": tot, "tokens_dropped": dropped,
+                              "dest": args.dest}))
         elif args.cmd == "prepare":
             import shutil
 
@@ -336,7 +383,10 @@ def main(argv=None):
                 decontam_n=args.decontam_ngram,
                 ratios=_kv(args.ratios, float), mix_rates=_kv(args.mix, float),
                 seq_len=args.seq_len, xent_max_ppm=args.max_xent_ppm,
-                ppl_top_v=args.ppl_top_v)
+                ppl_top_v=args.ppl_top_v, span_k=args.span_k,
+                classifier_target=read_parquet_clean(args.classifier_target)
+                if args.classifier_target else None,
+                pareto_alpha=args.pareto_alpha)
             print(json.dumps(manifest["stages"]))
         elif args.cmd == "dedup-inc":
             import shutil

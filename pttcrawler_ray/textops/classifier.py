@@ -53,7 +53,8 @@ from .dsir import _NGRAMS, fit_bucket_counts, log_ratio_table
 
 
 def _score_batch(batch: pa.Table, *, ratio_ref, buckets: int, salt: int,
-                 alpha: float, id_col: str, text_col: str) -> pa.Table:
+                 alpha: float, id_col: str, text_col: str,
+                 append: bool = False) -> pa.Table:
     ratio = _bcast_get(ratio_ref)
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     sums = np.zeros(len(batch), np.float64)
@@ -72,6 +73,10 @@ def _score_batch(batch: pa.Table, *, ratio_ref, buckets: int, salt: int,
     draw = u ** (-1.0 / alpha) - 1.0
     pareto_ppm = np.floor(draw * 1e6).astype(np.int64)
     kept = (score_ppm + pareto_ppm > 10 ** 6).astype(np.int32)
+    if append:  # keep the payload columns (streaming gate, no re-join)
+        out = batch.append_column("score_ppm",
+                                  pa.array(score_ppm, pa.int64()))
+        return out.append_column("kept", pa.array(kept, pa.int32()))
     return pa.table({
         id_col: pa.array(ids, pa.int64()),
         "n_grams": pa.array(n_grams, pa.int64()),
@@ -83,16 +88,20 @@ def _score_batch(batch: pa.Table, *, ratio_ref, buckets: int, salt: int,
 
 def classifier_scores(raw_ds, log_ratio: np.ndarray, *,
                       pareto_alpha: float = 9.0, salt: int = 13,
-                      id_col: str = "doc_id", text_col: str = "text"):
+                      id_col: str = "doc_id", text_col: str = "text",
+                      append: bool = False):
     """Streaming per-doc quality scores + keep decisions under a fitted
-    ratio table: rows ``(id_col, n_grams, score_ppm, pareto_ppm, kept)``."""
+    ratio table: rows ``(id_col, n_grams, score_ppm, pareto_ppm, kept)``,
+    or the input batch + ``(score_ppm, kept)`` when ``append=True`` (the
+    in-pipeline gate form — filter ``kept == 1`` downstream, nothing
+    id-sized ever reaches the driver)."""
     import ray
 
     return raw_ds.map_batches(
         _score_batch,
         fn_kwargs={"ratio_ref": ray.put(np.asarray(log_ratio, np.float64)),
                    "buckets": len(log_ratio), "salt": int(salt),
-                   "alpha": float(pareto_alpha),
+                   "alpha": float(pareto_alpha), "append": append,
                    "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow")
 

@@ -91,7 +91,11 @@ def prepare(docs: "rd.Dataset", benchmark: "rd.Dataset | None", dest: str,
             split_salt: int = 0, mix_salt: int = 1,
             xent_max_ppm: "int | None" = None,
             ppl_top_v: int = 50_000,
-            require_stopwords: bool = True) -> dict:
+            require_stopwords: bool = True,
+            span_k: "int | None" = None,
+            classifier_target: "rd.Dataset | None" = None,
+            pareto_alpha: float = 9.0,
+            clf_buckets: int = 4096, clf_salt: int = 13) -> dict:
     """Run the full preparation pipeline and write the training layout
     under ``dest``.  Returns the manifest dict (also written as
     ``dest/manifest.json``).  ``require_stopwords`` passes through to
@@ -102,6 +106,14 @@ def prepare(docs: "rd.Dataset", benchmark: "rd.Dataset | None", dest: str,
     ``xent_max_ppm`` (CCNet-style) trains a unigram LM on the CURATED
     corpus (vocab ≤ ``ppl_top_v`` — driver-bounded) and drops docs whose
     cross-entropy exceeds it, before decontamination.
+
+    ``span_k`` (Lee et al. 2021) rewrites every doc FIRST, cutting
+    non-first occurrences of repeated ``span_k``-token spans — dedup
+    before scoring, so boilerplate never inflates quality/LM stats.
+    ``classifier_target`` (GPT-3 App. A) fits the hashed-ngram quality
+    classifier (target vs the curated corpus) and applies the
+    ``pareto_draw > 1 - score`` keep rule as a streaming gate after
+    curation.
     """
     from .curate import curate
     from .decontam import decontaminate
@@ -118,17 +130,46 @@ def prepare(docs: "rd.Dataset", benchmark: "rd.Dataset | None", dest: str,
                    "seq_len": seq_len, "split_salt": split_salt,
                    "mix_salt": mix_salt, "xent_max_ppm": xent_max_ppm,
                    "ppl_top_v": ppl_top_v if xent_max_ppm is not None
-                   else None},
+                   else None,
+                   "span_k": span_k,
+                   "pareto_alpha": pareto_alpha if classifier_target
+                   is not None else None},
         "stages": {},
     }
     n_input = docs.count()
     manifest["stages"]["input_docs"] = n_input
+
+    if span_k is not None:
+        from .spandedup import span_dedup
+
+        spanned = span_dedup(docs, k=span_k).materialize()
+        manifest["stages"]["span_tokens_dropped"] = int(
+            spanned.sum("n_dropped") or 0)
+        docs = spanned.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "text": t["text_clean"]}),
+            batch_format="pyarrow")
 
     kept = curate(docs, quality_min=quality_min, langs=langs,
                   require_stopwords=require_stopwords,
                   dedup_threshold=dedup_threshold).materialize()
     n_curated = kept.count()
     manifest["stages"]["curated_docs"] = n_curated
+
+    if classifier_target is not None:
+        from .classifier import (classifier_scores, fit_bucket_counts,
+                                 log_ratio_table)
+
+        tc = fit_bucket_counts(classifier_target, buckets=clf_buckets)
+        rc = fit_bucket_counts(kept, buckets=clf_buckets)
+        ratio = log_ratio_table(tc, rc)
+        scored = classifier_scores(kept, ratio, pareto_alpha=pareto_alpha,
+                                   salt=clf_salt, append=True)
+        kept = scored.filter(expr="kept == 1").drop_columns(
+            ["score_ppm", "kept"]).materialize()
+        n_classified = kept.count()
+        manifest["stages"]["classifier_dropped"] = n_curated - n_classified
+        n_curated = n_classified
 
     if xent_max_ppm is not None:
         from .perplexity import filter_by_perplexity, train_unigram_lm

@@ -198,3 +198,66 @@ def test_prepare_perplexity_gate(ray_session, tmp_path):
     # the bounded-vocab LM the gate trains is the same one scored above
     lm = train_unigram_lm(rd.from_arrow(cur_tbl), top_v=24)
     assert len(lm["vocab"]) == 24
+
+
+def test_prepare_span_and_classifier_gates(ray_session, tmp_path):
+    """The two round-4 gates compose: span-dedup rewrites BEFORE curation
+    (boilerplate never inflates quality stats) and the Pareto classifier
+    gate drops after curation; manifest counts equal a manual replay of
+    the same stages over the same intermediates."""
+    from pttcrawler_ray.textops.classifier import (classifier_scores,
+                                                   fit_bucket_counts,
+                                                   log_ratio_table)
+    from pttcrawler_ray.textops.curate import curate
+    from pttcrawler_ray.textops.prepare import prepare
+    from pttcrawler_ray.textops.spandedup import span_dedup
+
+    corpus, _ = _mk_corpus()
+    # plant a repeated 4-token span: doc 0's opener spliced into doc 5
+    texts = corpus["text"].to_pylist()
+    texts[5] = "the quick brown fox number0 " + texts[5]
+    corpus = pa.table({"doc_id": corpus["doc_id"],
+                       "text": pa.array(texts, pa.string())})
+    target = pa.table({
+        "doc_id": pa.array([9100, 9101], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps over the lazy dog "
+                          "and the evening was long",
+                          "the rain fell on the quiet hill and the water "
+                          "is cold by the river"])})
+
+    dest = tmp_path / "layout"
+    m = prepare(rd.from_arrow(corpus), None, str(dest),
+                quality_min=0.3, dedup_threshold=0.7,
+                ratios={"train": 0.8, "val": 0.1, "test": 0.1},
+                split_salt=7, seq_len=64, span_k=4,
+                classifier_target=rd.from_arrow(target),
+                pareto_alpha=2.0)
+    s = m["stages"]
+
+    # manual replay of the same stage chain
+    spanned = span_dedup(rd.from_arrow(corpus), k=4).materialize()
+    exp_span_dropped = int(spanned.to_pandas()["n_dropped"].sum())
+    assert exp_span_dropped > 0
+    assert s["span_tokens_dropped"] == exp_span_dropped
+
+    clean = spanned.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": t["text_clean"]}),
+        batch_format="pyarrow")
+    kept = curate(clean, quality_min=0.3, dedup_threshold=0.7).materialize()
+    assert s["curated_docs"] == kept.count()
+
+    ratio = log_ratio_table(
+        fit_bucket_counts(rd.from_arrow(target), buckets=4096),
+        fit_bucket_counts(kept, buckets=4096))
+    scored = classifier_scores(kept, ratio, pareto_alpha=2.0,
+                               append=True).to_pandas()
+    exp_kept_ids = set(scored.loc[scored["kept"] == 1, "doc_id"])
+    assert 0 < len(exp_kept_ids) < len(scored)   # gate is non-vacuous
+    assert s["classifier_dropped"] == len(scored) - len(exp_kept_ids)
+
+    got_ids = set()
+    for label in ("train", "val", "test"):
+        part = dest / "docs" / f"split={label}"
+        if part.exists():
+            got_ids |= set(pq.read_table(str(part))["doc_id"].to_pylist())
+    assert got_ids == exp_kept_ids

@@ -94,6 +94,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--out", default="/tmp/ptt_dsir_soak")
+    ap.add_argument("--classifier", action="store_true",
+                    help="soak the GPT-3-style quality classifier "
+                         "(textops/classifier.py) on the same corpus "
+                         "instead of DSIR")
     args = ap.parse_args()
     k = args.docs // 10
 
@@ -120,6 +124,10 @@ def main():
 
     from pttcrawler_ray.textops.dsir import dsir_select
     from pttcrawler_ray.util.rayops import read_parquet_clean
+
+    if args.classifier:
+        _classifier_soak(args, raw_dir, tgt_dir)
+        return
 
     t0 = time.time()
     marked = dsir_select(read_parquet_clean(raw_dir),
@@ -177,6 +185,79 @@ def main():
         "exact_match": bool(ok),
     }))
     assert ok and closed_form
+
+
+def _classifier_soak(args, raw_dir: str, tgt_dir: str) -> None:
+    """Quality-classifier soak on the DSIR corpus: engine scores + Pareto
+    keeps vs a sequential numpy replay of the documented spec; the
+    planted class structure gives the keep rates a closed-form shape
+    (target-like docs score ~0.89, junk ~0.09 → keep ~38% vs ~0.3% at
+    alpha=9)."""
+    import ray
+
+    from pttcrawler_ray.textops.classifier import quality_classifier
+    from pttcrawler_ray.util.hashing import splitmix64
+    from pttcrawler_ray.util.rayops import read_parquet_clean
+
+    CLF_SALT, CLF_ALPHA = 13, 9.0
+    t0 = time.time()
+    marked = quality_classifier(read_parquet_clean(raw_dir),
+                                read_parquet_clean(tgt_dir),
+                                buckets=BUCKETS, pareto_alpha=CLF_ALPHA,
+                                salt=CLF_SALT).materialize()
+    n_rows = marked.count()
+    t_engine = time.time() - t0
+    got = marked.to_pandas().sort_values("doc_id")  # 5 int cols, soak-only
+
+    t1 = time.time()
+    raw_files = sorted(os.path.join(raw_dir, f) for f in os.listdir(raw_dir))
+    tgt_files = sorted(os.path.join(tgt_dir, f) for f in os.listdir(tgt_dir))
+    tc = replay_counts_and_sums(tgt_files)
+    rc = replay_counts_and_sums(raw_files)
+    tp = float(int(tc.sum()) + ALPHA * BUCKETS)
+    rp = float(int(rc.sum()) + ALPHA * BUCKETS)
+    ratio = np.array(
+        [math.log((int(t) + ALPHA) / tp) - math.log((int(r) + ALPHA) / rp)
+         for t, r in zip(tc, rc)], np.float64)
+    ids, ng, sums = replay_counts_and_sums(raw_files, ratio=ratio)
+    order = np.argsort(ids, kind="stable")
+    ids, ng, sums = ids[order], ng[order], sums[order]
+    logit = sums / np.maximum(ng, 1)
+    score_ppm = np.floor(1.0 / (1.0 + np.exp(-logit)) * 1e6).astype(np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(CLF_SALT))
+    u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) * 2.0 ** -53
+    pareto_ppm = np.floor((u ** (-1.0 / CLF_ALPHA) - 1.0) * 1e6) \
+        .astype(np.int64)
+    kept = (score_ppm + pareto_ppm > 10 ** 6).astype(np.int32)
+    t_oracle = time.time() - t1
+
+    ok = (n_rows == args.docs
+          and np.array_equal(got["doc_id"].to_numpy(np.int64), ids)
+          and np.array_equal(got["n_grams"].to_numpy(np.int64), ng)
+          and np.array_equal(got["score_ppm"].to_numpy(np.int64), score_ppm)
+          and np.array_equal(got["pareto_ppm"].to_numpy(np.int64),
+                             pareto_ppm)
+          and np.array_equal(got["kept"].to_numpy(np.int32), kept))
+    is_target = ids % 10 == 0
+    rate_t = float(kept[is_target].mean())
+    rate_j = float(kept[~is_target].mean())
+
+    peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "quality-classifier soak (NB fit + sigmoid score + "
+                  "integer Pareto keep) vs sequential replay",
+        "n_raw_docs": args.docs, "n_target_docs": N_TARGET,
+        "buckets": BUCKETS, "pareto_alpha": CLF_ALPHA,
+        "kept": int(kept.sum()),
+        "keep_rate_target_class": round(rate_t, 4),
+        "keep_rate_junk_class": round(rate_j, 5),
+        "engine_sec": round(t_engine, 1), "oracle_sec": round(t_oracle, 1),
+        "docs_per_sec": round(args.docs / t_engine, 0),
+        "driver_peak_rss_gb": round(peak, 2),
+        "exact_match": bool(ok),
+    }))
+    assert ok and rate_t > 10 * max(rate_j, 1e-9)
 
 
 if __name__ == "__main__":
