@@ -789,6 +789,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return quality_classifier(raw, target, buckets=4096,
                                   pareto_alpha=3.0, salt=13)
 
+    _BPE_CACHE: dict = {}
+
+    def _bpe_merges_for(sf_dir):
+        """Train once per sf_dir (the distributed word count is the only
+        corpus-sized work; merges are the bounded driver artifact)."""
+        if sf_dir not in _BPE_CACHE:
+            from pttcrawler_ray.textops.bpe import train_bpe_distributed
+
+            docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+            _BPE_CACHE[sf_dir] = train_bpe_distributed(
+                docs, n_merges=40, top_v=1_000, min_freq=2)
+        return _BPE_CACHE[sf_dir]
+
+    def bpe_merges_docs(sf_dir):
+        """BPE tokenizer training (Sennrich et al. 2016): the learned
+        merge table.  Word counts are the distributed vocab_topk pass;
+        merge learning is driver-side over the bounded (word, count)
+        table; oracle = independent sequential replay."""
+        from pttcrawler_ray.textops.bpe import merges_table
+
+        _ctx()
+        if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+            _ensure_docs_oracle(sf_dir)
+        return merges_table(_bpe_merges_for(sf_dir))
+
+    def bpe_tokens_docs(sf_dir):
+        """Per-doc BPE token counts under the corpus-trained merges —
+        the streaming actor-pool encode with a per-actor word cache."""
+        from pttcrawler_ray.textops.bpe import bpe_token_counts
+
+        _ctx()
+        if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+            _ensure_docs_oracle(sf_dir)
+        merges = _bpe_merges_for(sf_dir)
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "text"])
+        return bpe_token_counts(docs, merges)
+
     def minhash_pairs_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import minhash_lsh_pairs
@@ -1197,6 +1236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_docs": shuffle_docs,
         "dsir_docs": dsir_docs,
         "classifier_docs": classifier_docs,
+        "bpe_merges_docs": bpe_merges_docs,
+        "bpe_tokens_docs": bpe_tokens_docs,
         "chunk_docs": chunk_docs_q,
         "minhash_pairs_docs": minhash_pairs_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
@@ -1619,6 +1660,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_embeddings": _docs_oracle_select("semdedup_embeddings"),
         "dsir_docs": _docs_oracle_select("dsir_docs"),
         "classifier_docs": _docs_oracle_select("classifier_docs"),
+        "bpe_merges_docs": _docs_oracle_select("bpe_merges_docs"),
+        "bpe_tokens_docs": _docs_oracle_select("bpe_tokens_docs"),
         "d4_embeddings": _docs_oracle_select("d4_embeddings"),
     }
 

@@ -207,7 +207,7 @@ def run_queries_bench(sf_dir: str) -> dict[str, float]:
              "redact_pii_docs", "quantiles_price", "perplexity_docs",
              "bm25_docs", "shuffle_docs", "semdedup_embeddings",
              "dsir_docs", "d4_embeddings", "chunk_docs", "spandedup_docs",
-             "classifier_docs"]
+             "classifier_docs", "bpe_tokens_docs"]
     times: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()

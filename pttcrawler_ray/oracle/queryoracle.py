@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 14  # v13: quality classifier; v14: clf alpha=3
+ORACLE_VERSION = 15  # v14: clf alpha=3; v15: BPE tokenizer
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -966,11 +966,97 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "kept": pa.array(clf_kept, pa.int32()),
     })
 
+    # --- bpe_merges / bpe_tokens: BPE tokenizer (Sennrich et al. 2016) ------
+    # independent row-at-a-time twin of textops/bpe.py: word counts by a
+    # plain Counter over str.split(), top-1000 with the (count DESC, word
+    # ASC) tie-break, merge rounds picking (max summed count, lexicographic
+    # pair), greedy lowest-rank encode with a </w> end-of-word marker.
+    _BPE_TOPV, _BPE_MERGES, _BPE_MINFREQ = 1_000, 40, 2
+    from collections import Counter as _Counter
+
+    wcount: "_Counter[str]" = _Counter()
+    for t in texts:
+        wcount.update((t or "").split())
+    wtop = sorted(wcount.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOPV]
+    bpe_vocab = {w: ([*w] + ["</w>"], c) for w, c in wtop}
+    bpe_merges: "list[tuple[str, str]]" = []
+    for _ in range(_BPE_MERGES):
+        pc_: "dict[tuple[str, str], int]" = {}
+        for syms, c in bpe_vocab.values():
+            for a_, b_ in zip(syms, syms[1:]):
+                pc_[(a_, b_)] = pc_.get((a_, b_), 0) + c
+        if not pc_:
+            break
+        (ma, mb), mc = sorted(pc_.items(),
+                              key=lambda kv: (-kv[1], kv[0]))[0]
+        if mc < _BPE_MINFREQ:
+            break
+        bpe_merges.append((ma, mb))
+        for w, (syms, c) in bpe_vocab.items():
+            ns, i_ = [], 0
+            while i_ < len(syms):
+                if (i_ + 1 < len(syms) and syms[i_] == ma
+                        and syms[i_ + 1] == mb):
+                    ns.append(ma + mb)
+                    i_ += 2
+                else:
+                    ns.append(syms[i_])
+                    i_ += 1
+            bpe_vocab[w] = (ns, c)
+    bpe_ranks = {p: r for r, p in enumerate(bpe_merges)}
+
+    def _bpe_encode_len(word: str) -> int:
+        syms = [*word] + ["</w>"]
+        while len(syms) > 1:
+            cand = [(bpe_ranks[(x, y)], i_)
+                    for i_, (x, y) in enumerate(zip(syms, syms[1:]))
+                    if (x, y) in bpe_ranks]
+            if not cand:
+                break
+            _, at = min(cand)
+            x, y = syms[at], syms[at + 1]
+            ns, i_ = [], 0
+            while i_ < len(syms):
+                if i_ + 1 < len(syms) and syms[i_] == x and syms[i_ + 1] == y:
+                    ns.append(x + y)
+                    i_ += 2
+                else:
+                    ns.append(syms[i_])
+                    i_ += 1
+            syms = ns
+        return len(syms)
+
+    _enc_cache: "dict[str, int]" = {}
+    bpe_ntok, bpe_nbpe = [], []
+    for t in texts:
+        ws = (t or "").split()
+        bpe_ntok.append(len(ws))
+        s = 0
+        for w in ws:
+            n_ = _enc_cache.get(w)
+            if n_ is None:
+                n_ = _bpe_encode_len(w)
+                _enc_cache[w] = n_
+            s += n_
+        bpe_nbpe.append(s)
+    bpe_merges_tbl = pa.table({
+        "rank": pa.array(range(len(bpe_merges)), pa.int64()),
+        "left": pa.array([a_ for a_, _ in bpe_merges], pa.string()),
+        "right": pa.array([b_ for _, b_ in bpe_merges], pa.string()),
+    })
+    bpe_tokens_tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(bpe_ntok, pa.int64()),
+        "n_bpe_tokens": pa.array(bpe_nbpe, pa.int64()),
+    })
+
     return {
         "fingerprint_docs": fingerprint,
         "perplexity_docs": perplexity,
         "dsir_docs": dsir_tbl,
         "classifier_docs": classifier_tbl,
+        "bpe_merges_docs": bpe_merges_tbl,
+        "bpe_tokens_docs": bpe_tokens_tbl,
         "bm25_docs": bm25,
         "simhash_pairs_docs": simhash_pairs,
         "curate_docs": curate,

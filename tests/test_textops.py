@@ -1564,3 +1564,29 @@ def test_chunk_docs_windows(ray_session):
     assert out.n_tokens.tolist() == [16, 16, 5, 2]
     assert out.text[2] == "w12 w13 w14 w15 w16"
     assert out.text[3] == "a b"
+
+
+def test_bpe_train_and_encode_semantics(ray_session):
+    """Hand-computed merge sequence (count-then-lexicographic tie-break,
+    '</w>' sorts before letters) + greedy lowest-rank encode; the
+    streaming counter equals a per-doc replay."""
+    from pttcrawler_ray.textops.bpe import (bpe_token_counts, encode_word,
+                                            train_bpe)
+
+    merges = train_bpe([("aa", 3), ("ab", 2)], n_merges=4, min_freq=2)
+    assert merges == [("a", "</w>"), ("a", "a</w>"),
+                      ("a", "b"), ("ab", "</w>")]
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("aa", ranks) == ["aa</w>"]
+    assert encode_word("ab", ranks) == ["ab</w>"]
+    assert encode_word("ba", ranks) == ["b", "a</w>"]   # partial coverage
+    assert encode_word("zq", ranks) == ["z", "q", "</w>"]  # OOV passthrough
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["aa ab aa", "zq ba"]}))
+    got = {r["doc_id"]: r for r in
+           bpe_token_counts(ds, merges).to_pandas().to_dict("records")}
+    assert got[0]["n_tokens"] == 3 and got[0]["n_bpe_tokens"] == 3
+    assert got[1]["n_tokens"] == 2 and got[1]["n_bpe_tokens"] == 5
