@@ -342,3 +342,86 @@ def test_export_asn_plans_parity(crawled):
     users = export_users(out, d, plan="distributed").to_pandas()
     lt = users["login_times"].dropna().tolist()
     assert lt == sorted(lt)
+
+
+# --------------------------------------------------------------------------
+# S7 terminal session driver (pipelines/terminal.py) over the fake server
+# --------------------------------------------------------------------------
+def _screens_map(corpus_dir):
+    t = pq.read_table(os.path.join(corpus_dir, "user_screens.parquet"))
+    return dict(zip(t["username"].to_pylist(), t["text"].to_pylist()))
+
+
+def test_terminal_session_matches_batch_extraction():
+    """A clean session over the fake terminal yields exactly the rows the
+    M6 batch extractor produces from the same screens — the S7 driver
+    half and the data path agree."""
+    from pttcrawler_ray.pipelines.terminal import (FakeTermServer,
+                                                   TerminalUserSession)
+    from pttcrawler_ray.pipelines.users import extract_users_batch
+
+    corpus = corpus_for_scale("t1")
+    screens = _screens_map(corpus)
+    ids = sorted(screens)
+    srv = FakeTermServer(screens, interstitials=2)
+    got = TerminalUserSession(srv, "acc", "pw").crawl_users(ids) \
+        .to_pandas().sort_values("username").reset_index(drop=True)
+    exp = extract_users_batch(pa.table({
+        "username": pa.array(ids, pa.string()),
+        "text": pa.array([screens[u] for u in ids], pa.string()),
+    })).to_pandas().sort_values("username").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # the login dismissal loop ran: connect + id + pw + 2 interstitials
+    dismissals = [b for op, b in srv.log[:6] if op == "send"]
+    assert dismissals[:4] == ["acc", "pw", "", ""]
+
+
+def test_terminal_session_relogin_and_third_error():
+    """Reference crawler/user.py:285-293: a disconnect re-logins and the
+    interrupted user is retried on the next queue pass; the THIRD
+    disconnect raises."""
+    from pttcrawler_ray.pipelines.terminal import (FakeTermServer,
+                                                   PttDisconnectException,
+                                                   TerminalUserSession)
+
+    corpus = corpus_for_scale("t1")
+    screens = _screens_map(corpus)
+    ids = sorted(screens)[:4]
+    # send numbering (no interstitials): acc=1, pw=2, T=3, then per user
+    # j: Q=4+3j, id=5+3j, dismiss=6+3j.  Kill send 4 (the first 'Q',
+    # BEFORE any capture): one recovery, the interrupted user is retried
+    # on the next queue pass, every id crawled exactly once.
+    srv = FakeTermServer(screens, disconnect_on_send={4})
+    got = TerminalUserSession(srv, "acc", "pw").crawl_users(ids).to_pandas()
+    assert sorted(got["username"]) == ids
+    assert got["error"].isna().all()
+
+    # a disconnect on the DISMISSAL send lands after the record was
+    # captured but before the id left the queue → the user is queried
+    # again (the reference's crawler_result.append/:281 queue ordering
+    # produces the same duplicate — pinned as reference parity)
+    srv_d = FakeTermServer(screens, disconnect_on_send={6})
+    got_d = TerminalUserSession(srv_d, "acc", "pw").crawl_users(ids) \
+        .to_pandas()
+    assert sorted(got_d["username"]) == sorted(ids + [ids[0]])
+
+    srv3 = FakeTermServer(screens, disconnect_on_send={4, 9, 14})
+    with pytest.raises(PttDisconnectException):
+        TerminalUserSession(srv3, "acc", "pw").crawl_users(ids)
+
+
+def test_terminal_session_flush_cadence():
+    """Records flush every N with a final partial flush (reference
+    buffers of 100, crawler/user.py:271-274)."""
+    from pttcrawler_ray.pipelines.terminal import (FakeTermServer,
+                                                   TerminalUserSession)
+
+    corpus = corpus_for_scale("t1")
+    screens = _screens_map(corpus)
+    ids = sorted(screens)[:5]
+    flushes = []
+    srv = FakeTermServer(screens)
+    TerminalUserSession(srv, "a", "p").crawl_users(
+        ids, flush_every=2, on_flush=lambda n, b: flushes.append(list(n)))
+    assert [len(f) for f in flushes] == [2, 2, 1]
+    assert [u for f in flushes for u in f] == ids
