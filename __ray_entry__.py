@@ -485,6 +485,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                       columns=["o_custkey"])
         return hll_registers(orders, "o_custkey", p=12, salt=7)
 
+    def hll_users_by_event_type(sf_dir):
+        """Grouped HLL: distinct-user sketch PER event_type — per-batch
+        partials collapse to groups x 2^p rows; the one coarse shuffle
+        rides a mixed uint64 key (group-hash bits + register), never a
+        native two-key groupby."""
+        from pttcrawler_ray.sketches import hll_registers_by_group
+
+        ev = _rpq(os.path.join(sf_dir, "events.parquet"),
+                  columns=["user_id", "event_type"])
+        return hll_registers_by_group(ev, "user_id", "event_type",
+                                      p=12, salt=7)
+
     def cms_users_events(sf_dir):
         """Count-Min frequency sketch (4 x 1024) over events.user_id —
         the mergeable heavy-hitter counter: per-batch dense d*w bincount
@@ -1198,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spandedup_docs": spandedup_docs,
         "redact_pii_docs": redact_pii_docs,
         "hll_custkey_orders": hll_custkey_orders,
+        "hll_users_by_event_type": hll_users_by_event_type,
         "cms_users_events": cms_users_events,
         "quantiles_price": quantiles_price,
         "quantiles_price_by_flag": quantiles_price_by_flag,
@@ -1368,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "spandedup_docs": _spandedup_sql_oracle(),
         "redact_pii_docs": _redact_pii_sql_oracle(),
         "hll_custkey_orders": _hll_sql_oracle(),
+        "hll_users_by_event_type": _hll_group_sql_oracle(),
         "cms_users_events": _cms_sql_oracle(),
         "quantiles_price": " UNION ALL ".join(
             f"""SELECT CAST({int(round(q * 10000))} AS BIGINT) AS q_bp,
@@ -1694,6 +1708,12 @@ def _hll_sql_oracle() -> str:
     from pttcrawler_ray.sketches import hll_sql
 
     return hll_sql("orders", "o_custkey", p=12, salt=7)
+
+
+def _hll_group_sql_oracle() -> str:
+    from pttcrawler_ray.sketches import hll_group_sql
+
+    return hll_group_sql("events", "user_id", "event_type", p=12, salt=7)
 
 
 def _cms_sql_oracle() -> str:

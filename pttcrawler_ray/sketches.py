@@ -186,3 +186,86 @@ def cms_sql(table: str, key_expr: str, depth: int = 4, width: int = 1024,
 SELECT depth, col, CAST(count(*) AS BIGINT) AS cnt
 FROM ({u}) GROUP BY depth, col
 """
+
+
+# --------------------------------------------------------------------------
+# grouped HyperLogLog (distinct count per group)
+# --------------------------------------------------------------------------
+def _hll_group_batch(batch: pa.Table, *, key: str, group_col: str, p: int,
+                     salt: int) -> pa.Table:
+    import pandas as pd
+
+    ids = batch[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(ids + np.uint64(salt))
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    rho = np.where(w == 0, 64 - p + 1, 64 - p - _bit_length_u64(w) + 1)
+    codes, uniques = pd.factorize(
+        batch[group_col].to_numpy(zero_copy_only=False))
+    m = 1 << p
+    dense = np.zeros(len(uniques) * m, np.int64)
+    np.maximum.at(dense, codes * m + reg, rho)
+    nz = np.flatnonzero(dense)
+    from .util.hashing import hash_u64_many
+
+    gidx = nz // m
+    gh = hash_u64_many(list(uniques))
+    return pa.table({
+        group_col: pa.array(np.asarray(uniques, object)[gidx].tolist(),
+                            pa.string()),
+        "register": pa.array(nz % m, pa.int64()),
+        "rho": pa.array(dense[nz], pa.int64()),
+        # mixed single-int shuffle key: group hash's top bits + register
+        # (the repo-standard alternative to a native two-key groupby)
+        "bkey": pa.array(((gh[gidx] >> np.uint64(p))
+                          << np.uint64(p)) | (nz % m).astype(np.uint64),
+                         pa.uint64()),
+    })
+
+
+def _hll_group_merge(g: pa.Table) -> pa.Table:
+    bk = g["bkey"].to_numpy(zero_copy_only=False)
+    rho = g["rho"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-rho, bk))
+    bk_s = bk[order]
+    first = np.r_[True, bk_s[1:] != bk_s[:-1]]  # max rho = first of run
+    take = order[first]
+    return pa.table({
+        g.column_names[0]: g[g.column_names[0]].take(pa.array(take)),
+        "register": g["register"].take(pa.array(take)),
+        "rho": pa.array(rho[take], pa.int64()),
+    })
+
+
+def hll_registers_by_group(ds, key: str, group_col: str, p: int = 12,
+                           salt: int = 0, n_parts: int = 8):
+    """Per-group HLL sketch: ``(group_col, register, rho)`` rows.  The
+    per-batch partial collapses to <= groups x 2^p narrow rows, so the
+    ONE coarse shuffle (mixed uint64 key = group-hash top bits +
+    register — never a native two-key groupby) carries only partials;
+    the merge is a vectorized first-of-run max per partition."""
+    from .util.rayops import partitioned_map_groups
+
+    parts = ds.map_batches(
+        _hll_group_batch,
+        fn_kwargs={"key": key, "group_col": group_col, "p": p, "salt": salt},
+        batch_size=8192, batch_format="pyarrow")
+    return partitioned_map_groups(parts, "bkey", _hll_group_merge,
+                                  n_parts=n_parts)
+
+
+def hll_group_sql(table: str, key_expr: str, group_col: str, p: int = 12,
+                  salt: int = 0) -> str:
+    """DuckDB twin of :func:`hll_registers_by_group`."""
+    q = 64 - p
+    mask = (1 << q) - 1
+    hv = splitmix64_sql(f"({key_expr})::HUGEINT + {salt}")
+    return f"""
+WITH h AS (SELECT {group_col}, {hv} AS hv FROM {table})
+SELECT {group_col},
+       CAST(hv >> {q} AS BIGINT) AS register,
+       CAST(MAX(CASE WHEN (hv % {mask + 1}) = 0 THEN {q + 1}
+                     ELSE {q} - length(bin((hv % {mask + 1})::UBIGINT)) + 1
+                END) AS BIGINT) AS rho
+FROM h GROUP BY 1, 2
+"""

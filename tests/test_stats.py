@@ -217,3 +217,37 @@ def test_cms_counts_match_duckdb_and_bounds(ray_session):
                        salt=5)
     assert (est >= true_cnt).all()          # CMS never undercounts
     assert np.median(est - true_cnt) <= 32  # d=4 keeps collisions modest
+
+
+def test_hll_grouped_matches_duckdb(ray_session):
+    """Per-group HLL over a planted (group, key) stream == the pure-SQL
+    twin; per-group estimates track per-group distinct counts."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from pttcrawler_ray.sketches import (hll_estimate, hll_group_sql,
+                                         hll_registers_by_group)
+
+    rng = np.random.default_rng(3)
+    n = 120_000
+    grp = rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1])
+    # distinct universes differ by group: ~30k / ~3k / ~300
+    key = np.where(grp == "a", rng.integers(0, 30_000, n),
+                   np.where(grp == "b", rng.integers(0, 3_000, n),
+                            rng.integers(0, 300, n)))
+    t = pa.table({"g": pa.array(grp), "k": pa.array(key, pa.int64())})
+    got = hll_registers_by_group(rd.from_arrow(t), "k", "g", p=12, salt=9) \
+        .to_pandas().sort_values(["g", "register"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(hll_group_sql("t", "k", "g", p=12, salt=9)).fetch_df() \
+        .sort_values(["g", "register"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "register", "rho"]], exp,
+                                  check_dtype=False)
+    for g in ("a", "b", "c"):
+        sub = got[got["g"] == g]
+        true_d = len(np.unique(key[grp == g]))
+        est = hll_estimate(sub["register"].to_numpy(),
+                           sub["rho"].to_numpy(), p=12)
+        assert abs(est - true_d) / true_d < 0.06, (g, est, true_d)
