@@ -472,6 +472,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_quantiles(orders, "o_totalprice", _QUANT_GROUP_QS,
                                  "o_custkey")
 
+    def pagerank_lineitem(sf_dir):
+        """Distributed PageRank (4 exact integer fixed-point iterations)
+        over the bipartite order→supplier multigraph — the canonical
+        web-graph rank op made order-free (integer sums) so the chained-
+        CTE SQL twin is bit-equal at any scale."""
+        from pttcrawler_ray.graph import pagerank
+
+        _ctx()
+        li = _rpq(os.path.join(sf_dir, "lineitem.parquet"),
+                  columns=["l_orderkey", "l_suppkey"])
+        edges = li.map_batches(
+            lambda t: pa.table({
+                "src": t["l_orderkey"].cast(pa.int64()),
+                "dst": pc.add(t["l_suppkey"].cast(pa.int64()),
+                              pa.scalar(_PR_OFF, pa.int64()))}),
+            batch_format="pyarrow")
+        return pagerank(edges, iters=4)
+
     def hll_custkey_orders(sf_dir):
         """HyperLogLog distinct-custkey sketch (p=12) — the mergeable
         approximate-distinct aggregate: per-batch dense register maxima,
@@ -1209,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_docs": paragraph_dedup_docs,
         "spandedup_docs": spandedup_docs,
         "redact_pii_docs": redact_pii_docs,
+        "pagerank_lineitem": pagerank_lineitem,
         "hll_custkey_orders": hll_custkey_orders,
         "hll_users_by_event_type": hll_users_by_event_type,
         "cms_users_events": cms_users_events,
@@ -1380,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup_docs": _paragraph_dedup_sql_oracle(),
         "spandedup_docs": _spandedup_sql_oracle(),
         "redact_pii_docs": _redact_pii_sql_oracle(),
+        "pagerank_lineitem": _pagerank_sql_oracle(),
         "hll_custkey_orders": _hll_sql_oracle(),
         "hll_users_by_event_type": _hll_group_sql_oracle(),
         "cms_users_events": _cms_sql_oracle(),
@@ -1702,6 +1722,17 @@ def _paragraph_dedup_sql_oracle() -> str:
     from pttcrawler_ray.textops.paradedup import paragraph_dedup_sql
 
     return paragraph_dedup_sql("documents", " row ")
+
+
+_PR_OFF = 1 << 40  # disjoint id spaces for the bipartite graph
+
+
+def _pagerank_sql_oracle() -> str:
+    from pttcrawler_ray.graph import pagerank_sql
+
+    return pagerank_sql(
+        f"SELECT l_orderkey AS src, l_suppkey + {_PR_OFF} AS dst "
+        f"FROM lineitem", iters=4)
 
 
 def _hll_sql_oracle() -> str:

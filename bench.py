@@ -207,7 +207,8 @@ def run_queries_bench(sf_dir: str) -> dict[str, float]:
              "redact_pii_docs", "quantiles_price", "perplexity_docs",
              "bm25_docs", "shuffle_docs", "semdedup_embeddings",
              "dsir_docs", "d4_embeddings", "chunk_docs", "spandedup_docs",
-             "classifier_docs", "bpe_tokens_docs"]
+             "classifier_docs", "bpe_tokens_docs", "pagerank_lineitem",
+             "hll_custkey_orders"]
     times: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()

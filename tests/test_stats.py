@@ -251,3 +251,36 @@ def test_hll_grouped_matches_duckdb(ray_session):
         est = hll_estimate(sub["register"].to_numpy(),
                            sub["rho"].to_numpy(), p=12)
         assert abs(est - true_d) / true_d < 0.06, (g, est, true_d)
+
+
+def test_pagerank_matches_duckdb_and_semantics(ray_session):
+    """pagerank == the chained-CTE integer fixed-point twin on a planted
+    graph; a hub pointed at by everything outranks leaf nodes."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from pttcrawler_ray.graph import pagerank, pagerank_sql
+
+    # star into node 0 + a 2-cycle + a dangling sink, with multi-edges
+    src = [1, 2, 3, 4, 5, 1, 2, 2, 0]
+    dst = [0, 0, 0, 0, 0, 2, 1, 1, 6]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    got = pagerank(rd.from_arrow(t), iters=4).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("e", t)
+    exp = con.execute(pagerank_sql("SELECT src, dst FROM e", iters=4)) \
+        .fetch_df().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    r = dict(zip(got["node"], got["rank_fp"]))
+    assert r[0] > r[3] and r[6] > r[3]  # hub & hub-fed sink beat a leaf
+    assert min(r.values()) > 0          # teleport keeps everyone positive
+    assert sum(r.values()) <= 10 ** 9   # mass only leaks (dangling spec)
+
+    # at-scale plan: force the co-partition rank join — bit-identical
+    got2 = pagerank(rd.from_arrow(t), iters=4, node_bcast_max=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, got)
