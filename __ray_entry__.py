@@ -490,6 +490,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return pagerank(edges, iters=4)
 
+    def random_walks_lineitem(sf_dir):
+        """Deterministic DeepWalk-style walk corpus over the
+        bidirectional order↔supplier graph: 4 steps per start node,
+        edge choice = nested-splitmix64 hash of (node, walk, step) —
+        shuffle-free (CSR broadcast + one stateless map per step); the
+        chained-CTE SQL twin replays the identical choice expression."""
+        from pttcrawler_ray.graph import random_walks
+
+        _ctx()
+        li = _rpq(os.path.join(sf_dir, "lineitem.parquet"),
+                  columns=["l_orderkey", "l_suppkey"])
+
+        def both_dirs(t: pa.Table) -> pa.Table:
+            o = t["l_orderkey"].cast(pa.int64()).combine_chunks()
+            s = pc.add(t["l_suppkey"].cast(pa.int64()),
+                       pa.scalar(_PR_OFF, pa.int64())).combine_chunks()
+            return pa.table({"src": pa.concat_arrays([o, s]),
+                             "dst": pa.concat_arrays([s, o])})
+
+        edges = li.map_batches(both_dirs, batch_format="pyarrow")
+        return random_walks(edges, walk_len=4, salt=7)
+
     def hll_custkey_orders(sf_dir):
         """HyperLogLog distinct-custkey sketch (p=12) — the mergeable
         approximate-distinct aggregate: per-batch dense register maxima,
@@ -1228,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spandedup_docs": spandedup_docs,
         "redact_pii_docs": redact_pii_docs,
         "pagerank_lineitem": pagerank_lineitem,
+        "random_walks_lineitem": random_walks_lineitem,
         "hll_custkey_orders": hll_custkey_orders,
         "hll_users_by_event_type": hll_users_by_event_type,
         "cms_users_events": cms_users_events,
@@ -1400,6 +1423,7 @@ def oracle_sql() -> dict[str, str]:
         "spandedup_docs": _spandedup_sql_oracle(),
         "redact_pii_docs": _redact_pii_sql_oracle(),
         "pagerank_lineitem": _pagerank_sql_oracle(),
+        "random_walks_lineitem": _walks_sql_oracle(),
         "hll_custkey_orders": _hll_sql_oracle(),
         "hll_users_by_event_type": _hll_group_sql_oracle(),
         "cms_users_events": _cms_sql_oracle(),
@@ -1733,6 +1757,15 @@ def _pagerank_sql_oracle() -> str:
     return pagerank_sql(
         f"SELECT l_orderkey AS src, l_suppkey + {_PR_OFF} AS dst "
         f"FROM lineitem", iters=4)
+
+
+def _walks_sql_oracle() -> str:
+    from pttcrawler_ray.graph import random_walks_sql
+
+    esql = (f"SELECT l_orderkey AS src, l_suppkey + {_PR_OFF} AS dst "
+            f"FROM lineitem UNION ALL "
+            f"SELECT l_suppkey + {_PR_OFF}, l_orderkey FROM lineitem")
+    return random_walks_sql(esql, walk_len=4, salt=7)
 
 
 def _hll_sql_oracle() -> str:

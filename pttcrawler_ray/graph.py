@@ -330,3 +330,129 @@ def pagerank_sql(edges_sql: str, iters: int = 4) -> str:
             f"FROM nodes LEFT JOIN c{i} ON nodes.n = c{i}.n)")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT n AS node, r AS rank_fp FROM r{iters}")
+
+
+# --------------------------------------------------------------------------
+# deterministic random walks (DeepWalk-style corpus generation)
+# --------------------------------------------------------------------------
+_WALK_C1 = 1000003  # step stride inside the choice hash
+
+
+def _walk_choice(v: np.ndarray, w: np.ndarray, t: int,
+                 salt: int) -> np.ndarray:
+    """The walk's edge-choice hash — a pure function of (node, walk,
+    step): ``splitmix64(splitmix64(v + salt + t*C1) XOR w)``.  The SQL
+    twin composes the identical nested expression."""
+    from .textops.sampling import splitmix64 as _smx
+
+    inner = _smx(v.astype(np.uint64)
+                 + np.uint64(salt + t * _WALK_C1))
+    return _smx(inner ^ w.astype(np.uint64))
+
+
+def random_walks(edges: "rd.Dataset", walk_len: int = 4, salt: int = 0):
+    """(walk_id, step, node) rows: one deterministic walk per node with
+    out-edges, ``walk_len`` steps (a walk stops early at a dangling
+    node).  Step semantics (what :func:`random_walks_sql` replays):
+
+    - the graph is the DISTINCT (src, dst) edge set; v's out-neighbors
+      are ordered dst ASC and the walk at step t takes neighbor
+      ``choice_hash(v, walk, t) % outdeg(v)``;
+    - walk_id = the start node.
+
+    Scale shape: the distinct edge set's CSR arrays (sorted src offsets
+    + dst) broadcast once (the walk variant of the repo's small-side
+    convention — graph topology is the bounded artifact here); each
+    step is ONE stateless map over the walk frontier, no shuffle
+    anywhere.  A beyond-broadcast topology would ride the pagerank
+    co-partition join per step instead."""
+    import ray
+
+    from .util.rayops import bcast_get
+
+    # distinct edges -> CSR (driver-side, bounded by the topology)
+    import pandas as pd
+
+    epd = edges.to_pandas().drop_duplicates(["src", "dst"]) \
+        .sort_values(["src", "dst"])
+    src = epd["src"].to_numpy(np.int64)
+    dst = epd["dst"].to_numpy(np.int64)
+    usrc, starts_idx = np.unique(src, return_index=True)
+    offs = np.r_[starts_idx, src.size]
+    usrc_ref = ray.put(usrc)
+    offs_ref = ray.put(offs)
+    dst_ref = ray.put(dst)
+
+    frontier = rd.from_arrow(pa.table({
+        "walk_id": pa.array(usrc, pa.int64()),
+        "node": pa.array(usrc, pa.int64())}))
+
+    def step_fn(t: int):
+        def advance(b: pa.Table) -> pa.Table:
+            us = bcast_get(usrc_ref)
+            of = bcast_get(offs_ref)
+            dv = bcast_get(dst_ref)
+            v = b["node"].to_numpy(zero_copy_only=False)
+            w = b["walk_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(us, v)
+            pos_c = np.minimum(pos, us.size - 1)
+            alive = us[pos_c] == v          # dangling nodes stop the walk
+            deg = of[pos_c + 1] - of[pos_c]
+            h = _walk_choice(v, w, t, salt)
+            r = (h % np.maximum(deg, 1).astype(np.uint64)).astype(np.int64)
+            nxt = dv[of[pos_c] + r]
+            keep = pa.array(alive)
+            return pa.table({
+                "walk_id": b["walk_id"].filter(keep),
+                "node": pa.array(nxt[alive], pa.int64())})
+        return advance
+
+    out = [frontier.map_batches(
+        lambda t: t.append_column("step", pa.array(
+            np.zeros(len(t), np.int64), pa.int64())),
+        batch_format="pyarrow")]
+    cur = frontier
+    for t in range(walk_len):
+        cur = cur.map_batches(step_fn(t), batch_format="pyarrow") \
+            .materialize()
+        out.append(cur.map_batches(
+            lambda b, _t=t: b.append_column("step", pa.array(
+                np.full(len(b), _t + 1, np.int64), pa.int64())),
+            batch_format="pyarrow"))
+    res = out[0]
+    for o in out[1:]:
+        res = res.union(o)
+    return res.select_columns(["walk_id", "step", "node"])
+
+
+def random_walks_sql(edges_sql: str, walk_len: int = 4,
+                     salt: int = 0) -> str:
+    """DuckDB twin of :func:`random_walks` — ranked distinct neighbors +
+    one chained CTE per step with the identical nested splitmix64
+    choice expression."""
+    from .textops.sampling import splitmix64_sql
+
+    def choice(walk_col: str, node_col: str, t: int) -> str:
+        inner = splitmix64_sql(
+            f"({node_col})::HUGEINT + {salt + t * _WALK_C1}")
+        outer = splitmix64_sql(
+            f"xor(({inner})::UBIGINT, ({walk_col})::UBIGINT)::HUGEINT")
+        return outer
+
+    ctes = [f"edges_d AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+            "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d "
+            "FROM edges_d GROUP BY src)",
+            "ranked AS (SELECT src, dst, CAST(row_number() OVER ("
+            "PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rnk "
+            "FROM edges_d)",
+            "w0 AS (SELECT src AS walk_id, src AS node FROM deg)"]
+    for t in range(walk_len):
+        ch = choice("w.walk_id", "w.node", t)
+        ctes.append(
+            f"w{t + 1} AS (SELECT w.walk_id, r.dst AS node "
+            f"FROM w{t} w JOIN deg d ON w.node = d.src "
+            f"JOIN ranked r ON r.src = w.node "
+            f"AND r.rnk = CAST(({ch}) % d.d::UBIGINT AS BIGINT))")
+    selects = [f"SELECT walk_id, {t} AS step, node FROM w{t}"
+               for t in range(walk_len + 1)]
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(selects)

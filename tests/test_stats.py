@@ -284,3 +284,41 @@ def test_pagerank_matches_duckdb_and_semantics(ray_session):
     got2 = pagerank(rd.from_arrow(t), iters=4, node_bcast_max=0) \
         .to_pandas().sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, got)
+
+
+def test_random_walks_match_duckdb_and_semantics(ray_session):
+    """Deterministic walks == the chained-CTE twin; dangling nodes stop
+    a walk early; choices actually follow the documented hash."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from pttcrawler_ray.graph import (_walk_choice, random_walks,
+                                      random_walks_sql)
+
+    # 0 -> {1, 2}; 1 -> {0}; 2 is dangling; dup edge must collapse
+    t = pa.table({"src": pa.array([0, 0, 1, 0], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 1], pa.int64())})
+    got = random_walks(rd.from_arrow(t), walk_len=3, salt=5).to_pandas() \
+        .sort_values(["walk_id", "step"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("e", t)
+    exp = con.execute(random_walks_sql("SELECT src, dst FROM e",
+                                       walk_len=3, salt=5)).fetch_df() \
+        .sort_values(["walk_id", "step"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # step-0 rows are the start nodes with out-edges (not the dangler)
+    starts = set(got.loc[got["step"] == 0, "node"])
+    assert starts == {0, 1}
+    # replay walk 0's first choice by hand
+    h = _walk_choice(np.array([0], np.int64), np.array([0], np.int64),
+                     0, 5)[0]
+    first = [1, 2][int(h % np.uint64(2))]
+    w0 = got[(got["walk_id"] == 0) & (got["step"] == 1)]["node"].iloc[0]
+    assert w0 == first
+    # a walk reaching the dangler has no further steps
+    for wid, g in got.groupby("walk_id"):
+        nodes = g.sort_values("step")["node"].tolist()
+        if 2 in nodes:
+            assert nodes.index(2) == len(nodes) - 1
