@@ -1181,6 +1181,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return decode_media(blobs, fake=False).select_columns(
             ["media_id", "width", "height", "channels", "pixel_hash"])
 
+    def phash_dedup_media(sf_dir):
+        """Perceptual image dedup: doc i carries base image i//2 — odd
+        ids are RE-ENCODED copies (different PNG filter bytes, same
+        pixels).  The engine must really decode the bytes, land on the
+        same integer dHash, and keep the smallest media_id per hash;
+        oracle = independent dHash replay over the GENERATED pixels."""
+        from pttcrawler_ray.multimodal import (encode_png, make_png_pixels,
+                                               phash_dedup)
+
+        _ctx()
+        _ensure_docs_oracle(sf_dir)
+        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id"])
+
+        def blobify(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_pylist()
+            payloads = []
+            for i in ids:
+                px, filters = make_png_pixels(i // 2)
+                payloads.append(encode_png(
+                    px, filters=filters if i % 2 == 0 else None))
+            return pa.table({"media_id": pa.array(ids, pa.int64()),
+                             "payload": pa.array(payloads, pa.binary())})
+
+        blobs = docs.map_batches(blobify, batch_format="pyarrow")
+        return phash_dedup(blobs)
+
     def multimodal_codecs(sf_dir):
         """REAL GIF/BMP/WAV/JPEG decode: per doc a round-robin container
         blob (full LZW inflate for GIF, row-unpad for BMP, PCM parse for
@@ -1306,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": knn_ivfpq_q,
         "multimodal_decode": multimodal_decode,
         "multimodal_png": multimodal_png,
+        "phash_dedup_media": phash_dedup_media,
         "multimodal_codecs": multimodal_codecs,
         "multimodal_resize": multimodal_resize,
         "curate_docs": curate_docs,
@@ -1711,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_docs": _docs_oracle_select("curate_docs"),
         "multimodal_decode": _docs_oracle_select("multimodal_decode"),
         "multimodal_png": _docs_oracle_select("multimodal_png"),
+        "phash_dedup_media": _docs_oracle_select("phash_dedup_media"),
         "multimodal_codecs": _docs_oracle_select("multimodal_codecs"),
         "multimodal_resize": _docs_oracle_select("multimodal_resize"),
         "knn_ivf": _docs_oracle_select("knn_ivf"),

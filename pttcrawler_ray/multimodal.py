@@ -1277,3 +1277,72 @@ def frame_sample(ds, n_frames: int, fake: bool = True,
     return ds.map_batches(
         FrameSample, fn_constructor_kwargs={"n_frames": n_frames, "fake": fake},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------------------------------------------------- perceptual image dedup
+def dhash_pixels(px: "np.ndarray") -> int:
+    """Integer dHash (difference hash) of a decoded image — the standard
+    perceptual fingerprint for re-encoded-duplicate detection, made
+    fully deterministic: grayscale by integer luma
+    ``(299 R + 587 G + 114 B) // 1000`` (channel 0 for gray/gray+alpha),
+    9x8 downscale by pure-integer grid sampling
+    ``g[(y*h)//8, (x*w)//9]``, bit ``y*8+x`` set iff the left cell is
+    brighter than its right neighbor."""
+    px = np.asarray(px)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if ch >= 3:
+        g = (299 * px[:, :, 0].astype(np.int64)
+             + 587 * px[:, :, 1].astype(np.int64)
+             + 114 * px[:, :, 2].astype(np.int64)) // 1000
+    else:
+        g = px[:, :, 0].astype(np.int64)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    grid = g[np.ix_(ys, xs)]
+    bits = grid[:, :-1] > grid[:, 1:]
+    k = np.arange(64, dtype=np.uint64)
+    return int((bits.reshape(-1).astype(np.uint64) << k).sum(
+        dtype=np.uint64))
+
+
+def phash_batch(batch: "pa.Table") -> "pa.Table":
+    """(media_id, dhash) for a batch of PNG payloads — REAL decode per
+    blob, then the integer dHash."""
+    ids = batch["media_id"].to_pylist()
+    out = []
+    for blob in batch["payload"].to_pylist():
+        _w, _h, _ch, px = decode_png(blob)
+        out.append(dhash_pixels(px))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "dhash": pa.array(np.array(out, np.uint64).view(np.int64),
+                          pa.int64()),
+    })
+
+
+def phash_dedup(blobs, n_parts: int | None = None):
+    """Perceptual dedup over a ``(media_id, payload)`` PNG Dataset:
+    decode → dHash → keep the smallest media_id per hash (re-encoded
+    copies collapse; the file BYTES differ, the pixels agree).  Returns
+    ``(media_id, dhash, kept)`` for every input row.  One narrow
+    (media_id, dhash) explode, ONE coarse hash-partition run scan —
+    payload bytes never shuffle."""
+    from .util.rayops import partitioned_map_groups
+
+    hashed = blobs.map_batches(phash_batch, batch_format="pyarrow")
+
+    def first_of_run(g: "pa.Table") -> "pa.Table":
+        hh = g["dhash"].to_numpy(zero_copy_only=False)
+        ids = g["media_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hh))
+        hs, is_ = hh[order], ids[order]
+        kept = np.r_[True, hs[1:] != hs[:-1]]
+        return pa.table({"media_id": pa.array(is_, pa.int64()),
+                         "dhash": pa.array(hs, pa.int64()),
+                         "kept": pa.array(kept.astype(np.int32),
+                                          pa.int32())})
+
+    return partitioned_map_groups(hashed, "dhash", first_of_run,
+                                  n_parts=n_parts)

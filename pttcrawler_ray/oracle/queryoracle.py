@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 15  # v14: clf alpha=3; v15: BPE tokenizer
+ORACLE_VERSION = 16  # v15: BPE tokenizer; v16: phash dedup
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -657,6 +657,47 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "pixel_hash": pa.array(mp["pixel_hash"], pa.uint64()),
     })
 
+    # --- phash_dedup_media: perceptual-dup rows from the GENERATED base
+    # pixels (doc i carries base image i // 2; odd ids are RE-ENCODED
+    # copies with different filter bytes — the engine must decode the
+    # real bytes and land on the same dHash).  Independent loop
+    # implementation of the documented dHash spec.
+    def _o_dhash(px):
+        if px.ndim == 2:
+            px = px[:, :, None]
+        hh, ww, cc = px.shape
+        acc = 0
+        for y in range(8):
+            gy = (y * hh) // 8
+            row = []
+            for x in range(9):
+                gx = (x * ww) // 9
+                p = px[gy, gx]
+                if cc >= 3:
+                    row.append((299 * int(p[0]) + 587 * int(p[1])
+                                + 114 * int(p[2])) // 1000)
+                else:
+                    row.append(int(p[0]))
+            for x in range(8):
+                if row[x] > row[x + 1]:
+                    acc |= 1 << (y * 8 + x)
+        return acc
+
+    ph_hash = []
+    for i in ids:
+        px, _f = make_png_pixels(i // 2)
+        h64 = _o_dhash(px)
+        ph_hash.append(h64 - (1 << 64) if h64 >= (1 << 63) else h64)
+    ph_first: "dict[int, int]" = {}
+    for i, h64 in sorted(zip(ids, ph_hash)):
+        ph_first.setdefault(h64, i)
+    phash_dedup_tbl = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "dhash": pa.array(ph_hash, pa.int64()),
+        "kept": pa.array([1 if ph_first[h] == i else 0
+                          for i, h in zip(ids, ph_hash)], pa.int32()),
+    })
+
     # --- multimodal_codecs: GIF/BMP/WAV/JPEG expected rows from the
     # GENERATED sources (palette-mapped pixels / RGB array / PCM samples /
     # closed-form color transform of block-constant planes) — the engine
@@ -1062,6 +1103,7 @@ def docs_oracle_tables(sf_dir: str) -> dict[str, pa.Table]:
         "curate_docs": curate,
         "multimodal_decode": multimodal,
         "multimodal_png": multimodal_png,
+        "phash_dedup_media": phash_dedup_tbl,
         "multimodal_codecs": multimodal_codecs,
         "multimodal_resize": multimodal_resize,
         "knn_ivf": knn_ivf,

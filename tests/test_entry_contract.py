@@ -75,7 +75,7 @@ _PATH_ORACLES = {
     "multimodal_decode", "multimodal_png", "multimodal_codecs",
     "multimodal_resize", "knn_ivf", "knn_ivfpq", "semdedup_embeddings",
     "dsir_docs", "d4_embeddings", "classifier_docs",
-    "bpe_merges_docs", "bpe_tokens_docs",
+    "bpe_merges_docs", "bpe_tokens_docs", "phash_dedup_media",
 }
 
 

@@ -361,3 +361,31 @@ def test_decode_media_real_codecs(ray_session):
                 r["pixel_hash"]) == (kind, w, h, c, ph), i
         assert r["error"] is None
     assert by_id[99]["error"].startswith("gif decode failed")
+
+
+def test_phash_dedup_reencoded_copies(ray_session):
+    """dHash is a pure function of the PIXELS: re-encoding with
+    different PNG filter bytes changes the file, not the hash, and the
+    dedup keeps exactly the smallest media_id per hash."""
+    import ray.data as rd
+
+    from pttcrawler_ray.multimodal import (decode_png, dhash_pixels,
+                                           encode_png, make_png_pixels,
+                                           phash_dedup)
+
+    px, filters = make_png_pixels(11)
+    b_a = encode_png(px, filters=filters)
+    b_b = encode_png(px, filters=None)
+    assert b_a != b_b                                  # bytes differ
+    assert dhash_pixels(decode_png(b_a)[3]) == \
+        dhash_pixels(decode_png(b_b)[3])               # hashes agree
+
+    px2, f2 = make_png_pixels(12)
+    blobs = rd.from_arrow(pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([b_a, b_b, encode_png(px2, filters=f2)],
+                            pa.binary())}))
+    out = phash_dedup(blobs).to_pandas().sort_values("media_id")
+    assert out["kept"].tolist() == [1, 0, 1]
+    assert out["dhash"].iloc[0] == out["dhash"].iloc[1]
+    assert out["dhash"].iloc[2] != out["dhash"].iloc[0]
