@@ -224,14 +224,22 @@ def _hll_group_batch(batch: pa.Table, *, key: str, group_col: str, p: int,
 
 
 def _hll_group_merge(g: pa.Table) -> pa.Table:
-    bk = g["bkey"].to_numpy(zero_copy_only=False)
+    """Max rho per REAL (group, register) pair — bkey is only the
+    shuffle key (same pair always co-partitions); the dedup itself uses
+    the group value, so a top-bits group-hash collision cannot merge two
+    groups' registers."""
+    import pandas as pd
+
+    gcol = g.column_names[0]
+    codes, _uniq = pd.factorize(g[gcol].to_numpy(zero_copy_only=False))
+    reg = g["register"].to_numpy(zero_copy_only=False)
     rho = g["rho"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((-rho, bk))
-    bk_s = bk[order]
-    first = np.r_[True, bk_s[1:] != bk_s[:-1]]  # max rho = first of run
+    order = np.lexsort((-rho, reg, codes))
+    c_s, r_s = codes[order], reg[order]
+    first = np.r_[True, (c_s[1:] != c_s[:-1]) | (r_s[1:] != r_s[:-1])]
     take = order[first]
     return pa.table({
-        g.column_names[0]: g[g.column_names[0]].take(pa.array(take)),
+        gcol: g[gcol].take(pa.array(take)),
         "register": g["register"].take(pa.array(take)),
         "rho": pa.array(rho[take], pa.int64()),
     })

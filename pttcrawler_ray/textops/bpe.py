@@ -101,9 +101,12 @@ class _BpeCounts:
     """Actor-pool encode stage: per-actor word→token-count cache (built
     once per distinct word, reused across batches)."""
 
-    def __init__(self, merges: "list[tuple[str, str]]"):
+    def __init__(self, merges: "list[tuple[str, str]]",
+                 id_col: str = "doc_id", text_col: str = "text"):
         self._ranks = {tuple(p): i for i, p in enumerate(merges)}
         self._cache: "dict[str, int]" = {}
+        self._id_col = id_col
+        self._text_col = text_col
 
     def _ntok(self, word: str) -> int:
         n = self._cache.get(word)
@@ -115,7 +118,7 @@ class _BpeCounts:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .analysis import _tokens_flat
 
-        flat, parents, counts = _tokens_flat(batch["text"])
+        flat, parents, counts = _tokens_flat(batch[self._text_col])
         # collapse to batch-distinct words, encode each once
         words = flat.to_pylist()
         uniq: "dict[str, int]" = {}
@@ -129,7 +132,7 @@ class _BpeCounts:
         n_bpe = np.zeros(len(batch), np.int64)
         np.add.at(n_bpe, parents, per_tok)
         return pa.table({
-            "doc_id": batch["doc_id"].cast(pa.int64()),
+            self._id_col: batch[self._id_col].cast(pa.int64()),
             "n_tokens": pa.array(counts.astype(np.int64), pa.int64()),
             "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
         })
@@ -148,11 +151,14 @@ def train_bpe_distributed(ds, n_merges: int, top_v: int = 50_000,
 
 
 def bpe_token_counts(ds, merges: "list[tuple[str, str]]",
-                     text_col: str = "text"):
+                     id_col: str = "doc_id", text_col: str = "text"):
     """Per-doc whitespace-token and BPE-token counts under a trained
     merge list — one streaming actor-pool pass."""
-    return ds.map_batches(_BpeCounts, fn_constructor_kwargs={"merges": merges},
-                          batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(
+        _BpeCounts,
+        fn_constructor_kwargs={"merges": merges, "id_col": id_col,
+                               "text_col": text_col},
+        batch_format="pyarrow", concurrency=(1, 4))
 
 
 def merges_table(merges: "list[tuple[str, str]]") -> pa.Table:

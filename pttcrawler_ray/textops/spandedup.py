@@ -139,9 +139,11 @@ def _rebuild_batch(batch: pa.Table, *, k: int, id_col: str, text_col: str,
         keep = ~covered
     else:
         keep = np.ones(len(flat), bool)
-    kept_counts = (np.add.reduceat(keep, offs[:-1])
-                   if len(flat) and len(batch) else np.zeros(len(batch), np.int64))
-    kept_counts = np.where(counts > 0, kept_counts, 0).astype(np.int64)
+    # segment sums via cumsum differences — exact for zero-token docs
+    # anywhere in the batch (reduceat would reject or corrupt trailing
+    # empty segments)
+    cs = np.r_[np.int64(0), np.cumsum(keep.astype(np.int64))]
+    kept_counts = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
     new_offs = np.r_[np.int64(0), np.cumsum(kept_counts)].astype(np.int32)
     kept_list = pa.ListArray.from_arrays(
         pa.array(new_offs, pa.int32()), flat.filter(pa.array(keep)))
@@ -178,11 +180,16 @@ def span_dedup(docs: "rd.Dataset", k: int = 8, min_count: int = 2,
     n_dropped)`` — one row per input doc."""
     import ray
 
-    from ..util.rayops import bcast_get, partitioned_map_groups
+    from ..util.rayops import (bcast_get, normalize_blocks,
+                               partitioned_map_groups)
 
-    docs = docs.materialize()  # consumed by explode AND rebuild
-    drops = span_drops(docs, k=k, min_count=min_count, id_col=id_col,
-                       text_col=text_col).materialize()
+    # consumed by explode AND rebuild; block count capped at the seam
+    # (the union below feeds a sort-based groupby, which fans out one
+    # partition per input block — CLAUDE.md fragmentation rule)
+    docs = normalize_blocks(docs.materialize())
+    drops = normalize_blocks(span_drops(docs, k=k, min_count=min_count,
+                                        id_col=id_col,
+                                        text_col=text_col).materialize())
     n_drops = drops.count()
     if n_drops <= _BCAST_DROP_MAX:
         if n_drops:

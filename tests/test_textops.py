@@ -1590,3 +1590,25 @@ def test_bpe_train_and_encode_semantics(ray_session):
            bpe_token_counts(ds, merges).to_pandas().to_dict("records")}
     assert got[0]["n_tokens"] == 3 and got[0]["n_bpe_tokens"] == 3
     assert got[1]["n_tokens"] == 2 and got[1]["n_bpe_tokens"] == 5
+
+
+def test_span_dedup_empty_and_null_text(ray_session):
+    """Empty / whitespace-only / null texts flow through the rewrite
+    (regression: a trailing zero-token doc crashed the reduceat)."""
+    import duckdb
+    import pandas as pd
+
+    from pttcrawler_ray.textops.spandedup import span_dedup, span_dedup_sql
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["a b c d e f", None, "   ",
+                                    "a b c d e f tail", ""], pa.string())})
+    got = span_dedup(rd.from_arrow(t), k=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    exp = con.execute(span_dedup_sql("documents", k=4)).fetch_df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "text_clean", "n_tokens", "n_dropped"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+    assert got.loc[3, "n_dropped"] == 6   # the shared prefix span union
