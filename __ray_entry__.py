@@ -547,6 +547,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   columns=["user_id"])
         return cms_counts(ev, "user_id", depth=4, width=1024, salt=7)
 
+    def qsketch_price(sf_dir):
+        """Log-linear quantile sketch (HdrHistogram-style, sub_bits=7 →
+        rel. error <= 1/128) over l_extendedprice cents — the SINGLE-pass
+        order-invariant complement to the multi-pass exact op: per-batch
+        dense bincount partials, ONE bounded groupby.sum, <= 7.4k rows to
+        the driver at ANY corpus size.  Cents via floor(x*100) with
+        identical op order on both sides (the _ppm_col convention)."""
+        from pttcrawler_ray.sketches import qsketch_counts
+
+        li = _rpq(os.path.join(sf_dir, "lineitem.parquet"),
+                  columns=["l_extendedprice"])
+        cents = li.map_batches(
+            lambda t: pa.table({"v": pc.cast(pc.floor(pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())}),
+            batch_format="pyarrow")
+        return qsketch_counts(cents, "v", sub_bits=7)
+
+    def qsketch_price_by_flag(sf_dir):
+        """Grouped quantile sketch: one log-linear histogram per
+        l_returnflag — partials collapse to groups x buckets rows, one
+        coarse mixed-uint64-key shuffle (never a native two-key
+        groupby), vectorized reduceat merge."""
+        from pttcrawler_ray.sketches import qsketch_counts_by_group
+
+        li = _rpq(os.path.join(sf_dir, "lineitem.parquet"),
+                  columns=["l_returnflag", "l_extendedprice"])
+        cents = li.map_batches(
+            lambda t: pa.table({
+                "l_returnflag": t["l_returnflag"],
+                "v": pc.cast(pc.floor(pc.multiply(
+                    t["l_extendedprice"], pa.scalar(100.0))), pa.int64())}),
+            batch_format="pyarrow")
+        return qsketch_counts_by_group(cents, "v", "l_returnflag",
+                                       sub_bits=7)
+
     def exact_dedup_docs(sf_dir):
         import ray.data as rd
         from pttcrawler_ray.textops.dedup import exact_dedup
@@ -1281,6 +1316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_custkey_orders": hll_custkey_orders,
         "hll_users_by_event_type": hll_users_by_event_type,
         "cms_users_events": cms_users_events,
+        "qsketch_price": qsketch_price,
+        "qsketch_price_by_flag": qsketch_price_by_flag,
         "quantiles_price": quantiles_price,
         "quantiles_price_by_flag": quantiles_price_by_flag,
         "quantiles_per_customer": quantiles_per_customer,
@@ -1455,6 +1492,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_custkey_orders": _hll_sql_oracle(),
         "hll_users_by_event_type": _hll_group_sql_oracle(),
         "cms_users_events": _cms_sql_oracle(),
+        "qsketch_price": _qsketch_sql_oracle(),
+        "qsketch_price_by_flag": _qsketch_group_sql_oracle(),
         "quantiles_price": " UNION ALL ".join(
             f"""SELECT CAST({int(round(q * 10000))} AS BIGINT) AS q_bp,
                        quantile_disc(l_extendedprice, {q}) AS value,
@@ -1813,6 +1852,22 @@ def _cms_sql_oracle() -> str:
     from pttcrawler_ray.sketches import cms_sql
 
     return cms_sql("events", "user_id", depth=4, width=1024, salt=7)
+
+
+_CENTS_EXPR = "floor(l_extendedprice * 100)"
+
+
+def _qsketch_sql_oracle() -> str:
+    from pttcrawler_ray.sketches import qsketch_sql
+
+    return qsketch_sql("lineitem", _CENTS_EXPR, sub_bits=7)
+
+
+def _qsketch_group_sql_oracle() -> str:
+    from pttcrawler_ray.sketches import qsketch_group_sql
+
+    return qsketch_group_sql("lineitem", _CENTS_EXPR, "l_returnflag",
+                             sub_bits=7)
 
 
 def _spandedup_sql_oracle() -> str:

@@ -277,3 +277,176 @@ SELECT {group_col},
                 END) AS BIGINT) AS rho
 FROM h GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Log-linear quantile histogram (HdrHistogram-style single-pass quantiles)
+# --------------------------------------------------------------------------
+# The single-pass, order-invariant complement to stats.exact_quantiles
+# (which needs log(range) passes): every non-negative int64 value maps to
+# one of <= (65 - sub_bits) * 2**sub_bits buckets — exact below
+# 2**sub_bits, then 2**sub_bits sub-buckets per power of two, i.e. a
+# guaranteed relative value error <= 2**-sub_bits per readout.  The
+# sketch IS the integer (bucket, cnt) table: counts are sums, so any
+# partitioning / merge order yields the identical table, and the DuckDB
+# twin (same integer bucket expression via string bin(), never float
+# log2) is exact at any scale.  Readouts (quantile estimates) are
+# driver-side like hll_estimate.
+def qsketch_bucket(v: np.ndarray, sub_bits: int = 7) -> np.ndarray:
+    """Vectorized log-linear bucket index over non-negative int64.
+
+    ``m = max(bit_length(v) - 1, sub_bits)``;
+    ``bucket = (m - sub_bits) * 2**sub_bits + (v >> (m - sub_bits))`` —
+    identity for ``v < 2**(sub_bits + 1)``, then top ``sub_bits + 1``
+    significant bits, contiguous across powers of two."""
+    v = np.maximum(np.asarray(v, np.int64), 0)
+    m = np.maximum(_bit_length_u64(v.astype(np.uint64)) - 1, sub_bits)
+    return ((m - sub_bits) << sub_bits) + (v >> (m - sub_bits))
+
+
+def qsketch_bounds(bucket: np.ndarray, sub_bits: int = 7):
+    """(lo, hi) inclusive value range of each bucket index —
+    ``hi - lo + 1 == 2**(m - sub_bits)``, so ``hi/lo <= 1 + 2**-sub_bits``."""
+    b = np.asarray(bucket, np.int64)
+    m_k = np.maximum((b >> sub_bits) - 1, 0)
+    top = b - (m_k << sub_bits)
+    lo = top << m_k
+    return lo, lo + (np.int64(1) << m_k) - 1
+
+
+def _qsketch_batch(batch: pa.Table, *, key: str, sub_bits: int) -> pa.Table:
+    v = batch[key].to_numpy(zero_copy_only=False)
+    dense = np.bincount(qsketch_bucket(v, sub_bits))
+    nz = np.flatnonzero(dense)
+    return pa.table({"bucket": pa.array(nz, pa.int64()),
+                     "cnt": pa.array(dense[nz], pa.int64())})
+
+
+def qsketch_counts(ds, key: str, sub_bits: int = 7):
+    """The quantile sketch as a Dataset of ``(bucket, cnt)`` rows — one
+    row per touched bucket.  Per-batch dense bincount partials, ONE
+    bounded single-key ``groupby.sum`` (<= (65 - sub_bits) * 2**sub_bits
+    groups); the driver sees at most that many rows at ANY input size."""
+    agg = ds.map_batches(
+        _qsketch_batch, fn_kwargs={"key": key, "sub_bits": sub_bits},
+        batch_size=8192, batch_format="pyarrow").groupby("bucket").sum("cnt")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"bucket": t["bucket"].cast(pa.int64()),
+                         "cnt": t["sum(cnt)"].cast(pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def qsketch_quantiles(buckets: np.ndarray, cnts: np.ndarray,
+                      qs, sub_bits: int = 7) -> np.ndarray:
+    """Quantile readout of a ``(bucket, cnt)`` table: for each q, the
+    lower bound of the bucket holding rank ``floor(q * (n - 1))``
+    (``quantile_disc`` convention).  True value is in
+    ``[est, est * (1 + 2**-sub_bits))`` — driver-side like
+    :func:`hll_estimate`; the exactness contract lives on the table."""
+    order = np.argsort(np.asarray(buckets, np.int64), kind="stable")
+    b = np.asarray(buckets, np.int64)[order]
+    cum = np.cumsum(np.asarray(cnts, np.int64)[order])
+    n = int(cum[-1]) if len(cum) else 0
+    ranks = np.minimum((np.asarray(qs, np.float64) * max(n - 1, 0)).astype(np.int64),
+                       max(n - 1, 0))
+    idx = np.searchsorted(cum, ranks + 1)
+    lo, _hi = qsketch_bounds(b[idx], sub_bits)
+    return lo
+
+
+def qsketch_sql(table: str, int_expr: str, sub_bits: int = 7) -> str:
+    """DuckDB twin of :func:`qsketch_counts` — identical integer bucket
+    expression; bit_length via ``length(bin())`` (no float log2).
+    ``int_expr`` must yield a non-negative BIGINT (clamped like the
+    engine)."""
+    k, w = sub_bits, 1 << sub_bits
+    return f"""
+WITH c AS (SELECT GREATEST(CAST({int_expr} AS BIGINT), 0) AS v FROM {table}),
+     b AS (SELECT v, GREATEST(length(bin(v::UBIGINT)) - 1, {k}) AS m FROM c)
+SELECT CAST((m - {k}) * {w} + (v >> (m - {k})) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1
+"""
+
+
+# -- grouped variant (quantile sketch per group) ---------------------------
+def _qsketch_group_batch(batch: pa.Table, *, key: str, group_col: str,
+                         sub_bits: int) -> pa.Table:
+    import pandas as pd
+
+    from .util.hashing import hash_u64_many
+
+    idx = qsketch_bucket(batch[key].to_numpy(zero_copy_only=False), sub_bits)
+    codes, uniques = pd.factorize(
+        batch[group_col].to_numpy(zero_copy_only=False))
+    size = (65 - sub_bits) << sub_bits          # max buckets per group
+    dense = np.bincount(codes * size + idx, minlength=len(uniques) * size)
+    nz = np.flatnonzero(dense)
+    gidx = nz // size
+    gh = hash_u64_many(list(uniques))
+    bucket = (nz % size).astype(np.int64)
+    return pa.table({
+        group_col: pa.array(np.asarray(uniques, object)[gidx].tolist(),
+                            pa.string()),
+        "bucket": pa.array(bucket, pa.int64()),
+        "cnt": pa.array(dense[nz], pa.int64()),
+        # mixed single-int shuffle key (repo standard, never a native
+        # two-key groupby): group-hash top bits + bucket in the low 16
+        "bkey": pa.array(((gh[gidx] >> np.uint64(16)) << np.uint64(16))
+                         | bucket.astype(np.uint64), pa.uint64()),
+    })
+
+
+def _qsketch_group_merge(g: pa.Table) -> pa.Table:
+    """Sum cnt per REAL (group, bucket) pair — bkey only co-partitions;
+    a top-bits hash collision cannot merge two groups' buckets."""
+    import pandas as pd
+
+    gcol = g.column_names[0]
+    codes, _uniq = pd.factorize(g[gcol].to_numpy(zero_copy_only=False))
+    b = g["bucket"].to_numpy(zero_copy_only=False)
+    c = g["cnt"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, codes))
+    c_s, b_s = codes[order], b[order]
+    first = np.r_[True, (c_s[1:] != c_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    starts = np.flatnonzero(first)
+    take = order[starts]
+    return pa.table({
+        gcol: g[gcol].take(pa.array(take)),
+        "bucket": g["bucket"].take(pa.array(take)),
+        "cnt": pa.array(np.add.reduceat(c[order], starts), pa.int64()),
+    })
+
+
+def qsketch_counts_by_group(ds, key: str, group_col: str, sub_bits: int = 7,
+                            n_parts: int = 8):
+    """Per-group quantile sketch: ``(group_col, bucket, cnt)`` rows.
+    Per-batch partials collapse to <= groups x buckets narrow rows; the
+    ONE coarse shuffle rides a mixed uint64 key; the merge is a
+    vectorized first-of-run reduceat sum per partition."""
+    from .util.rayops import partitioned_map_groups
+
+    parts = ds.map_batches(
+        _qsketch_group_batch,
+        fn_kwargs={"key": key, "group_col": group_col, "sub_bits": sub_bits},
+        batch_size=8192, batch_format="pyarrow")
+    return partitioned_map_groups(parts, "bkey", _qsketch_group_merge,
+                                  n_parts=n_parts)
+
+
+def qsketch_group_sql(table: str, int_expr: str, group_col: str,
+                      sub_bits: int = 7) -> str:
+    """DuckDB twin of :func:`qsketch_counts_by_group`."""
+    k, w = sub_bits, 1 << sub_bits
+    return f"""
+WITH c AS (SELECT {group_col},
+                  GREATEST(CAST({int_expr} AS BIGINT), 0) AS v FROM {table}),
+     b AS (SELECT {group_col}, v,
+                  GREATEST(length(bin(v::UBIGINT)) - 1, {k}) AS m FROM c)
+SELECT {group_col},
+       CAST((m - {k}) * {w} + (v >> (m - {k})) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY 1, 2
+"""

@@ -253,6 +253,98 @@ def test_hll_grouped_matches_duckdb(ray_session):
         assert abs(est - true_d) / true_d < 0.06, (g, est, true_d)
 
 
+def test_qsketch_bucket_decode_and_error_bound():
+    """Every non-negative int64 lands inside its decoded [lo, hi] bucket
+    range; bucket indices are monotone in the value; the width obeys the
+    2**-sub_bits relative-error guarantee — incl. 0, the exact region,
+    power-of-two edges, and values near 2**62."""
+    from pttcrawler_ray.sketches import qsketch_bounds, qsketch_bucket
+
+    k = 7
+    edges = [0, 1, 2, 127, 128, 129, 255, 256, 257, 65535, 65536,
+             (1 << 40) - 1, 1 << 40, (1 << 62) + 12345]
+    rng = np.random.default_rng(11)
+    v = np.r_[edges, rng.integers(0, 1 << 50, 5000)].astype(np.int64)
+    b = qsketch_bucket(v, k)
+    lo, hi = qsketch_bounds(b, k)
+    assert np.all((lo <= v) & (v <= hi))
+    assert np.all(hi[v > 0] <= lo[v > 0] * (1 + 2.0 ** -k) + 1)
+    order = np.argsort(v, kind="stable")
+    assert np.all(np.diff(b[order]) >= 0)          # monotone
+    assert np.all(b[v < (1 << (k + 1))] == v[v < (1 << (k + 1))])  # exact region
+
+
+def test_qsketch_matches_duckdb_order_invariant_and_quantiles(ray_session):
+    """Engine quantile-sketch table == the pure-SQL twin on a skewed
+    stream; the table is identical under a different partitioning (order
+    invariance = the mergeability contract); quantile readouts are
+    within the guaranteed relative error of numpy's exact answer."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from pttcrawler_ray.sketches import (qsketch_counts, qsketch_quantiles,
+                                         qsketch_sql)
+
+    rng = np.random.default_rng(5)
+    vals = np.r_[rng.lognormal(8, 2, 120_000).astype(np.int64),
+                 np.zeros(500, np.int64), np.arange(300)].astype(np.int64)
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    got = qsketch_counts(rd.from_arrow(t), "v", sub_bits=7) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(qsketch_sql("t", "v", sub_bits=7)).fetch_df() \
+        .sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # order invariance: a different block layout yields the same table
+    re = qsketch_counts(rd.from_arrow(t).repartition(13), "v", sub_bits=7) \
+        .to_pandas().sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(re, got, check_dtype=False)
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = qsketch_quantiles(got["bucket"].to_numpy(), got["cnt"].to_numpy(),
+                            qs, sub_bits=7)
+    srt = np.sort(vals)
+    for q, e in zip(qs, est):
+        true = srt[int(q * (len(srt) - 1))]
+        assert e <= true <= e * (1 + 2.0 ** -7) + 1, (q, e, true)
+
+
+def test_qsketch_grouped_matches_duckdb_and_sequential(ray_session):
+    """Grouped quantile sketch == the SQL twin AND == a per-group
+    sequential rebuild (the bkey shuffle cannot merge or drop groups)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from pttcrawler_ray.sketches import (qsketch_bucket,
+                                         qsketch_counts_by_group,
+                                         qsketch_group_sql)
+
+    rng = np.random.default_rng(17)
+    n = 90_000
+    grp = rng.choice(["a", "b", "c", "d"], n)
+    val = rng.lognormal(6, 3, n).astype(np.int64)
+    t = pa.table({"g": pa.array(grp), "v": pa.array(val, pa.int64())})
+    got = qsketch_counts_by_group(rd.from_arrow(t), "v", "g", sub_bits=7) \
+        .to_pandas().sort_values(["g", "bucket"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(qsketch_group_sql("t", "v", "g", sub_bits=7)).fetch_df() \
+        .sort_values(["g", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "bucket", "cnt"]], exp,
+                                  check_dtype=False)
+
+    for g in "abcd":
+        sub = got[got["g"] == g]
+        seq = pd.Series(qsketch_bucket(val[grp == g], 7)).value_counts() \
+            .sort_index()
+        assert sub["bucket"].tolist() == seq.index.tolist()
+        assert sub["cnt"].tolist() == seq.values.tolist()
+
+
 def test_pagerank_matches_duckdb_and_semantics(ray_session):
     """pagerank == the chained-CTE integer fixed-point twin on a planted
     graph; a hub pointed at by everything outranks leaf nodes."""

@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 P, HLL_SALT = 12, 3
 DEPTH, WIDTH, CMS_SALT = 4, 4096, 5
+QSK_BITS, QSK_QS = 7, (0.1, 0.5, 0.9, 0.99, 0.999)
 
 
 def gen(path: str, n_rows: int, n_distinct: int, chunk: int = 2_000_000):
@@ -76,7 +77,8 @@ def main():
 
     from pttcrawler_ray.sketches import (cms_counts, cms_estimate, cms_sql,
                                          hll_estimate, hll_registers,
-                                         hll_sql)
+                                         hll_sql, qsketch_counts,
+                                         qsketch_quantiles, qsketch_sql)
     from pttcrawler_ray.util.rayops import read_parquet_clean
 
     ds = read_parquet_clean(data)
@@ -88,6 +90,10 @@ def main():
     cms = cms_counts(ds, "k", depth=DEPTH, width=WIDTH, salt=CMS_SALT) \
         .to_pandas().sort_values(["depth", "col"]).reset_index(drop=True)
     t_cms = time.time() - t0
+    t0 = time.time()
+    qsk = qsketch_counts(ds, "k", sub_bits=QSK_BITS).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    t_qsk = time.time() - t0
     ray.shutdown()
 
     import duckdb
@@ -103,8 +109,24 @@ def main():
         .sort_values(["depth", "col"]).reset_index(drop=True)
     t_sql = time.time() - t0
 
+    qsk_o = con.execute(qsketch_sql("t", "k", sub_bits=QSK_BITS)).fetch_df() \
+        .sort_values("bucket").reset_index(drop=True)
+
     hll_exact = hll.astype("int64").equals(hll_o.astype("int64"))
     cms_exact = cms.astype("int64").equals(cms_o.astype("int64"))
+    qsk_exact = qsk.astype("int64").equals(qsk_o.astype("int64"))
+
+    # quantile readouts within the guaranteed 2^-QSK_BITS relative error
+    # of the exact (DuckDB quantile_disc) answers
+    q_est = qsketch_quantiles(qsk["bucket"].to_numpy(),
+                              qsk["cnt"].to_numpy(), QSK_QS,
+                              sub_bits=QSK_BITS)
+    q_true = np.array([con.execute(
+        f"SELECT quantile_disc(k, {q}) FROM t").fetchone()[0]
+        for q in QSK_QS], np.int64)
+    qsk_in_bound = bool(np.all((q_est <= q_true)
+                               & (q_true <= q_est * (1 + 2.0 ** -QSK_BITS)
+                                  + 1)))
 
     # accuracy readouts vs planted truth
     true_counts = con.execute(
@@ -121,11 +143,17 @@ def main():
     top_exact = int((est_c == top["c"].to_numpy()).sum())
 
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    ok = hll_exact and cms_exact and hll_err < 0.05 and never_under
+    ok = (hll_exact and cms_exact and qsk_exact and hll_err < 0.05
+          and never_under and qsk_in_bound)
     print(json.dumps({
-        "metric": "sketch soak (HLL p=12 + CMS 4x4096) vs pure-SQL twins",
+        "metric": "sketch soak (HLL p=12 + CMS 4x4096 + qsketch k=7) "
+                  "vs pure-SQL twins",
         "n_rows": args.rows, "true_distinct": true_d,
         "hll_sec": round(t_hll, 1), "cms_sec": round(t_cms, 1),
+        "qsketch_sec": round(t_qsk, 1),
+        "qsketch_table_exact": bool(qsk_exact),
+        "qsketch_buckets": len(qsk),
+        "qsketch_quantiles_in_bound": qsk_in_bound,
         "sql_twin_sec": round(t_sql, 1),
         "rows_per_sec_hll": round(args.rows / t_hll, 0),
         "hll_table_exact": bool(hll_exact),
