@@ -139,6 +139,12 @@ def main(argv=None):
                         "pack, writing a training-ready parquet layout")
     pr.add_argument("--input", required=True, help="documents parquet file/dir")
     pr.add_argument("--dest", required=True, help="output layout directory")
+    pr.add_argument("--from-crawl", action="store_true",
+                    help="treat --input as a crawl output dir: build the "
+                         "corpus from its latest-article view (doc_id = "
+                         "url hash; error rows and empty bodies dropped) "
+                         "and write the (doc_id, url) map to "
+                         "<dest>/url_map/")
     pr.add_argument("--benchmark",
                     help="held-out benchmark (doc_id, text) parquet to "
                          "decontaminate against; omit to skip.  Benchmark "
@@ -146,6 +152,10 @@ def main(argv=None):
                          "contaminated (and be dropped) — exclude eval doc "
                          "ids from --input if that is not wanted")
     pr.add_argument("--quality-min", type=float, default=0.3)
+    pr.add_argument("--no-require-stopwords", action="store_true",
+                    help="keep docs with zero (whitespace-token) stopword "
+                         "ratio — required for CJK corpora (e.g. a "
+                         "--from-crawl run), whose text has no spaces")
     pr.add_argument("--threshold", type=float, default=0.8,
                     help="near-dup Jaccard threshold")
     pr.add_argument("--langs", nargs="*", default=None)
@@ -364,9 +374,10 @@ def main(argv=None):
                               "tokens": tot, "tokens_dropped": dropped,
                               "dest": args.dest}))
         elif args.cmd == "prepare":
+            import os
             import shutil
 
-            from .textops.prepare import prepare
+            from .textops.prepare import docs_from_crawl, prepare
             from .util.rayops import read_parquet_clean
 
             shutil.rmtree(args.dest, ignore_errors=True)  # see curate
@@ -375,13 +386,21 @@ def main(argv=None):
                 return {k: cast(v) for k, v in
                         (s.split("=", 1) for s in pairs)} if pairs else None
 
+            if args.from_crawl:
+                bridged = docs_from_crawl(args.input).materialize()
+                bridged.select_columns(["doc_id", "url"]).write_parquet(
+                    os.path.join(args.dest, "url_map"))
+                docs_in = bridged.select_columns(["doc_id", "text"])
+            else:
+                docs_in = read_parquet_clean(args.input)
             manifest = prepare(
-                read_parquet_clean(args.input),
+                docs_in,
                 read_parquet_clean(args.benchmark) if args.benchmark else None,
                 args.dest, quality_min=args.quality_min, langs=args.langs,
                 dedup_threshold=args.threshold,
                 decontam_n=args.decontam_ngram,
                 ratios=_kv(args.ratios, float), mix_rates=_kv(args.mix, float),
+                require_stopwords=not args.no_require_stopwords,
                 seq_len=args.seq_len, xent_max_ppm=args.max_xent_ppm,
                 ppl_top_v=args.ppl_top_v, span_k=args.span_k,
                 classifier_target=read_parquet_clean(args.classifier_target)

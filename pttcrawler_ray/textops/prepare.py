@@ -50,6 +50,34 @@ _BCAST_DROP_MAX = 2_000_000  # ids; ~16 MB broadcast ceiling
 _SPLITS_DEFAULT = {"train": 0.98, "val": 0.01, "test": 0.01}
 
 
+def docs_from_crawl(out_dir: str) -> "rd.Dataset":
+    """Bridge a finished crawl into the training-corpus shape: the
+    latest-article view (one row per url, newest warc_ts) as
+    ``(doc_id, text, url)`` rows ready for :func:`prepare`.
+
+    ``doc_id`` is the int64 view of the 64-bit url hash — stable,
+    coordination-free, identical across reruns and partitionings, so
+    incremental re-preparation of a re-crawl keeps ids aligned.  Error
+    rows (fetch/parse failures carry a reason, SURVEY.md M11) and empty
+    bodies are dropped; ``url`` is carried for traceability (callers
+    pass ``select_columns(["doc_id", "text"])`` into :func:`prepare`
+    and may persist the (doc_id, url) map separately)."""
+    from ..pipelines.crawl import latest_articles
+    from ..util.hashing import hash_u64_many
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        body = pc.coalesce(t["content"], pa.scalar("", pa.string()))
+        sub = t.filter(pc.and_(pc.is_null(t["error"]),
+                               pc.greater(pc.utf8_length(body), 0)))
+        ids = hash_u64_many(sub["url"].to_pylist()).view(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": sub["content"],
+                         "url": sub["url"]})
+
+    return latest_articles(out_dir).map_batches(
+        to_docs, batch_format="pyarrow")
+
+
 def _drop_ids_broadcast(ds: "rd.Dataset", ids: np.ndarray,
                         id_col: str = "doc_id") -> "rd.Dataset":
     """Streaming anti-filter against a broadcast sorted id array."""

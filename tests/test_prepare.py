@@ -261,3 +261,86 @@ def test_prepare_span_and_classifier_gates(ray_session, tmp_path):
         if part.exists():
             got_ids |= set(pq.read_table(str(part))["doc_id"].to_pylist())
     assert got_ids == exp_kept_ids
+
+
+def test_docs_from_crawl_bridge_and_prepare(ray_session, tmp_path):
+    """The crawl→training-corpus bridge: docs_from_crawl over a real
+    crawl output equals the pandas oracle (url-hash ids, error rows and
+    empty bodies dropped), and prepare() runs end-to-end over it."""
+    from pttcrawler_ray.fixtures import generate_corpus
+    from pttcrawler_ray.pipelines.crawl import (CrawlConfig, latest_articles,
+                                                run_crawl)
+    from pttcrawler_ray.textops.prepare import docs_from_crawl, prepare
+    from pttcrawler_ray.util.hashing import hash_u64_many
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "crawl")
+    generate_corpus(corpus, total_articles=120, n_boards=2)
+    run_crawl(corpus, out, CrawlConfig(num_shards=2, strict_order=False,
+                                       record_order=False,
+                                       fetch_concurrency=1,
+                                       process_concurrency=1))
+
+    got = docs_from_crawl(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+
+    # pandas oracle straight off the latest view
+    arts = latest_articles(out).to_pandas()
+    arts = arts[arts["error"].isna() & arts["content"].fillna("").ne("")]
+    exp = arts.assign(
+        doc_id=hash_u64_many(arts["url"].tolist()).view(np.int64),
+        text=arts["content"])[["doc_id", "text", "url"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 50
+    assert got["doc_id"].is_unique
+    pq_cols = ["doc_id", "text", "url"]
+    assert got[pq_cols].equals(exp[pq_cols])
+
+    # prepare over the bridge (permissive gates: CJK bodies have no
+    # whitespace-token stopwords)
+    dest = tmp_path / "layout"
+    m = prepare(docs_from_crawl(out).select_columns(["doc_id", "text"]),
+                None, str(dest), quality_min=-1.0, require_stopwords=False,
+                dedup_threshold=0.95, ratios={"train": 0.9, "val": 0.1},
+                seq_len=128)
+    s = m["stages"]
+    assert s["input_docs"] == len(exp)
+    assert s["docs_train"] + s["docs_val"] == s["curated_docs"] > 0
+    got_ids = set()
+    for label in ("train", "val"):
+        part = dest / "docs" / f"split={label}"
+        if part.exists():
+            got_ids |= set(pq.read_table(str(part))["doc_id"].to_pylist())
+    assert got_ids <= set(exp["doc_id"])
+
+
+def test_prepare_cli_from_crawl(ray_session, tmp_path):
+    """CLI subprocess: prepare --from-crawl over a crawl output dir
+    writes the (doc_id, url) map and a non-empty training layout."""
+    import subprocess
+    import sys
+
+    from pttcrawler_ray.fixtures import generate_corpus
+    from pttcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    corpus = str(tmp_path / "corpus")
+    out = str(tmp_path / "crawl")
+    generate_corpus(corpus, total_articles=80, n_boards=2)
+    run_crawl(corpus, out, CrawlConfig(num_shards=2, strict_order=False,
+                                       record_order=False,
+                                       fetch_concurrency=1,
+                                       process_concurrency=1))
+    dest = tmp_path / "layout"
+    res = subprocess.run(
+        [sys.executable, "-m", "pttcrawler_ray", "prepare",
+         "--input", out, "--dest", str(dest), "--from-crawl",
+         "--quality-min=-1", "--no-require-stopwords",
+         "--threshold", "0.95", "--ratios", "train=0.9", "val=0.1",
+         "--seq-len", "128", "--num-cpus", "2"],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo")
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    umap = pq.read_table(str(dest / "url_map"))
+    assert stats["input_docs"] == umap.num_rows > 30
+    assert stats["docs_train"] + stats["docs_val"] > 0
+    assert (dest / "manifest.json").exists()
