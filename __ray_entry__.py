@@ -849,11 +849,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ctx()
         if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
             _ensure_docs_oracle(sf_dir)
-        docs = _rpq(os.path.join(sf_dir, "documents.parquet"),
-                    columns=["doc_id", "text", "source"])
+        path = os.path.join(sf_dir, "documents.parquet")
+        docs = _rpq(path, columns=["doc_id", "text", "source"])
         target = docs.filter(expr="source == 'src0'")
         raw = docs.filter(expr="source != 'src0'")
-        k = -(-raw.count() // 10)
+        # k needs only the raw row count: a source-only scan, not a
+        # third pass over the fat text column
+        n_raw = _rpq(path, columns=["source"]) \
+            .filter(expr="source != 'src0'").count()
+        k = -(-n_raw // 10)
         return dsir_select(raw, target, k=k, buckets=4096, salt=7)
 
     def classifier_docs(sf_dir):
