@@ -812,6 +812,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return bm25_topk(docs, _BM25_QUERIES, topk=10)
 
+    def bm25_indexed_docs(sf_dir):
+        """BM25 over the PERSISTED inverted index (textops/bm25index.py)
+        — identical rows to bm25_docs (both plans floor per-(doc, term)
+        contributions to int ppm before any summation), but the query
+        reads ONLY the term-hash partitions its terms map to, asserted
+        below.  The index is built once per sf_dir (key-versioned like
+        the IVF store)."""
+        from pttcrawler_ray.textops.bm25index import (bm25_topk_indexed,
+                                                      build_bm25_index)
+
+        _ctx()
+        if os.path.basename(os.path.normpath(sf_dir)) == "sf0.01":
+            _ensure_docs_oracle(sf_dir)
+        name = os.path.basename(os.path.normpath(sf_dir))
+        index_dir = f"/tmp/ptt_bm25/{name}"
+        marker = os.path.join(index_dir, "built.json")
+        key = {"sf_dir": sf_dir, "n_parts": 16, "version": 1}
+        stale = True
+        if os.path.exists(marker):
+            with open(marker) as f:
+                stale = json.load(f) != key
+        if stale:
+            import shutil
+
+            shutil.rmtree(index_dir, ignore_errors=True)
+            build_bm25_index(
+                _rpq(os.path.join(sf_dir, "documents.parquet"),
+                     columns=["doc_id", "text"]), index_dir, n_parts=16)
+            with open(marker, "w") as f:
+                json.dump(key, f)
+        stats: dict = {}
+        out = bm25_topk_indexed(index_dir, _BM25_QUERIES, topk=10,
+                                stats_out=stats)
+        assert stats["parts_probed"] < stats["parts_total"], stats
+        return out
+
     def shuffle_docs(sf_dir):
         """Deterministic global training-order shuffle as a rank column:
         position in the corpus ordered by splitmix64(doc_id + salt).
@@ -1356,6 +1392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": fingerprint_docs,
         "perplexity_docs": perplexity_docs,
         "bm25_docs": bm25_docs,
+        "bm25_indexed_docs": bm25_indexed_docs,
         "shuffle_docs": shuffle_docs,
         "dsir_docs": dsir_docs,
         "classifier_docs": classifier_docs,
@@ -1778,6 +1815,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": _docs_oracle_select("fingerprint_docs"),
         "perplexity_docs": _docs_oracle_select("perplexity_docs"),
         "bm25_docs": _docs_oracle_select("bm25_docs"),
+        # identical-by-contract to the scan plan: same oracle artifact
+        "bm25_indexed_docs": _docs_oracle_select("bm25_docs"),
         "simhash_pairs_docs": _docs_oracle_select("simhash_pairs_docs"),
         "curate_docs": _docs_oracle_select("curate_docs"),
         "multimodal_decode": _docs_oracle_select("multimodal_decode"),

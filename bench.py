@@ -208,7 +208,8 @@ def run_queries_bench(sf_dir: str) -> dict[str, float]:
              "bm25_docs", "shuffle_docs", "semdedup_embeddings",
              "dsir_docs", "d4_embeddings", "chunk_docs", "spandedup_docs",
              "classifier_docs", "bpe_tokens_docs", "pagerank_lineitem",
-             "hll_custkey_orders", "random_walks_lineitem", "qsketch_price"]
+             "hll_custkey_orders", "random_walks_lineitem", "qsketch_price",
+             "bm25_indexed_docs"]
     times: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()

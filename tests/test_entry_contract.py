@@ -70,7 +70,7 @@ _PATH_ORACLES = {
     "crawl_latest_articles", "crawl_pushes", "crawl_seen",
     "crawl_export_articles", "crawl_board_report", "crawl_users",
     "crawl_watermarks", "crawl_robots_blocked", "user_last_record",
-    "fingerprint_docs", "perplexity_docs", "bm25_docs",
+    "fingerprint_docs", "perplexity_docs", "bm25_docs", "bm25_indexed_docs",
     "simhash_pairs_docs", "curate_docs",
     "multimodal_decode", "multimodal_png", "multimodal_codecs",
     "multimodal_resize", "knn_ivf", "knn_ivfpq", "semdedup_embeddings",

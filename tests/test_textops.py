@@ -1334,6 +1334,48 @@ def test_bm25_matches_sequential(docs):
     assert out.groupby("query_id").size().eq(TOPK).all()
 
 
+def test_bm25_indexed_matches_scan_and_prunes(docs, tmp_path):
+    """The persisted inverted index returns EXACTLY the scan plan's
+    rows (same ppm contract), under two different input partitionings,
+    while reading only the partitions the query terms hash to."""
+    import pandas as pd
+
+    from pttcrawler_ray.textops.bm25index import (bm25_topk_indexed,
+                                                  build_bm25_index)
+    from pttcrawler_ray.textops.retrieval import bm25_topk
+
+    queries = [(0, "fast table scan"), (7, "customer query join slow"),
+               (9, "zzz_no_such_term")]
+    K1, B, TOPK = 1.2, 0.75, 8
+    cols = ["query_id", "score_ppm", "doc_id"]
+    want = bm25_topk(docs, queries, topk=TOPK, k1=K1, b=B).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+
+    idx = str(tmp_path / "bm25idx")
+    meta = build_bm25_index(docs, idx, n_parts=16)
+    assert meta["n_docs"] == docs.count()
+    stats: dict = {}
+    got = bm25_topk_indexed(idx, queries, topk=TOPK, k1=K1, b=B,
+                            stats_out=stats).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+    # pruning is real: the 7 distinct query terms hash to < all parts
+    assert 0 < stats["parts_probed"] < stats["parts_total"]
+    assert 0 < stats["files_read"] < stats["files_total"]
+
+    # a different build partitioning yields the identical result
+    idx2 = str(tmp_path / "bm25idx2")
+    build_bm25_index(docs.repartition(7), idx2, n_parts=4)
+    got2 = bm25_topk_indexed(idx2, queries, topk=TOPK, k1=K1, b=B) \
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2[cols], want[cols], check_dtype=False)
+
+    # no-hit query set → empty, stable schema (ray to_pandas drops
+    # columns on 0-row datasets, so assert at the Dataset level)
+    eds = bm25_topk_indexed(idx, [(1, "zzz_no_such_term")])
+    assert eds.count() == 0 and set(cols) <= set(eds.schema().names)
+
+
 def test_shuffle_rank_permutation_and_sql(docs):
     """shuffle_rank is a dense permutation 0..n-1 in splitmix64-hash
     order, invariant to input partitioning, and equals the pure-SQL

@@ -181,6 +181,33 @@ def main() -> None:
                    "exact": bool(ok)}
     out["exact_match"] &= ok
 
+    # ---- bm25 over the persisted inverted index ---------------------------
+    from pttcrawler_ray.textops.bm25index import (bm25_topk_indexed,
+                                                  build_bm25_index)
+
+    index_dir = f"/tmp/ptt_soak_retrieval/{n}_bm25idx"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.monotonic()
+    build_bm25_index(load(), index_dir, n_parts=32)
+    build_s = time.monotonic() - t0
+    stats: dict = {}
+    t0 = time.monotonic()
+    bi = bm25_topk_indexed(index_dir, queries, topk=10,
+                           stats_out=stats).to_pandas()
+    wall = time.monotonic() - t0
+    got_i = sorted(map(tuple, bi[["query_id", "doc_id", "score_ppm"]]
+                       .itertuples(index=False, name=None)))
+    ok = got_i == want and stats["parts_probed"] < stats["parts_total"]
+    out["bm25_indexed"] = {
+        "build_s": round(build_s, 1), "query_s": round(wall, 1),
+        "docs_per_s_query": round(n / wall),
+        "parts_probed": stats["parts_probed"],
+        "parts_total": stats["parts_total"],
+        "files_read": stats["files_read"],
+        "files_total": stats["files_total"],
+        "exact": bool(ok)}
+    out["exact_match"] &= ok
+
     # ---- shuffle_rank ----------------------------------------------------
     t0 = time.monotonic()
     sr = shuffle_rank(rd.read_parquet(corpus, columns=["doc_id"]),
