@@ -215,6 +215,21 @@ def main(argv=None):
                     help="IVF-PQ rerank multiplier")
     an.add_argument("--num-cpus", type=int, default=None)
 
+    bx = sub.add_parser("bm25", help="keyword index: build/append/query a "
+                        "persisted term-hash-partitioned inverted index "
+                        "over a (doc_id, text) parquet")
+    bx.add_argument("--action", choices=["build", "append", "query"],
+                    required=True)
+    bx.add_argument("--index", required=True, help="index directory")
+    bx.add_argument("--input",
+                    help="documents parquet (required for build/append)")
+    bx.add_argument("--parts", type=int, default=32,
+                    help="term-hash partition count (build only)")
+    bx.add_argument("--query", nargs="*", default=[],
+                    metavar="TEXT", help="query strings (query only)")
+    bx.add_argument("--topk", type=int, default=10)
+    bx.add_argument("--num-cpus", type=int, default=None)
+
     sd = sub.add_parser("semdedup", help="semantic dedup (SemDeDup): "
                         "cluster a (vec_id, embedding) parquet and drop "
                         "per-cluster semantic duplicates, writing "
@@ -431,6 +446,31 @@ def main(argv=None):
                               "retro_dropped": n_retro - n_retro_before,
                               "retro_total": n_retro, "state": args.state,
                               "dest": args.dest}))
+        elif args.cmd == "bm25":
+            from .textops import bm25index as BX
+            from .util.rayops import read_parquet_clean
+
+            if args.action == "build":
+                meta = BX.build_bm25_index(
+                    read_parquet_clean(args.input,
+                                       columns=["doc_id", "text"]),
+                    args.index, n_parts=args.parts)
+                print(json.dumps({"built": args.index, **meta}))
+            elif args.action == "append":
+                meta = BX.append_bm25_index(
+                    read_parquet_clean(args.input,
+                                       columns=["doc_id", "text"]),
+                    args.index)
+                print(json.dumps({"appended": args.index, **meta}))
+            else:
+                queries = list(enumerate(args.query))
+                stats: dict = {}
+                res = BX.bm25_topk_indexed(args.index, queries,
+                                           topk=args.topk,
+                                           stats_out=stats).to_pandas()
+                print(json.dumps({
+                    "results": res.to_dict("records"),
+                    "queries": {i: q for i, q in queries}, **stats}))
         elif args.cmd == "ann":
             import os
 

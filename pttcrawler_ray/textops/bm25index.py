@@ -110,6 +110,35 @@ def build_bm25_index(docs_ds: "rd.Dataset", index_dir: str, *,
     return meta
 
 
+def append_bm25_index(docs_ds: "rd.Dataset", index_dir: str) -> dict:
+    """Append an increment of NEW documents (ids must not repeat across
+    increments — the same contract as incremental dedup) to an existing
+    store: tokenize against the persisted ``n_parts``, sort by part,
+    write new files into the same hive layout, and advance the meta
+    counts.  df is computed at query time from the pruned read, so the
+    very next query scores EXACTLY like a from-scratch rebuild over the
+    union corpus (pinned by test).  File count grows by ≤ ``n_parts``
+    per increment (the sorted-write bound)."""
+    from .retrieval import corpus_bm25_stats
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    stats = corpus_bm25_stats(docs_ds, [], text_col="text")
+    postings = docs_ds.map_batches(
+        _postings_batch,
+        fn_kwargs={"id_col": meta.get("id_col", "doc_id"),
+                   "text_col": "text", "n_parts": meta["n_parts"]},
+        batch_format="pyarrow")
+    postings.sort("part").write_parquet(
+        os.path.join(index_dir, "postings"), partition_cols=["part"])
+    meta["n_docs"] += stats["n_docs"]
+    meta["n_tokens"] += stats["n_tokens"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
 def _df_batch(batch: pa.Table, *, tset: pa.Array, n_terms: int) -> pa.Table:
     idx = pc.fill_null(pc.index_in(batch["term"], value_set=tset), -1) \
         .to_numpy(zero_copy_only=False).astype(np.int64)

@@ -1376,6 +1376,37 @@ def test_bm25_indexed_matches_scan_and_prunes(docs, tmp_path):
     assert eds.count() == 0 and set(cols) <= set(eds.schema().names)
 
 
+def test_bm25_index_append_equals_rebuild(docs, tmp_path):
+    """Incrementally appended postings score EXACTLY like a from-scratch
+    rebuild over the union corpus (df/avgdl/N are read-time, so the very
+    next query reflects the increment)."""
+    import pandas as pd
+
+    from pttcrawler_ray.textops.bm25index import (append_bm25_index,
+                                                  bm25_topk_indexed,
+                                                  build_bm25_index)
+
+    queries = [(0, "fast table scan"), (7, "customer query join slow")]
+    cols = ["query_id", "score_ppm", "doc_id"]
+    t = docs.to_pandas()
+    half = len(t) // 2
+    first = rd.from_arrow(pa.Table.from_pandas(t.iloc[:half]))
+    second = rd.from_arrow(pa.Table.from_pandas(t.iloc[half:]))
+
+    inc = str(tmp_path / "inc")
+    m0 = build_bm25_index(first, inc, n_parts=8)
+    m1 = append_bm25_index(second, inc)
+    assert m1["n_docs"] == m0["n_docs"] + (len(t) - half) == len(t)
+
+    full = str(tmp_path / "full")
+    build_bm25_index(docs, full, n_parts=8)
+    got = bm25_topk_indexed(inc, queries, topk=8).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    want = bm25_topk_indexed(full, queries, topk=8).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
 def test_shuffle_rank_permutation_and_sql(docs):
     """shuffle_rank is a dense permutation 0..n-1 in splitmix64-hash
     order, invariant to input partitioning, and equals the pure-SQL
