@@ -197,6 +197,51 @@ def _crawl_out(scale: str) -> str:
     return out
 
 
+def _crawl_out_window(scale: str) -> str:
+    """As-of window crawl for the crawl_diff CDC query (cached like
+    ``_crawl_out``): the same corpus crawled as of ``DIFF_ASOF_DAYS``
+    past the fixtures epoch — later-snapshotted urls are misses, urls
+    re-edited later resolve an earlier version."""
+    key_name = f"{scale}_win"
+    if key_name in _CRAWL_CACHE:
+        return _CRAWL_CACHE[key_name]
+    _ctx()
+    from datetime import timedelta
+
+    from pttcrawler_ray.fixtures import _EPOCH, corpus_for_scale
+    from pttcrawler_ray.oracle.queryoracle import DIFF_ASOF_DAYS
+    from pttcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    corpus = corpus_for_scale(scale)
+    out = f"/tmp/ptt_crawl/{key_name}"
+    with open(os.path.join(corpus, "manifest.json")) as f:
+        corpus_params = {"params": json.load(f)["params"],
+                         "engine_version": _CRAWL_ENGINE_VERSION,
+                         "asof_days": DIFF_ASOF_DAYS}
+    marker = os.path.join(out, "corpus_params.json")
+    stale = True
+    if os.path.exists(os.path.join(out, "summary.json")) and os.path.exists(marker):
+        with open(marker) as f:
+            stale = json.load(f) != corpus_params
+    if stale:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        cfg = CrawlConfig(num_shards=4, strict_order=False,
+                          round_seconds=3600.0, fetch_concurrency=4,
+                          process_concurrency=4, engine="actors",
+                          seen_capacity=1_000_000,
+                          asof_ts=_EPOCH + timedelta(days=DIFF_ASOF_DAYS))
+        run_crawl(corpus, out, cfg)
+        with open(marker, "w") as f:
+            json.dump(corpus_params, f)
+    from pttcrawler_ray.pipelines.crawl import materialize_latest
+
+    materialize_latest(out)
+    _CRAWL_CACHE[key_name] = out
+    return out
+
+
 # robots-gated conformance corpus: board1 articles blocked (indexes
 # crawlable → typed non-200 rows), board2 hidden entirely
 _ROBOTS_RULES = "User-agent: *\nDisallow: /bbs/board1/M.\nDisallow: /bbs/board2/\n"
@@ -334,6 +379,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_crawl_oracle(scale)
         ds = rd.read_parquet(os.path.join(_crawl_out(scale), "seen"))
         return ds.select_columns(["url"])  # url_hash is engine-internal
+
+    def crawl_diff(sf_dir):
+        """Snapshot CDC (pipelines/diff.py): the as-of window crawl vs
+        the full latest crawl — (url, status ∈ added/changed) rows
+        (removed impossible here: the window url set ⊆ latest).  Narrow
+        (url_hash, record_hash) shuffle; payloads never move.  Oracle =
+        a sequential as-of crawl replay compared field-by-field."""
+        from pttcrawler_ray.pipelines.diff import diff_crawls
+
+        scale = _scale_of(sf_dir)
+        _ensure_crawl_oracle(scale)
+        return diff_crawls(_crawl_out_window(scale), _crawl_out(scale))
 
     def crawl_export(sf_dir):
         from pttcrawler_ray.fixtures import corpus_for_scale
@@ -1380,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_latest_articles": crawl_latest,
         "crawl_pushes": crawl_pushes,
         "crawl_seen": crawl_seen,
+        "crawl_diff": crawl_diff,
         "crawl_export_articles": crawl_export,
         "crawl_board_report": crawl_report,
         "crawl_users": crawl_users,
@@ -1700,6 +1758,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_board_report": _crawl_oracle_select("crawl_board_report"),
         "crawl_users": _crawl_oracle_select("crawl_users"),
         "crawl_watermarks": _crawl_oracle_select("crawl_watermarks"),
+        "crawl_diff": _crawl_oracle_select("crawl_diff"),
         # robots gate: oracle side = sequential crawl under the SAME
         # planted robots.txt rules, written by _robots_out()
         "crawl_robots_blocked":

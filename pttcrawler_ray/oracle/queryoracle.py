@@ -31,7 +31,13 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 16  # v15: BPE tokenizer; v16: phash dedup
+ORACLE_VERSION = 17  # v16: phash dedup; v17: crawl snapshot diff
+
+# the crawl_diff window: side A is a crawl of the corpus AS OF this many
+# days past the fixtures epoch (newest snapshot <= asof per url; urls
+# first snapshotted later are misses), side B is the full latest crawl.
+# Shared by the engine-side window crawl (__ray_entry__._crawl_out_window).
+DIFF_ASOF_DAYS = 32
 
 # --------------------------------------------------------------------------
 # scalar reimplementations (reference semantics, independent of engine code)
@@ -310,6 +316,32 @@ def crawl_oracle_tables(corpus_dir: str) -> dict[str, pa.Table]:
         "error": pa.array(us["error"], pa.string()),
     })
 
+    # --- crawl_diff: as-of window crawl vs the latest crawl (CDC) -----------
+    from datetime import timedelta
+
+    from ..fixtures import _EPOCH
+
+    asof = _EPOCH + timedelta(days=DIFF_ASOF_DAYS)
+    import pyarrow.compute as pc
+
+    pages_asof = pages.filter(
+        pc.less_equal(pages["warc_ts"], pa.scalar(asof, pa.timestamp("us"))))
+    golden_a = sequential_crawl(pages_asof, boards)
+    arts_a, arts_b = golden_a["articles"], golden["articles"]
+    cmp_fields = ("warc_ts", "article_title", "author", "date", "content",
+                  "ip", "messages")
+    d_urls, d_status = [], []
+    for url in sorted(set(arts_a) | set(arts_b)):
+        in_a, in_b = url in arts_a, url in arts_b
+        if not in_a:
+            d_urls.append(url); d_status.append("added")
+        elif not in_b:
+            d_urls.append(url); d_status.append("removed")
+        elif any(arts_a[url][f] != arts_b[url][f] for f in cmp_fields):
+            d_urls.append(url); d_status.append("changed")
+    diff = pa.table({"url": pa.array(d_urls, pa.string()),
+                     "status": pa.array(d_status, pa.string())})
+
     return {
         "crawl_latest_articles": latest,
         "crawl_pushes": pushes,
@@ -318,6 +350,7 @@ def crawl_oracle_tables(corpus_dir: str) -> dict[str, pa.Table]:
         "crawl_export_articles": export_articles,
         "crawl_board_report": report,
         "crawl_users": users,
+        "crawl_diff": diff,
     }
 
 

@@ -69,7 +69,8 @@ def _assert_match(name, ray_df, sql_df):
 _PATH_ORACLES = {
     "crawl_latest_articles", "crawl_pushes", "crawl_seen",
     "crawl_export_articles", "crawl_board_report", "crawl_users",
-    "crawl_watermarks", "crawl_robots_blocked", "user_last_record",
+    "crawl_watermarks", "crawl_robots_blocked", "crawl_diff",
+    "user_last_record",
     "fingerprint_docs", "perplexity_docs", "bm25_docs", "bm25_indexed_docs",
     "simhash_pairs_docs", "curate_docs",
     "multimodal_decode", "multimodal_png", "multimodal_codecs",
