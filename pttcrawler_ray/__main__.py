@@ -215,6 +215,15 @@ def main(argv=None):
                     help="IVF-PQ rerank multiplier")
     an.add_argument("--num-cpus", type=int, default=None)
 
+    df = sub.add_parser("diff", help="snapshot CDC: diff two crawl "
+                        "outputs' latest views into (url, status in "
+                        "added/changed/removed) rows")
+    df.add_argument("--a", required=True, help="earlier crawl output dir")
+    df.add_argument("--b", required=True, help="later crawl output dir")
+    df.add_argument("--dest", help="write the delta parquet here "
+                                   "(omit to print counts only)")
+    df.add_argument("--num-cpus", type=int, default=None)
+
     bx = sub.add_parser("bm25", help="keyword index: build/append/query a "
                         "persisted term-hash-partitioned inverted index "
                         "over a (doc_id, text) parquet")
@@ -445,6 +454,20 @@ def main(argv=None):
                               "dropped": n_in - n_kept,
                               "retro_dropped": n_retro - n_retro_before,
                               "retro_total": n_retro, "state": args.state,
+                              "dest": args.dest}))
+        elif args.cmd == "diff":
+            from .pipelines.diff import diff_crawls
+
+            delta = diff_crawls(args.a, args.b)
+            if args.dest:
+                delta = delta.materialize()
+                delta.write_parquet(args.dest)
+            pdf = delta.to_pandas()
+            counts = pdf["status"].value_counts().to_dict() if len(pdf) else {}
+            print(json.dumps({"a": args.a, "b": args.b,
+                              "added": int(counts.get("added", 0)),
+                              "changed": int(counts.get("changed", 0)),
+                              "removed": int(counts.get("removed", 0)),
                               "dest": args.dest}))
         elif args.cmd == "bm25":
             from .textops import bm25index as BX
