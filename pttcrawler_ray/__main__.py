@@ -456,14 +456,31 @@ def main(argv=None):
                               "retro_total": n_retro, "state": args.state,
                               "dest": args.dest}))
         elif args.cmd == "diff":
+            import shutil
+
+            import pyarrow as pa
+
             from .pipelines.diff import diff_crawls
 
             delta = diff_crawls(args.a, args.b)
             if args.dest:
+                shutil.rmtree(args.dest, ignore_errors=True)  # see curate
                 delta = delta.materialize()
                 delta.write_parquet(args.dest)
-            pdf = delta.to_pandas()
-            counts = pdf["status"].value_counts().to_dict() if len(pdf) else {}
+
+            def _status_counts(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                vc = pc.value_counts(t["status"])
+                return pa.table({"status": vc.field("values"),
+                                 "n": pc.cast(vc.field("counts"),
+                                              pa.int64())})
+
+            # streaming partial counts — never the full delta on the driver
+            cdf = delta.map_batches(_status_counts,
+                                    batch_format="pyarrow").to_pandas()
+            counts = (cdf.groupby("status")["n"].sum().to_dict()
+                      if len(cdf) else {})
             print(json.dumps({"a": args.a, "b": args.b,
                               "added": int(counts.get("added", 0)),
                               "changed": int(counts.get("changed", 0)),

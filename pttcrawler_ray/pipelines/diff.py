@@ -24,10 +24,12 @@ sides: the diff is over successfully parsed articles.
 
 Exactness: the DuckDB twin (:func:`diff_sql`) FULL-OUTER-JOINs the same
 two parquet views and compares the same fields with ``IS DISTINCT
-FROM`` (nested ``messages`` compared natively).  The engine serializes
-the fields with unit separators and a null sentinel before hashing, so
-"hashes equal" == "fields equal" up to a 2^-64 collision; null vs empty
-is distinguished on both sides.
+FROM`` (nested ``messages`` compared natively).  The engine frames
+every field (and every push field) as a netstring — ``len:value``, or
+``N`` for null — before concatenating and hashing, so the
+serialization is INJECTIVE (no separator-injection aliasing from
+arbitrary crawled text) and "hashes equal" == "fields equal" up to a
+2^-64 collision; null vs empty is distinguished on both sides.
 """
 
 from __future__ import annotations
@@ -39,34 +41,41 @@ import pyarrow.compute as pc
 from ..util.hashing import hash_u64_many
 
 _FIELDS = ["article_title", "author", "date", "content", "ip"]
-_NULL = "\x00\x00N"     # null sentinel: distinct from "" and real values
 _MSG_FIELDS = ("push_tag", "push_userid", "push_content", "push_ipdatetime")
 
 
+def _frame(col) -> pa.Array:
+    """Netstring framing: ``len:value`` per element, ``N`` for null —
+    concatenation of framed fields is injective (no value can smuggle a
+    separator, because there is none: the length is the delimiter)."""
+    filled = pc.fill_null(col, "")
+    framed = pc.binary_join_element_wise(
+        pc.cast(pc.utf8_length(filled), pa.string()), filled, ":")
+    return pc.if_else(pc.is_null(col), pa.scalar("N", pa.string()), framed)
+
+
 def _record_serial(t: pa.Table) -> pa.Array:
-    """Unit-separated serialization of the compared record fields —
+    """Injective serialization of the compared record fields —
     vectorized Arrow kernels only, one string per row."""
-    parts = [pc.fill_null(
-        pc.cast(pc.cast(t["warc_ts"], pa.int64()), pa.string()), _NULL)]
+    parts = [_frame(pc.cast(pc.cast(t["warc_ts"], pa.int64()), pa.string()))]
     for f in _FIELDS:
-        parts.append(pc.fill_null(t[f], _NULL))
+        parts.append(_frame(t[f]))
 
     msgs = t["messages"]
     if isinstance(msgs, pa.ChunkedArray):
         msgs = msgs.combine_chunks()
     flat = pc.list_flatten(msgs)
-    mp = [pc.fill_null(pc.struct_field(flat, f), _NULL) for f in _MSG_FIELDS]
-    push_str = (pc.binary_join_element_wise(*mp, "\x1f") if len(flat)
+    mp = [_frame(pc.struct_field(flat, f)) for f in _MSG_FIELDS]
+    push_str = (pc.binary_join_element_wise(*mp, "") if len(flat)
                 else pa.array([], pa.string()))
     # rebuild list<string> on the original offsets (engine-produced
     # lists: null slots have empty offset ranges), join per row, then
-    # restore nulls via the original validity
+    # frame the whole list (null list vs empty list distinguished)
     rebuilt = pa.ListArray.from_arrays(msgs.offsets, push_str)
-    joined = pc.if_else(pc.is_null(msgs),
-                        pa.scalar(_NULL, pa.string()),
-                        pc.binary_join(rebuilt, "\x1e"))
-    parts.append(joined)
-    return pc.binary_join_element_wise(*parts, "\x1d")
+    joined = pc.if_else(pc.is_null(msgs), pa.scalar(None, pa.string()),
+                        pc.binary_join(rebuilt, ""))
+    parts.append(_frame(joined))
+    return pc.binary_join_element_wise(*parts, "")
 
 
 def _side_batch(t: pa.Table, *, side: int) -> pa.Table:

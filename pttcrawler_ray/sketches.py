@@ -202,16 +202,20 @@ def _hll_group_batch(batch: pa.Table, *, key: str, group_col: str, p: int,
     rho = np.where(w == 0, 64 - p + 1, 64 - p - _bit_length_u64(w) + 1)
     codes, uniques = pd.factorize(
         batch[group_col].to_numpy(zero_copy_only=False))
+    uniq = list(uniques)
+    if (codes < 0).any():        # repo convention: null keys = one group
+        codes = np.where(codes < 0, len(uniq), codes)
+        uniq.append(None)
     m = 1 << p
-    dense = np.zeros(len(uniques) * m, np.int64)
+    dense = np.zeros(len(uniq) * m, np.int64)
     np.maximum.at(dense, codes * m + reg, rho)
     nz = np.flatnonzero(dense)
     from .util.hashing import hash_u64_many
 
     gidx = nz // m
-    gh = hash_u64_many(list(uniques))
+    gh = hash_u64_many([u if u is not None else "" for u in uniq])
     return pa.table({
-        group_col: pa.array(np.asarray(uniques, object)[gidx].tolist(),
+        group_col: pa.array(np.asarray(uniq, object)[gidx].tolist(),
                             pa.string()),
         "register": pa.array(nz % m, pa.int64()),
         "rho": pa.array(dense[nz], pa.int64()),
@@ -345,10 +349,12 @@ def qsketch_quantiles(buckets: np.ndarray, cnts: np.ndarray,
     (``quantile_disc`` convention).  True value is in
     ``[est, est * (1 + 2**-sub_bits))`` — driver-side like
     :func:`hll_estimate`; the exactness contract lives on the table."""
+    if len(np.asarray(buckets)) == 0:
+        raise ValueError("quantile readout of an empty sketch")
     order = np.argsort(np.asarray(buckets, np.int64), kind="stable")
     b = np.asarray(buckets, np.int64)[order]
     cum = np.cumsum(np.asarray(cnts, np.int64)[order])
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     ranks = np.minimum((np.asarray(qs, np.float64) * max(n - 1, 0)).astype(np.int64),
                        max(n - 1, 0))
     idx = np.searchsorted(cum, ranks + 1)
@@ -381,17 +387,23 @@ def _qsketch_group_batch(batch: pa.Table, *, key: str, group_col: str,
     idx = qsketch_bucket(batch[key].to_numpy(zero_copy_only=False), sub_bits)
     codes, uniques = pd.factorize(
         batch[group_col].to_numpy(zero_copy_only=False))
+    uniq = list(uniques)
+    if (codes < 0).any():        # repo convention: null keys = one group
+        codes = np.where(codes < 0, len(uniq), codes)
+        uniq.append(None)
     size = (65 - sub_bits) << sub_bits          # max buckets per group
-    dense = np.bincount(codes * size + idx, minlength=len(uniques) * size)
-    nz = np.flatnonzero(dense)
-    gidx = nz // size
-    gh = hash_u64_many(list(uniques))
-    bucket = (nz % size).astype(np.int64)
+    # sparse per-batch partial (np.unique, not a dense groups x buckets
+    # bincount — high-cardinality group cols would allocate GBs)
+    pairs, cnt = np.unique(codes.astype(np.int64) * size + idx,
+                           return_counts=True)
+    gidx = pairs // size
+    gh = hash_u64_many([u if u is not None else "" for u in uniq])
+    bucket = (pairs % size).astype(np.int64)
     return pa.table({
-        group_col: pa.array(np.asarray(uniques, object)[gidx].tolist(),
+        group_col: pa.array(np.asarray(uniq, object)[gidx].tolist(),
                             pa.string()),
         "bucket": pa.array(bucket, pa.int64()),
-        "cnt": pa.array(dense[nz], pa.int64()),
+        "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
         # mixed single-int shuffle key (repo standard, never a native
         # two-key groupby): group-hash top bits + bucket in the low 16
         "bkey": pa.array(((gh[gidx] >> np.uint64(16)) << np.uint64(16))

@@ -91,9 +91,19 @@ def build_bm25_index(docs_ds: "rd.Dataset", index_dir: str, *,
     """Build the postings store.  Two streaming passes over the corpus
     (stats + tokenize — the same count as ONE :func:`bm25_topk` call,
     paid once instead of per query set); the only shuffle is the sort
-    by ``part`` feeding the partitioned write.  Returns the meta dict."""
+    by ``part`` feeding the partitioned write.  Returns the meta dict.
+    An existing store at ``index_dir`` is REPLACED (a partitioned write
+    into a non-empty hive layout would silently append duplicate
+    postings — that behavior is reserved for :func:`append_bm25_index`)."""
+    import shutil
+
     from .retrieval import corpus_bm25_stats
 
+    shutil.rmtree(os.path.join(index_dir, "postings"), ignore_errors=True)
+    try:
+        os.remove(os.path.join(index_dir, "meta.json"))
+    except FileNotFoundError:
+        pass
     stats = corpus_bm25_stats(docs_ds, [], text_col=text_col)
     postings = docs_ds.map_batches(
         _postings_batch,
@@ -103,7 +113,7 @@ def build_bm25_index(docs_ds: "rd.Dataset", index_dir: str, *,
     postings.sort("part").write_parquet(
         os.path.join(index_dir, "postings"), partition_cols=["part"])
     meta = {"n_docs": stats["n_docs"], "n_tokens": stats["n_tokens"],
-            "n_parts": n_parts, "id_col": id_col,
+            "n_parts": n_parts, "id_col": id_col, "text_col": text_col,
             "version": _INDEX_VERSION}
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -124,11 +134,12 @@ def append_bm25_index(docs_ds: "rd.Dataset", index_dir: str) -> dict:
     meta_path = os.path.join(index_dir, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
-    stats = corpus_bm25_stats(docs_ds, [], text_col="text")
+    text_col = meta.get("text_col", "text")   # the BUILD's text column
+    stats = corpus_bm25_stats(docs_ds, [], text_col=text_col)
     postings = docs_ds.map_batches(
         _postings_batch,
         fn_kwargs={"id_col": meta.get("id_col", "doc_id"),
-                   "text_col": "text", "n_parts": meta["n_parts"]},
+                   "text_col": text_col, "n_parts": meta["n_parts"]},
         batch_format="pyarrow")
     postings.sort("part").write_parquet(
         os.path.join(index_dir, "postings"), partition_cols=["part"])

@@ -2,7 +2,7 @@
 test, and an e2e re-crawl diff (date-filtered as-of run vs full run)
 exact against the DuckDB FULL-JOIN twin."""
 
-from datetime import datetime, timedelta
+from datetime import timedelta
 
 import numpy as np
 import pyarrow as pa
@@ -10,7 +10,7 @@ import pytest
 
 import ray.data as rd
 
-_EPOCH = datetime(2024, 10, 1)
+from pttcrawler_ray.fixtures import _EPOCH
 
 
 def _view(rows):
@@ -46,7 +46,8 @@ def test_diff_latest_statuses(ray_session):
         ("u/push", 0, "body", [], None),
         ("u/null", 0, None, [], None),      # null vs "" must differ
         ("u/err", 0, "body", [], "404"),    # error rows excluded
-    ])
+        ("u/inj", 0, "x\x1dy", [], None),   # separator injection: the
+    ])                                       # framing must stay injective
     b = _view([
         ("u/same", 0, "body", [], None),
         ("u/new", 1, "body", [], None),
@@ -54,11 +55,18 @@ def test_diff_latest_statuses(ray_session):
         ("u/push", 0, "body", push, None),  # same ts, push edit
         ("u/null", 0, "", [], None),
         ("u/err", 0, "body", [], "500"),
+        ("u/inj", 0, "x", [], None),
     ])
+    # shift the u/inj difference into the ADJACENT field: a naive
+    # separator-joined serialization aliases A(content="x\x1dy", ip="z")
+    # with B(content="x", ip="y\x1dz")
+    ipi = a.column_names.index("ip")
+    a = a.set_column(ipi, "ip", pa.array(["1.2.3.4"] * 6 + ["z"]))
+    b = b.set_column(ipi, "ip", pa.array(["1.2.3.4"] * 6 + ["y\x1dz"]))
     got = diff_latest(rd.from_arrow(a), rd.from_arrow(b)).to_pandas() \
         .sort_values("url").reset_index(drop=True)
     want = {"u/gone": "removed", "u/new": "added", "u/edit": "changed",
-            "u/push": "changed", "u/null": "changed"}
+            "u/push": "changed", "u/null": "changed", "u/inj": "changed"}
     assert dict(zip(got["url"], got["status"])) == want
 
 

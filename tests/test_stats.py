@@ -325,7 +325,8 @@ def test_qsketch_grouped_matches_duckdb_and_sequential(ray_session):
 
     rng = np.random.default_rng(17)
     n = 90_000
-    grp = rng.choice(["a", "b", "c", "d"], n)
+    grp = rng.choice(["a", "b", "c", "d"], n).astype(object)
+    grp[rng.random(n) < 0.02] = None   # null keys = one group (convention)
     val = rng.lognormal(6, 3, n).astype(np.int64)
     t = pa.table({"g": pa.array(grp), "v": pa.array(val, pa.int64())})
     got = qsketch_counts_by_group(rd.from_arrow(t), "v", "g", sub_bits=7) \
@@ -336,6 +337,7 @@ def test_qsketch_grouped_matches_duckdb_and_sequential(ray_session):
         .sort_values(["g", "bucket"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["g", "bucket", "cnt"]], exp,
                                   check_dtype=False)
+    assert got["g"].isna().any()      # the null group is present
 
     for g in "abcd":
         sub = got[got["g"] == g]

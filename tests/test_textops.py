@@ -1370,6 +1370,13 @@ def test_bm25_indexed_matches_scan_and_prunes(docs, tmp_path):
         .to_pandas().sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got2[cols], want[cols], check_dtype=False)
 
+    # rebuilding IN PLACE replaces the store (no silent posting
+    # duplication from the hive-append write)
+    build_bm25_index(docs, idx2, n_parts=4)
+    got3 = bm25_topk_indexed(idx2, queries, topk=TOPK, k1=K1, b=B) \
+        .to_pandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got3[cols], want[cols], check_dtype=False)
+
     # no-hit query set → empty, stable schema (ray to_pandas drops
     # columns on 0-row datasets, so assert at the Dataset level)
     eds = bm25_topk_indexed(idx, [(1, "zzz_no_such_term")])
