@@ -231,14 +231,16 @@ def test_hll_grouped_matches_duckdb(ray_session):
 
     rng = np.random.default_rng(3)
     n = 120_000
-    grp = rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1])
+    grp = rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1]).astype(object)
     # distinct universes differ by group: ~30k / ~3k / ~300
     key = np.where(grp == "a", rng.integers(0, 30_000, n),
                    np.where(grp == "b", rng.integers(0, 3_000, n),
                             rng.integers(0, 300, n)))
+    grp[rng.random(n) < 0.01] = None  # null keys = one group (convention)
     t = pa.table({"g": pa.array(grp), "k": pa.array(key, pa.int64())})
     got = hll_registers_by_group(rd.from_arrow(t), "k", "g", p=12, salt=9) \
         .to_pandas().sort_values(["g", "register"]).reset_index(drop=True)
+    assert got["g"].isna().any()      # the null group is present
     con = duckdb.connect()
     con.register("t", t)
     exp = con.execute(hll_group_sql("t", "k", "g", p=12, salt=9)).fetch_df() \
