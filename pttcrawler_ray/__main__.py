@@ -411,10 +411,17 @@ def main(argv=None):
                         (s.split("=", 1) for s in pairs)} if pairs else None
 
             if args.from_crawl:
-                bridged = docs_from_crawl(args.input).materialize()
-                bridged.select_columns(["doc_id", "url"]).write_parquet(
-                    os.path.join(args.dest, "url_map"))
-                docs_in = bridged.select_columns(["doc_id", "text"])
+                from .pipelines.crawl import materialize_latest
+
+                # pin the latest view ON DISK once, then stream the
+                # bridge twice (url-map write + prepare input) — never
+                # the whole corpus in the object store
+                materialize_latest(args.input)
+                docs_from_crawl(args.input) \
+                    .select_columns(["doc_id", "url"]).write_parquet(
+                        os.path.join(args.dest, "url_map"))
+                docs_in = docs_from_crawl(args.input) \
+                    .select_columns(["doc_id", "text"])
             else:
                 docs_in = read_parquet_clean(args.input)
             manifest = prepare(
