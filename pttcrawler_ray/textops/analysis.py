@@ -34,9 +34,17 @@ _STOPWORDS = (
 def _tokens_flat(texts: pa.ChunkedArray | pa.Array):
     """(flat token array, parent indices, per-doc counts) — Python
     ``str.split()`` semantics: Arrow's ``utf8_split_whitespace`` keeps
-    EMPTY boundary tokens ('' for leading/trailing/double whitespace),
-    which the reference semantics (and the ``\\S+`` SQL oracles) do not,
-    so empties are filtered out before counting."""
+    EMPTY boundary tokens ('' for leading/trailing whitespace), which the
+    reference semantics (and the ``\\S+`` SQL oracles) do not, so empties
+    are filtered out before counting.
+
+    Hardened after a one-off nondeterministic wrong token count (an empty
+    token surviving the filter under a long-lived loaded Ray session):
+    the keep mask is now derived from token BYTE LENGTHS (int32 offset
+    diffs — plain numpy ints, never a bit-packed boolean buffer) and
+    applied via integer ``take``, with structural consistency asserts so
+    any future misalignment fails loudly instead of silently.  The
+    common no-empty-token case skips the filter entirely."""
     if pa.types.is_null(texts.type):  # all-null block (e.g. from_items)
         texts = texts.cast(pa.string())
     toks = pc.utf8_split_whitespace(texts)
@@ -44,10 +52,23 @@ def _tokens_flat(texts: pa.ChunkedArray | pa.Array):
     flat = pc.list_flatten(toks)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()
+    if len(flat) != int(raw_counts.sum()):
+        raise AssertionError(
+            f"_tokens_flat: flattened token count {len(flat)} != "
+            f"sum of list lengths {int(raw_counts.sum())}")
     parents = np.repeat(np.arange(len(raw_counts)), raw_counts)
-    keep = pc.fill_null(pc.not_equal(flat, ""), False).to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(keep))
-    parents = parents[keep]
+    # Empty boundary tokens have byte length 0; binary_length is an
+    # int32 offsets diff, structurally immune to boolean bit-unpacking.
+    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+    if lens.min(initial=1) > 0:  # no empties — nothing to filter
+        return flat, parents, raw_counts
+    idx = np.flatnonzero(lens > 0)
+    flat = flat.take(pa.array(idx, pa.int64()))
+    parents = parents[idx]
+    if len(flat) != len(parents):
+        raise AssertionError(
+            f"_tokens_flat: post-filter misalignment "
+            f"({len(flat)} tokens vs {len(parents)} parents)")
     counts = np.bincount(parents, minlength=len(raw_counts)).astype(raw_counts.dtype)
     return flat, parents, counts
 

@@ -1624,6 +1624,65 @@ def test_d4_fused_stages(ray_session):
     assert (out.kept == (out.drop_stage == 0).astype(int)).all()
 
 
+def test_tokens_flat_layout_stress(ray_session):
+    """Regression stress for the one observed nondeterministic wrong
+    answer (round 4: an empty token survived _tokens_flat's filter once
+    under a loaded session, n_tokens==3 for '  a   b  ').  Exercises the
+    kernel over many physical layouts — multi-chunk arrays, sliced
+    (non-zero-offset) arrays, 1-row slices, null-typed and null-bearing
+    blocks — and repeats each, asserting exact str.split() parity and
+    flat/parents alignment every time."""
+    from pttcrawler_ray.textops.analysis import _tokens_flat
+    from pttcrawler_ray.textops.chunking import chunk_batch
+
+    rng = np.random.default_rng(7)
+    ws = [" ", "  ", "\t", "\n", " \t "]
+    words = ["a", "bb", "ccc", "w0", "中文", "x" * 17]
+
+    def rand_text():
+        n = int(rng.integers(0, 6))
+        parts = []
+        if rng.random() < 0.5:
+            parts.append(ws[int(rng.integers(len(ws)))])
+        for j in range(n):
+            parts.append(words[int(rng.integers(len(words)))])
+            parts.append(ws[int(rng.integers(len(ws)))])
+        txt = "".join(parts)
+        return txt if rng.random() < 0.9 else None
+
+    def check(arr):
+        flat, parents, counts = _tokens_flat(arr)
+        pylist = arr.to_pylist()
+        expect_toks = [(t or "").split() for t in pylist]
+        assert counts.tolist() == [len(t) for t in expect_toks]
+        assert len(flat) == len(parents) == sum(len(t) for t in expect_toks)
+        assert flat.to_pylist() == [w for t in expect_toks for w in t]
+        assert parents.tolist() == [i for i, t in enumerate(expect_toks)
+                                    for _ in t]
+
+    for _ in range(30):
+        texts = [rand_text() for _ in range(40)]
+        plain = pa.array(texts, pa.string())
+        check(plain)
+        # sliced views at odd offsets (non-zero offset + bit-offset mask)
+        for off, ln in ((1, 7), (3, 1), (9, 17), (33, 7)):
+            check(plain.slice(off, ln))
+        # multi-chunk with empty and 1-row chunks interleaved
+        check(pa.chunked_array([
+            plain.slice(0, 5), pa.array([], pa.string()),
+            plain.slice(5, 1), plain.slice(6, 34)]))
+
+    # null-typed column (from_items all-None) and the exact round-4 doc
+    check(pa.array([None, None], pa.null()))
+    tbl = pa.table({"doc_id": pa.array([3], pa.int64()),
+                    "text": pa.array(["  a   b  "])})
+    for _ in range(50):
+        out = chunk_batch(tbl, size=16, stride=12, id_col="doc_id",
+                          text_col="text")
+        assert out["n_tokens"].to_pylist() == [2]
+        assert out["text"].to_pylist() == ["a b"]
+
+
 def test_chunk_docs_windows(ray_session):
     """Sliding-window spec: n=16/size=16 is one chunk; n=17 is two
     (second = tokens 12..16, 5 tokens); empty docs emit nothing; chunk
