@@ -17,8 +17,8 @@ Subcommands::
     python -m pttcrawler_ray asn      --corpus DIR --crawl DIR
     python -m pttcrawler_ray curate   --input DOCS.parquet --dest DIR
         [--quality-min Q] [--threshold J] [--langs L ...]
-    python -m pttcrawler_ray dedup-inc --input INC.parquet --state DIR
-        --dest DIR [--threshold J]
+    python -m pttcrawler_ray dedup-inc [--input INC.parquet --dest DIR]
+        --state DIR [--threshold J] [--remove IDS|PARQUET]
 
 The CLI owns its Ray session (``ray.init(address='local')``); library code
 never initialises Ray.
@@ -188,11 +188,17 @@ def main(argv=None):
     di = sub.add_parser("dedup-inc", help="incremental near-dup removal: "
                         "dedup a (doc_id, text) increment against a "
                         "persisted state store of all previously seen docs")
-    di.add_argument("--input", required=True, help="increment parquet file/dir")
+    di.add_argument("--input", help="increment parquet file/dir (omit to "
+                    "only apply --remove deletes)")
     di.add_argument("--state", required=True, help="state store directory "
                     "(created on first increment)")
-    di.add_argument("--dest", required=True, help="output parquet directory")
+    di.add_argument("--dest", help="output parquet directory (required "
+                    "with --input)")
     di.add_argument("--threshold", type=float, default=0.7)
+    di.add_argument("--remove", help="CDC deletes applied BEFORE the "
+                    "increment: comma-separated doc_ids or a parquet "
+                    "file/dir with a doc_id column (the `removed` side "
+                    "of `diff` plus superseded changed-old ids)")
     di.add_argument("--num-cpus", type=int, default=None)
 
     an = sub.add_parser("ann", help="similarity index: build/append/query a "
@@ -439,29 +445,49 @@ def main(argv=None):
                 pareto_alpha=args.pareto_alpha)
             print(json.dumps(manifest["stages"]))
         elif args.cmd == "dedup-inc":
+            import os
             import shutil
 
-            from .textops.incremental import (minhash_dedup_incremental,
+            from .textops.incremental import (apply_removals,
+                                              minhash_dedup_incremental,
                                               read_retro_drops)
             from .util.rayops import parquet_rows, read_parquet_clean
 
-            shutil.rmtree(args.dest, ignore_errors=True)  # see curate
-            n_retro_before = read_retro_drops(args.state).num_rows
-            kept = minhash_dedup_incremental(
-                read_parquet_clean(args.input), args.state,
-                threshold=args.threshold)
-            kept.write_parquet(args.dest)
-            n_in = parquet_rows(args.input)
-            n_kept = parquet_rows(args.dest)
-            n_retro = read_retro_drops(args.state).num_rows
-            # retro_dropped: previously-KEPT docs this increment demoted
-            # (a new doc bridged their component into another); apply as
-            # deletes downstream — see read_retro_drops
-            print(json.dumps({"input_docs": n_in, "kept_docs": n_kept,
-                              "dropped": n_in - n_kept,
-                              "retro_dropped": n_retro - n_retro_before,
-                              "retro_total": n_retro, "state": args.state,
-                              "dest": args.dest}))
+            if not args.input and not args.remove:
+                p.error("dedup-inc needs --input and/or --remove")
+            if args.input and not args.dest:
+                p.error("--dest is required with --input")
+            out = {"state": args.state}
+            if args.remove:
+                if os.path.exists(args.remove):
+                    rm_ids = read_parquet_clean(
+                        args.remove, columns=["doc_id"]
+                    ).to_pandas()["doc_id"].tolist()
+                else:
+                    rm_ids = [int(x) for x in args.remove.split(",")]
+                res = apply_removals(args.state, rm_ids,
+                                     threshold=args.threshold)
+                out.update(removed=len(rm_ids),
+                           resurrected=res["doc_id"].to_pylist())
+            if args.input:
+                shutil.rmtree(args.dest, ignore_errors=True)  # see curate
+                n_retro_before = read_retro_drops(args.state).num_rows
+                kept = minhash_dedup_incremental(
+                    read_parquet_clean(args.input), args.state,
+                    threshold=args.threshold)
+                kept.write_parquet(args.dest)
+                n_in = parquet_rows(args.input)
+                n_kept = parquet_rows(args.dest)
+                n_retro = read_retro_drops(args.state).num_rows
+                # retro_dropped: previously-KEPT docs this increment
+                # demoted (a new doc bridged their component into
+                # another); apply as deletes downstream — see
+                # read_retro_drops
+                out.update(input_docs=n_in, kept_docs=n_kept,
+                           dropped=n_in - n_kept,
+                           retro_dropped=n_retro - n_retro_before,
+                           retro_total=n_retro, dest=args.dest)
+            print(json.dumps(out))
         elif args.cmd == "diff":
             import shutil
 

@@ -5,7 +5,10 @@ The continuous-crawl consumer story: a scheduled re-crawl (reference
 crontab mode, ``pipelines/schedule.py``) produces a new output dir; the
 downstream training-data pipeline only wants the delta (feed `added` +
 `changed` into :func:`..textops.incremental.minhash_dedup_incremental`,
-apply `removed` as deletes).  ``diff_crawls(out_a, out_b)`` compares the
+apply `removed` — plus the superseded old versions of `changed` — via
+:func:`..textops.incremental.apply_removals`; the composed loop is
+pinned exact against a from-scratch batch run in
+tests/test_cdc_dedup.py).  ``diff_crawls(out_a, out_b)`` compares the
 two latest-article views:
 
 - ``added``    — url in B only

@@ -36,6 +36,14 @@ Per-increment cost: banding + shingling of the increment, ONE bloom-
 filtered scan of the old bands store (only buckets colliding with the
 increment survive the filter), and candidate-sized joins — never a
 rescan of old text.
+
+CDC deletes (the consumer side of :func:`..pipelines.diff.diff_crawls`):
+:func:`apply_removals` ingests removed doc_ids — scan-time delete list +
+candidate-bounded component recompute emitting ``resurrected/`` records;
+:func:`compact_state` applies the deletes physically;
+:func:`current_keepers` is the store's authoritative kept set and equals
+a from-scratch batch run over the surviving corpus (pinned by the
+crawl → diff → incremental composed test in tests/test_cdc_dedup.py).
 """
 
 from __future__ import annotations
@@ -45,6 +53,7 @@ import json
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -219,14 +228,27 @@ def compact_state(state_dir: str) -> dict:
     increments.  Returns the updated manifest."""
     manifest_path = os.path.join(state_dir, "manifest.json")
     manifest = json.load(open(manifest_path))
+    if _pending_removal_batch(state_dir, manifest) is not None:
+        raise RuntimeError(
+            "uncommitted apply_removals batch — re-run apply_removals "
+            "before compacting")
     from ..util.rayops import parquet_rows
 
+    # CDC deletes applied PHYSICALLY here: the bands/shingles rewrite
+    # drops removed docs' rows, then the delete list is cleared (the
+    # scan-time exclusion in increments becomes unnecessary)
+    removed = read_removed(state_dir)
+    rm_ref = (ray.put(np.sort(np.fromiter(removed, np.int64)))
+              if removed else None)
     subs = [("bands", _BAND_COLS), ("shingles", _SHINGLE_COLS)]
-    for sub, cols in (("comps", _COMP_COLS), ("retro", ["doc_id"])):
+    for sub, cols in (("comps", _COMP_COLS), ("retro", ["doc_id"]),
+                      ("resurrected", ["doc_id"])):
         # comps: min-per-doc rows stay min-per-doc under a plain rewrite.
         # retro MUST be renumbered with everything else: compaction resets
         # the increment counter, and a stale retro/inc=N dir would be
         # rmtree'd by the next increment's idempotency cleanup.
+        # (resurrected/removed dirs are keyed by the never-resetting
+        # removal counter, but rewriting resurrected keeps it one file.)
         if glob.glob(os.path.join(state_dir, sub, "**", "*.parquet"),
                      recursive=True):
             subs.append((sub, cols))
@@ -238,10 +260,19 @@ def compact_state(state_dir: str) -> dict:
         # select_columns drops the hive-parsed ``inc`` partition column —
         # without it the rewrite would bake stale inc values INTO the
         # data files under the new inc=0 directory
-        read_parquet_clean(src).select_columns(cols).repartition(
-            n_parts).write_parquet(os.path.join(tmp, "inc=0"))
+        ds = read_parquet_clean(src).select_columns(cols)
+        if rm_ref is not None and sub in ("bands", "shingles"):
+            ds = ds.map_batches(
+                _filter_doc_ids,
+                fn_kwargs={"ids_ref": rm_ref, "col": "doc_id",
+                           "keep_in": False},
+                batch_format="pyarrow")
+        ds.repartition(n_parts).write_parquet(os.path.join(tmp, "inc=0"))
         shutil.rmtree(src)
         os.replace(tmp, src)
+    if removed:
+        shutil.rmtree(os.path.join(state_dir, "removed"),
+                      ignore_errors=True)
     manifest["increments"] = 1
     with open(manifest_path, "w") as f:
         json.dump(manifest, f)
@@ -259,7 +290,13 @@ def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
     manifest = (json.load(open(manifest_path))
                 if os.path.exists(manifest_path) else
                 {"max_id": -1, "increments": 0, "num_perm": num_perm,
-                 "bands": bands, "shingle_k": shingle_k, "comps": True})
+                 "bands": bands, "shingle_k": shingle_k, "comps": True,
+                 "threshold": threshold, "removal_batches": 0})
+    if _pending_removal_batch(state_dir, manifest) is not None:
+        raise RuntimeError(
+            "uncommitted apply_removals batch in the store — re-run "
+            "apply_removals (it resumes the crashed batch) before the "
+            "next increment")
     # root tracking needs the comps table maintained from increment 0;
     # a store created before the feature existed skips it (and emits no
     # tombstones) rather than resolving against missing history
@@ -305,6 +342,18 @@ def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
             bands_dir, columns=_BAND_COLS).map_batches(
             _filter_bands_bloom, fn_kwargs={"bloom_ref": bloom_ref},
             batch_format="pyarrow")
+        # CDC deletes: docs removed via apply_removals stay in the store
+        # files until compact_state, but must not suppress new near-dups
+        # — exclude them from the candidate side (exact anti-membership
+        # against the bounded-by-churn delete list)
+        removed = read_removed(state_dir)
+        if removed:
+            rm_ref = ray.put(np.sort(np.fromiter(removed, np.int64)))
+            old_bands = old_bands.map_batches(
+                _filter_doc_ids,
+                fn_kwargs={"ids_ref": rm_ref, "col": "doc_id",
+                           "keep_in": False},
+                batch_format="pyarrow")
         all_bands = bands_new.union(old_bands)
         # verify side: old shingles join only for candidate ids — the
         # candidate-id bloom inside _verify_jaccard_joined prunes them,
@@ -363,7 +412,317 @@ def minhash_dedup_incremental(new_docs: "rd.Dataset", state_dir: str,
                        _fresh_part(state_dir, "retro", inc))
     manifest.update({"max_id": int(max_new), "increments": inc + 1,
                      "comps": track_comps})
+    manifest.setdefault("threshold", threshold)
+    manifest.setdefault("removal_batches", 0)
     os.makedirs(state_dir, exist_ok=True)
     with open(manifest_path, "w") as f:
         json.dump(manifest, f)
     return kept
+
+
+# ---------------------------------------------------------------------------
+# CDC-delete ingestion — the consumer step diff.py promises ("apply
+# `removed` as deletes").  A url deleted (or re-crawled: its OLD version
+# superseded) upstream must stop suppressing future near-dups of itself,
+# and docs it alone was suppressing must come back.
+#
+# Design (the BM25-index delete-list shape): removals append to a
+# ``removed/`` doc-id list honored at scan time (increments exclude those
+# ids from the old-bands candidate side); :func:`compact_state` applies
+# them physically and clears the list.  Because dedup keep-decisions are
+# component minima, deleting a doc can RESURRECT previously-dropped docs
+# (the deleted doc was the component min, or the only bridge between two
+# sub-groups); :func:`apply_removals` recomputes the affected components
+# exactly — candidate-bounded work: only the removed docs' components are
+# touched — and emits ``resurrected/`` doc-id records (the countervailing
+# log to ``retro/`` tombstones).  With removals applied,
+# :func:`current_keepers` equals a from-scratch batch
+# :func:`~.dedup.minhash_dedup` over the surviving corpus (pinned by the
+# crawl → diff → incremental composed test).
+#
+# Crash safety: the uncommitted batch is detected via
+# ``removed/inc=<k>`` existing with ``manifest.removal_batches == k``;
+# re-running apply_removals resumes it deterministically (event files
+# are written atomically first, the comps rewrite is a tmp+rename, the
+# manifest bump is the commit point), and increments refuse to run over
+# an uncommitted batch.
+
+_REMOVED_COLS = ["doc_id"]
+
+
+def _read_id_log(state_dir: str, sub: str, max_inc: int | None = None) -> set:
+    """All doc_ids under ``sub/inc=*/`` (optionally only inc < max_inc)."""
+    d = os.path.join(state_dir, sub)
+    if not os.path.isdir(d):
+        return set()
+    out: set[int] = set()
+    for f in glob.glob(os.path.join(d, "inc=*", "*.parquet")):
+        inc = int(os.path.basename(os.path.dirname(f)).split("=", 1)[1])
+        if max_inc is not None and inc >= max_inc:
+            continue
+        out.update(int(x) for x in pq.read_table(
+            f, columns=_REMOVED_COLS)["doc_id"].to_pylist())
+    return out
+
+
+def read_removed(state_dir: str) -> set:
+    """Doc_ids removed via :func:`apply_removals` and not yet physically
+    compacted away (driver set — bounded by churn between compactions)."""
+    return _read_id_log(state_dir, "removed")
+
+
+def read_resurrections(state_dir: str) -> pa.Table:
+    """All resurrection records emitted so far: previously-dropped (or
+    tombstoned) doc_ids that became keepers because a removal deleted
+    the doc that dominated them.  Apply downstream as CDC re-adds, the
+    inverse of :func:`read_retro_drops` tombstones."""
+    d = os.path.join(state_dir, "resurrected")
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    if not os.path.isdir(d):
+        return empty
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(d)
+    if "doc_id" not in dset.schema.names:
+        return empty
+    return dset.to_table(columns=["doc_id"]).combine_chunks()
+
+
+def _pending_removal_batch(state_dir: str, manifest: dict):
+    """Ids of an uncommitted apply_removals batch (crash between the
+    event-file write and the manifest bump), else None."""
+    k = manifest.get("removal_batches", 0)
+    d = os.path.join(state_dir, "removed", f"inc={k}")
+    if not os.path.isdir(d) or not glob.glob(os.path.join(d, "*.parquet")):
+        return None
+    return _read_id_log(state_dir, "removed") - _read_id_log(
+        state_dir, "removed", max_inc=k)
+
+
+def _filter_doc_ids(batch: pa.Table, *, ids_ref, col: str,
+                    keep_in: bool) -> pa.Table:
+    """Exact membership (semi/anti) filter against a broadcast SORTED
+    int64 id array (per-worker LRU via bcast_get)."""
+    from .dedup import _bcast_get
+
+    ids = _bcast_get(ids_ref)
+    vals = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids):
+        pos = np.searchsorted(ids, vals)
+        pos[pos == len(ids)] = 0
+        member = ids[pos] == vals
+    else:
+        member = np.zeros(len(vals), bool)
+    return batch.filter(pa.array(member if keep_in else ~member))
+
+
+def _reverse_members(state_dir: str, roots: set) -> set:
+    """All docs whose CURRENT component root is in ``roots``: reverse
+    chase over the ``comps/`` (doc → root) rows (candidate-bounded
+    ``isin``-filtered store scans per chain level; path compression keeps
+    chains ~1 deep), then a forward re-resolve filters out docs whose
+    newest row points elsewhere (stale non-min rows also match the
+    reverse scan)."""
+    comps_dir = os.path.join(state_dir, "comps")
+    if not roots or not os.path.isdir(comps_dir):
+        return set(roots)
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(comps_dir)
+    if "doc_id" not in dset.schema.names:
+        return set(roots)
+    found: set[int] = set()
+    frontier = set(int(r) for r in roots)
+    while frontier:
+        t = dset.to_table(columns=_COMP_COLS,
+                          filter=pc.field("root").isin(list(frontier)))
+        docs = set(int(x) for x in t["doc_id"].to_pylist())
+        frontier = docs - found - roots
+        found |= docs
+    if not found:
+        return set(roots)
+    final = _resolve_roots(state_dir, found)
+    return set(roots) | {d for d, r in final.items() if r in roots}
+
+
+def _atomic_id_file(state_dir: str, sub: str, k: int, ids) -> None:
+    """Write ``sub/inc=k/part-0.parquet`` atomically (tmp + rename);
+    skip if it already exists (crash-resume keeps the first attempt's
+    deterministic content)."""
+    path = _fresh_part(state_dir, sub, k)
+    if os.path.exists(path):
+        return
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(sorted(ids), pa.int64())}),
+                   tmp)
+    os.replace(tmp, path)
+
+
+def apply_removals(state_dir: str, doc_ids, threshold: float | None = None
+                   ) -> pa.Table:
+    """Ingest CDC deletes into the dedup store: the ``removed`` side of
+    :func:`~..pipelines.diff.diff_crawls` (plus the OLD doc_ids of
+    ``changed`` urls when the new versions are fed as an increment).
+
+    Returns the resurrection table ``(doc_id,)`` — previously-dropped
+    docs that become keepers now that their dominating doc is gone.
+    After this call, future increments no longer collide with the
+    removed docs, and ``current_keepers(state_dir)`` equals a
+    from-scratch batch run over the surviving corpus."""
+    manifest_path = os.path.join(state_dir, "manifest.json")
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    if not os.path.exists(manifest_path):
+        if list(doc_ids):
+            raise FileNotFoundError(f"no dedup store at {state_dir}")
+        return empty
+    manifest = json.load(open(manifest_path))
+    if not manifest.get("comps", False):
+        raise RuntimeError(
+            "store predates component tracking — removals need the "
+            "comps/ table; rebuild the store")
+    if threshold is None:
+        threshold = float(manifest.get("threshold", 0.7))
+    bands_n = int(manifest["bands"])
+    shingle_k = int(manifest["shingle_k"])
+    k = int(manifest.get("removal_batches", 0))
+
+    prior_removed = _read_id_log(state_dir, "removed", max_inc=k)
+    pending = _pending_removal_batch(state_dir, manifest) or set()
+    requested = {int(i) for i in doc_ids} | pending
+    r_new = sorted(requested - prior_removed)
+    if not r_new:
+        return empty
+
+    # only ids actually in the store matter (diff `removed` may name
+    # urls that never produced a doc — error rows, empty bodies)
+    import pyarrow.dataset as pads
+
+    sh_dir = os.path.join(state_dir, "shingles")
+    known = pads.dataset(sh_dir).to_table(
+        columns=["doc_id"], filter=pc.field("doc_id").isin(r_new))
+    r_new = sorted(int(x) for x in known["doc_id"].to_pylist())
+    if not r_new:
+        return empty
+
+    # 1. affected components (pre-rewrite state): roots of the removed
+    #    docs, then every doc resolving to those roots
+    roots = _resolve_roots(state_dir, r_new)
+    affected = set(roots.values())
+    members = _reverse_members(state_dir, affected)
+    all_gone = set(r_new) | prior_removed
+    remaining = sorted(members - all_gone)
+    prior_keepers = affected - all_gone
+
+    # 2. recompute sub-components among the remaining members: bands →
+    #    candidate pairs → exact-Jaccard verify → connected components.
+    #    Everything is filtered to the member set, so the work is
+    #    bounded by the affected components, not the corpus.
+    sub_root: dict[int, int] = {}
+    if remaining:
+        rem_ref = ray.put(np.asarray(remaining, np.int64))
+        bands_m = read_parquet_clean(
+            os.path.join(state_dir, "bands"), columns=_BAND_COLS
+        ).map_batches(
+            _filter_doc_ids,
+            fn_kwargs={"ids_ref": rem_ref, "col": "doc_id", "keep_in": True},
+            batch_format="pyarrow")
+        cand = _candidate_pairs(
+            bands_m, ["band_id", "band_hash"],
+            _scale_parts(len(remaining) * bands_n * 2)).materialize()
+        n_pairs = cand.count()
+        if n_pairs:
+            sh_m = read_parquet_clean(
+                sh_dir, columns=_SHINGLE_COLS).map_batches(
+                _filter_doc_ids,
+                fn_kwargs={"ids_ref": rem_ref, "col": "doc_id",
+                           "keep_in": True},
+                batch_format="pyarrow")
+            verified = normalize_blocks(_verify_jaccard_joined(
+                _dedupe_pairs(cand, n_pairs), None, shingle_k, threshold,
+                n_pairs, shingle_ds=sh_m).materialize())
+            if verified.count():
+                comp = connected_components(verified.map_batches(
+                    lambda t: t.select(["doc_a", "doc_b"]),
+                    batch_format="pyarrow")).to_pandas()
+                sub_root = {int(n): int(c)
+                            for n, c in zip(comp["node"], comp["comp"])}
+    new_keepers = {d for d in remaining if sub_root.get(d, d) == d}
+    resurrected = sorted(new_keepers - prior_keepers)
+
+    # 3. commit: event files (atomic, resume-safe), comps rewrite
+    #    (tmp + rename), manifest bump LAST (the commit point)
+    _atomic_id_file(state_dir, "removed", k, r_new)
+    if resurrected:
+        _atomic_id_file(state_dir, "resurrected", k, resurrected)
+    comps_dir = os.path.join(state_dir, "comps")
+    if glob.glob(os.path.join(comps_dir, "**", "*.parquet"),
+                 recursive=True):
+        mem_ref = ray.put(np.asarray(sorted(members), np.int64))
+        kept_rows = read_parquet_clean(
+            comps_dir, columns=_COMP_COLS).map_batches(
+            _filter_doc_ids,
+            fn_kwargs={"ids_ref": mem_ref, "col": "doc_id",
+                       "keep_in": False},
+            batch_format="pyarrow").materialize()
+        tmp = os.path.join(state_dir, "_comps_cdc")
+        shutil.rmtree(tmp, ignore_errors=True)
+        if kept_rows.count():
+            kept_rows.write_parquet(os.path.join(tmp, "inc=0"))
+        else:
+            os.makedirs(tmp)  # all rows belonged to affected components
+        shutil.rmtree(comps_dir)
+        os.replace(tmp, comps_dir)
+    rerooted = [(d, r) for d, r in sub_root.items() if r != d]
+    if rerooted:
+        os.makedirs(os.path.join(comps_dir, "inc=0"), exist_ok=True)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([d for d, _ in rerooted],
+                                         pa.int64()),
+                      "root": pa.array([r for _, r in rerooted],
+                                       pa.int64())}),
+            os.path.join(comps_dir, "inc=0", f"cdc-{k}.parquet"))
+    if (os.path.isdir(comps_dir) and not glob.glob(
+            os.path.join(comps_dir, "**", "*.parquet"), recursive=True)):
+        shutil.rmtree(comps_dir)  # empty store == no store (reader guards)
+    manifest["removal_batches"] = k + 1
+    manifest.setdefault("threshold", threshold)
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+    return pa.table({"doc_id": pa.array(resurrected, pa.int64())})
+
+
+def current_keepers(state_dir: str) -> "rd.Dataset":
+    """The store's authoritative kept set: every seen doc minus removed
+    docs minus docs whose component root is another doc.  Equals a
+    from-scratch batch :func:`~.dedup.minhash_dedup` over the surviving
+    corpus (kept-set semantics; pinned by test).  The drop/removed sets
+    broadcast from the driver (bounded by duplicate count + churn — a
+    verification/bookkeeping surface, not a per-batch hot path)."""
+    comps_dir = os.path.join(state_dir, "comps")
+    dropped: set[int] = set()
+    if os.path.isdir(comps_dir) and glob.glob(
+            os.path.join(comps_dir, "**", "*.parquet"), recursive=True):
+        t = read_parquet_clean(comps_dir, columns=_COMP_COLS).to_pandas()
+        newest = t.groupby("doc_id")["root"].min()
+        mapping = {int(d): int(r) for d, r in newest.items()}
+
+        def final(x: int) -> int:
+            path = []
+            while mapping.get(x, x) != x:
+                path.append(x)
+                x = mapping[x]
+            for p in path:
+                mapping[p] = x
+            return x
+
+        dropped = {d for d in list(mapping) if final(d) != d}
+    bad = dropped | read_removed(state_dir)
+    ids = read_parquet_clean(os.path.join(state_dir, "shingles"),
+                             columns=["doc_id"])
+    if not bad:
+        return ids
+    bad_ref = ray.put(np.sort(np.fromiter(bad, np.int64)))
+    return ids.map_batches(
+        _filter_doc_ids,
+        fn_kwargs={"ids_ref": bad_ref, "col": "doc_id", "keep_in": False},
+        batch_format="pyarrow")
