@@ -350,7 +350,30 @@ def _walk_choice(v: np.ndarray, w: np.ndarray, t: int,
     return _smx(inner ^ w.astype(np.uint64))
 
 
-def random_walks(edges: "rd.Dataset", walk_len: int = 4, salt: int = 0):
+def _ranked_edges_part(g: pa.Table) -> pa.Table:
+    """Per-partition distinct (src, dst) with per-src neighbor rank (dst
+    ASC) and out-degree — all rows of a src co-locate, so dedup/rank/deg
+    are exact partition-locally (vectorized run ops)."""
+    src = g["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = g["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((dst, src))
+    s, d = src[order], dst[order]
+    keep = np.ones(s.size, bool)
+    keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    s, d = s[keep], d[keep]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]]) if s.size else \
+        np.array([], np.int64)
+    runlen = np.diff(np.r_[starts, s.size])
+    rnk = np.arange(s.size, dtype=np.int64) - np.repeat(starts, runlen)
+    deg = np.repeat(runlen, runlen)
+    return pa.table({"src": pa.array(s, pa.int64()),
+                     "dst": pa.array(d, pa.int64()),
+                     "deg": pa.array(deg, pa.int64()),
+                     "rnk": pa.array(rnk, pa.int64())})
+
+
+def random_walks(edges: "rd.Dataset", walk_len: int = 4, salt: int = 0,
+                 edge_bcast_max: int = 5_000_000):
     """(walk_id, step, node) rows: one deterministic walk per node with
     out-edges, ``walk_len`` steps (a walk stops early at a dangling
     node).  Step semantics (what :func:`random_walks_sql` replays):
@@ -360,65 +383,146 @@ def random_walks(edges: "rd.Dataset", walk_len: int = 4, salt: int = 0):
       ``choice_hash(v, walk, t) % outdeg(v)``;
     - walk_id = the start node.
 
-    Scale shape: the distinct edge set's CSR arrays (sorted src offsets
-    + dst) broadcast once (the walk variant of the repo's small-side
-    convention — graph topology is the bounded artifact here); each
-    step is ONE stateless map over the walk frontier, no shuffle
-    anywhere.  A beyond-broadcast topology would ride the pagerank
-    co-partition join per step instead."""
+    Scale shape — two plans, bit-identical results (pinned by test,
+    the pagerank adaptive split):
+
+    - **broadcast plan** (edge rows <= ``edge_bcast_max``): the distinct
+      edge set's CSR arrays (sorted src offsets + dst) broadcast once;
+      each step is ONE stateless map over the walk frontier, no shuffle
+      anywhere.
+    - **co-partition plan** (beyond-broadcast topology): ranked distinct
+      edges are built by ONE coarse hash partition by src (all rows of a
+      src co-locate), and each step tags frontier rows into the SAME
+      src-hash partitioning as the edge rows — a partition-local CSR
+      resolves the choice; nothing edge- or node-sized ever sits on the
+      driver."""
     import ray
 
-    from .util.rayops import bcast_get
+    from .util.rayops import (bcast_get, normalize_blocks,
+                              partitioned_map_groups)
 
-    # distinct edges -> CSR (driver-side, bounded by the topology)
-    import pandas as pd
+    edges = normalize_blocks(edges.materialize())
+    n_edges = edges.count()
 
-    epd = edges.to_pandas().drop_duplicates(["src", "dst"]) \
-        .sort_values(["src", "dst"])
-    src = epd["src"].to_numpy(np.int64)
-    dst = epd["dst"].to_numpy(np.int64)
-    usrc, starts_idx = np.unique(src, return_index=True)
-    offs = np.r_[starts_idx, src.size]
-    usrc_ref = ray.put(usrc)
-    offs_ref = ray.put(offs)
-    dst_ref = ray.put(dst)
+    def step_col(ds, t):
+        return ds.map_batches(
+            lambda b, _t=t: b.append_column("step", pa.array(
+                np.full(len(b), _t, np.int64), pa.int64())),
+            batch_format="pyarrow")
 
-    frontier = rd.from_arrow(pa.table({
-        "walk_id": pa.array(usrc, pa.int64()),
-        "node": pa.array(usrc, pa.int64())}))
+    if n_edges <= edge_bcast_max:
+        # distinct edges -> CSR (driver-side, within the broadcast regime)
+        epd = edges.to_pandas().drop_duplicates(["src", "dst"]) \
+            .sort_values(["src", "dst"])
+        src = epd["src"].to_numpy(np.int64)
+        dst = epd["dst"].to_numpy(np.int64)
+        usrc, starts_idx = np.unique(src, return_index=True)
+        offs = np.r_[starts_idx, src.size]
+        usrc_ref = ray.put(usrc)
+        offs_ref = ray.put(offs)
+        dst_ref = ray.put(dst)
 
-    def step_fn(t: int):
-        def advance(b: pa.Table) -> pa.Table:
-            us = bcast_get(usrc_ref)
-            of = bcast_get(offs_ref)
-            dv = bcast_get(dst_ref)
-            v = b["node"].to_numpy(zero_copy_only=False)
-            w = b["walk_id"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(us, v)
-            pos_c = np.minimum(pos, us.size - 1)
-            alive = us[pos_c] == v          # dangling nodes stop the walk
-            deg = of[pos_c + 1] - of[pos_c]
+        frontier = rd.from_arrow(pa.table({
+            "walk_id": pa.array(usrc, pa.int64()),
+            "node": pa.array(usrc, pa.int64())}))
+
+        def step_fn(t: int):
+            def advance(b: pa.Table) -> pa.Table:
+                us = bcast_get(usrc_ref)
+                of = bcast_get(offs_ref)
+                dv = bcast_get(dst_ref)
+                v = b["node"].to_numpy(zero_copy_only=False)
+                w = b["walk_id"].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(us, v)
+                pos_c = np.minimum(pos, us.size - 1)
+                alive = us[pos_c] == v      # dangling nodes stop the walk
+                deg = of[pos_c + 1] - of[pos_c]
+                h = _walk_choice(v, w, t, salt)
+                r = (h % np.maximum(deg, 1).astype(np.uint64)) \
+                    .astype(np.int64)
+                nxt = dv[of[pos_c] + r]
+                keep = pa.array(alive)
+                return pa.table({
+                    "walk_id": b["walk_id"].filter(keep),
+                    "node": pa.array(nxt[alive], pa.int64())})
+            return advance
+
+        out = [step_col(frontier, 0)]
+        cur = frontier
+        for t in range(walk_len):
+            cur = cur.map_batches(step_fn(t), batch_format="pyarrow") \
+                .materialize()
+            out.append(step_col(cur, t + 1))
+        res = out[0]
+        for o in out[1:]:
+            res = res.union(o)
+        return res.select_columns(["walk_id", "step", "node"])
+
+    # ---- co-partition plan -----------------------------------------------
+    n_buckets = max(1, min(64, n_edges // 500_000 + 1))
+    edges_r = normalize_blocks(partitioned_map_groups(
+        edges.map_batches(
+            lambda t: pa.table({"src": t["src"].cast(pa.int64()),
+                                "dst": t["dst"].cast(pa.int64())}),
+            batch_format="pyarrow"),
+        "src", _ranked_edges_part, n_parts=n_buckets).materialize())
+
+    frontier = edges_r.map_batches(
+        lambda t: pa.table(
+            {"walk_id": t.filter(pc.equal(t["rnk"], 0))["src"],
+             "node": t.filter(pc.equal(t["rnk"], 0))["src"]}),
+        batch_format="pyarrow").materialize()
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["src"], "dst": t["dst"],
+                         "rnk": t["rnk"],
+                         "walk": pa.nulls(len(t), pa.int64())})
+
+    def tag_frontier(t: pa.Table) -> pa.Table:
+        return pa.table({"key": t["node"].cast(pa.int64()),
+                         "dst": pa.nulls(len(t), pa.int64()),
+                         "rnk": pa.nulls(len(t), pa.int64()),
+                         "walk": t["walk_id"].cast(pa.int64())})
+
+    def advance_part(t: int):
+        def advance(g: pa.Table) -> pa.Table:
+            is_f = pc.is_valid(g["walk"])
+            e = g.filter(pc.invert(is_f))
+            f = g.filter(is_f)
+            empty = pa.table({"walk_id": pa.array([], pa.int64()),
+                              "node": pa.array([], pa.int64())})
+            if not len(f) or not len(e):
+                return empty  # no walks here, or all-dangling partition
+            es = e["key"].to_numpy(zero_copy_only=False)
+            ernk = e["rnk"].to_numpy(zero_copy_only=False)
+            edst = e["dst"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ernk, es))
+            es, edst = es[order], edst[order]
+            usrc, sidx = np.unique(es, return_index=True)
+            offs = np.r_[sidx, es.size]
+            v = f["key"].to_numpy(zero_copy_only=False)
+            w = f["walk"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(usrc, v)
+            pos_c = np.minimum(pos, usrc.size - 1)
+            alive = usrc[pos_c] == v
+            deg = offs[pos_c + 1] - offs[pos_c]
             h = _walk_choice(v, w, t, salt)
             r = (h % np.maximum(deg, 1).astype(np.uint64)).astype(np.int64)
-            nxt = dv[of[pos_c] + r]
-            keep = pa.array(alive)
+            nxt = edst[offs[pos_c] + r]
             return pa.table({
-                "walk_id": b["walk_id"].filter(keep),
+                "walk_id": pa.array(w[alive], pa.int64()),
                 "node": pa.array(nxt[alive], pa.int64())})
         return advance
 
-    out = [frontier.map_batches(
-        lambda t: t.append_column("step", pa.array(
-            np.zeros(len(t), np.int64), pa.int64())),
-        batch_format="pyarrow")]
+    edges_tagged = edges_r.map_batches(tag_edge, batch_format="pyarrow")
+    out = [step_col(frontier, 0)]
     cur = frontier
     for t in range(walk_len):
-        cur = cur.map_batches(step_fn(t), batch_format="pyarrow") \
-            .materialize()
-        out.append(cur.map_batches(
-            lambda b, _t=t: b.append_column("step", pa.array(
-                np.full(len(b), _t + 1, np.int64), pa.int64())),
-            batch_format="pyarrow"))
+        both = edges_tagged.union(
+            cur.map_batches(tag_frontier, batch_format="pyarrow"))
+        cur = partitioned_map_groups(both, "key", advance_part(t),
+                                     n_parts=n_buckets).materialize()
+        out.append(step_col(cur, t + 1))
     res = out[0]
     for o in out[1:]:
         res = res.union(o)

@@ -418,3 +418,28 @@ def test_random_walks_match_duckdb_and_semantics(ray_session):
         nodes = g.sort_values("step")["node"].tolist()
         if 2 in nodes:
             assert nodes.index(2) == len(nodes) - 1
+
+
+def test_random_walks_copartition_plan_parity(ray_session):
+    """The beyond-broadcast co-partition plan (edge_bcast_max=0) must be
+    row-identical to the broadcast-CSR plan on a graph with dup edges,
+    danglers, multi-neighbor fanout, and enough nodes to spread over
+    partitions."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pttcrawler_ray.graph import random_walks
+
+    rng = np.random.default_rng(11)
+    n = 400
+    src = rng.integers(0, n, 3000)
+    dst = rng.integers(0, n + 40, 3000)  # nodes n..n+39 are danglers
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    a = random_walks(rd.from_arrow(t), walk_len=4, salt=9).to_pandas() \
+        .sort_values(["walk_id", "step"]).reset_index(drop=True)
+    b = random_walks(rd.from_arrow(t), walk_len=4, salt=9,
+                     edge_bcast_max=0).to_pandas() \
+        .sort_values(["walk_id", "step"]).reset_index(drop=True)
+    assert len(a) > n  # walks actually advanced
+    pd.testing.assert_frame_equal(a, b)
