@@ -73,6 +73,19 @@ def _tokens_flat(texts: pa.ChunkedArray | pa.Array):
     return flat, parents, counts
 
 
+def _token_hashes(flat: pa.Array) -> np.ndarray:
+    """blake2b-64 per token, computed once per DISTINCT token via
+    dictionary encoding (the banding trick, dedup.py): zipf-distributed
+    text hashes ~5-20x fewer strings; identical values to hashing every
+    token directly."""
+    dic = pc.dictionary_encode(flat)
+    if isinstance(dic, pa.ChunkedArray):
+        dic = dic.combine_chunks()
+    uh = hash_u64_many(dic.dictionary.to_pylist())
+    idx = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return uh[idx] if len(uh) else np.array([], np.uint64)
+
+
 def _run_firsts(parents: np.ndarray, values: np.ndarray):
     """Lexsort by (parent, value) and mark the first element of each
     (parent, value) run.  Returns ``(order, first_mask)`` — the one
@@ -121,7 +134,7 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     mean_tok_len = len_sum / safe
 
     # repetition: distinct/total tokens per doc
-    tok_hashes = hash_u64_many(flat.to_pylist())
+    tok_hashes = _token_hashes(flat)
     uniq = np.zeros(n)
     if len(tok_hashes):
         order, first = _run_firsts(parents, tok_hashes)
@@ -163,7 +176,7 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     bigrams.  Heavily boilerplated or looping documents score near 1."""
     flat, parents, counts = _tokens_flat(batch["text"])
     n = len(batch)
-    th = hash_u64_many(flat.to_pylist())
+    th = _token_hashes(flat)
     max_uni = _max_run_per_parent(th, parents, n)
 
     if len(th) > 1:
@@ -229,23 +242,65 @@ class LangId:
 
 
 def fingerprint_batch(batch: pa.Table, window: int = 4, keep: int = 8) -> pa.Table:
-    """64-bit text hash + winnowing-style min-k rolling-window fingerprint."""
-    texts = batch["text"].to_pylist()
-    text_hash = hash_u64_many([t or "" for t in texts])
-    fps = []
+    """64-bit text hash + winnowing-style min-k rolling-window fingerprint.
+
+    Per doc: Karp–Rabin rolling hash over ``window``-token-hash windows,
+    distinct values ascending, first ``keep`` kept; docs shorter than
+    ``window`` fingerprint as their token hashes in TOKEN order.
+
+    Fully batch-flat (no per-doc Python loop): ONE sliding window over
+    the whole flat token-hash array with cross-doc windows masked by
+    parent equality, distinct-and-rank via the ``_run_firsts`` lexsort
+    segment primitive, list output assembled with
+    ``ListArray.from_arrays`` — the banding shape (dedup.py:110-180)
+    applied here (round-4 verdict item)."""
+    n = len(batch)
+    text_hash = hash_u64_many(
+        [t or "" for t in batch["text"].to_pylist()])
+    flat, parents, counts = _tokens_flat(batch["text"])
+    th = _token_hashes(flat)
     B = np.uint64(1000003)
-    for t in texts:
-        toks = (t or "").split()
-        if len(toks) < window:
-            fps.append([int(h) for h in hash_u64_many(toks)] if toks else [])
-            continue
-        th = hash_u64_many(toks)
-        # Karp-Rabin rolling hash over token-hash windows (vectorized)
+
+    # long docs: rolling hashes at every flat position whose window stays
+    # within one doc, then per-doc distinct-ascending min-k
+    fp_p = np.array([], np.int64)
+    fp_v = np.array([], np.uint64)
+    fp_seq = np.array([], np.int64)
+    if len(th) >= window:
         powers = B ** np.arange(window, dtype=np.uint64)
         with np.errstate(over="ignore"):
             win = np.lib.stride_tricks.sliding_window_view(th, window)
             rolled = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
-        rolled = np.unique(rolled)
-        fps.append([int(h) for h in rolled[:keep]])
+        valid = parents[: len(rolled)] == parents[window - 1:]
+        rp = parents[: len(rolled)][valid]
+        rv = rolled[valid]
+        if len(rv):
+            order, first = _run_firsts(rp, rv)
+            p_s, v_s = rp[order][first], rv[order][first]
+            starts = np.flatnonzero(np.r_[True, p_s[1:] != p_s[:-1]])
+            runlen = np.diff(np.r_[starts, p_s.size])
+            rank = np.arange(p_s.size, dtype=np.int64) \
+                - np.repeat(starts, runlen)
+            sel = rank < keep
+            fp_p, fp_v, fp_seq = p_s[sel], v_s[sel], rank[sel]
+
+    # short docs (0 < n_tokens < window): token hashes in token order
+    short = counts.astype(np.int64) < window
+    mask = short[parents]
+    if mask.any():
+        tok_base = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.flatnonzero(mask)
+        sp = parents[pos]
+        sseq = pos - tok_base[sp]
+        fp_p = np.concatenate([fp_p, sp])
+        fp_v = np.concatenate([fp_v, th[pos]])
+        fp_seq = np.concatenate([fp_seq, sseq])
+
+    order2 = np.lexsort((fp_seq, fp_p))
+    fp_p, fp_v = fp_p[order2], fp_v[order2]
+    offs = np.concatenate([[0], np.cumsum(
+        np.bincount(fp_p, minlength=n))]).astype(np.int64)
+    fingerprint = pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), pa.array(fp_v, pa.uint64()))
     out = batch.append_column("text_hash", pa.array(text_hash, pa.uint64()))
-    return out.append_column("fingerprint", pa.array(fps, pa.list_(pa.uint64())))
+    return out.append_column("fingerprint", fingerprint)
