@@ -230,10 +230,11 @@ def main(argv=None):
                                    "(omit to print counts only)")
     df.add_argument("--num-cpus", type=int, default=None)
 
-    bx = sub.add_parser("bm25", help="keyword index: build/append/query a "
-                        "persisted term-hash-partitioned inverted index "
-                        "over a (doc_id, text) parquet")
-    bx.add_argument("--action", choices=["build", "append", "query"],
+    bx = sub.add_parser("bm25", help="keyword index: build/append/remove/"
+                        "compact/query a persisted term-hash-partitioned "
+                        "inverted index over a (doc_id, text) parquet")
+    bx.add_argument("--action", choices=["build", "append", "remove",
+                                         "compact", "repair", "query"],
                     required=True)
     bx.add_argument("--index", required=True, help="index directory")
     bx.add_argument("--input",
@@ -242,6 +243,9 @@ def main(argv=None):
                     help="term-hash partition count (build only)")
     bx.add_argument("--query", nargs="*", default=[],
                     metavar="TEXT", help="query strings (query only)")
+    bx.add_argument("--remove", help="CDC deletes (remove only): "
+                    "comma-separated doc_ids or a parquet with a doc_id "
+                    "column (a changed url = remove old id + append new)")
     bx.add_argument("--topk", type=int, default=10)
     bx.add_argument("--num-cpus", type=int, default=None)
 
@@ -535,6 +539,25 @@ def main(argv=None):
                                        columns=["doc_id", "text"]),
                     args.index)
                 print(json.dumps({"appended": args.index, **meta}))
+            elif args.action == "remove":
+                import os as _os
+
+                if not args.remove:
+                    p.error("--remove is required with --action remove")
+                if _os.path.exists(args.remove):
+                    rm_ids = read_parquet_clean(
+                        args.remove, columns=["doc_id"]
+                    ).to_pandas()["doc_id"].tolist()
+                else:
+                    rm_ids = [int(x) for x in args.remove.split(",")]
+                meta = BX.remove_from_bm25_index(args.index, rm_ids)
+                print(json.dumps({"removed": len(rm_ids), **meta}))
+            elif args.action == "compact":
+                meta = BX.compact_bm25_index(args.index)
+                print(json.dumps({"compacted": args.index, **meta}))
+            elif args.action == "repair":
+                meta = BX.repair_bm25_index(args.index)
+                print(json.dumps({"repaired": args.index, **meta}))
             else:
                 queries = list(enumerate(args.query))
                 stats: dict = {}

@@ -319,6 +319,16 @@ def qsketch_bounds(bucket: np.ndarray, sub_bits: int = 7):
 
 
 def _qsketch_batch(batch: pa.Table, *, key: str, sub_bits: int) -> pa.Table:
+    # the documented contract is non-negative BIGINT with no nulls: a
+    # null int64 column converts to float64 + NaN, and NaN -> int64 is
+    # undefined (typically INT64_MIN -> clamped into bucket 0) while the
+    # SQL twin propagates NULL — fail loudly instead of silently
+    # corrupting bucket 0
+    if batch[key].null_count:
+        raise ValueError(
+            f"qsketch: column {key!r} has {batch[key].null_count} nulls "
+            "— the sketch contract is non-null non-negative BIGINT "
+            "(pc.drop_null upstream if null-skip semantics are wanted)")
     v = batch[key].to_numpy(zero_copy_only=False)
     dense = np.bincount(qsketch_bucket(v, sub_bits))
     nz = np.flatnonzero(dense)
@@ -384,6 +394,11 @@ def _qsketch_group_batch(batch: pa.Table, *, key: str, group_col: str,
 
     from .util.hashing import hash_u64_many
 
+    if batch[key].null_count:  # see _qsketch_batch: out-of-contract input
+        raise ValueError(
+            f"qsketch: column {key!r} has {batch[key].null_count} nulls "
+            "— the sketch contract is non-null non-negative BIGINT "
+            "(pc.drop_null upstream if null-skip semantics are wanted)")
     idx = qsketch_bucket(batch[key].to_numpy(zero_copy_only=False), sub_bits)
     codes, uniques = pd.factorize(
         batch[group_col].to_numpy(zero_copy_only=False))

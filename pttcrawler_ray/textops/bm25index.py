@@ -55,6 +55,85 @@ _EMPTY_TOPK = pa.table({
 })
 
 
+def _write_meta(index_dir: str, meta: dict) -> None:
+    """Atomic meta rewrite — temp + os.replace is the commit point."""
+    path = os.path.join(index_dir, "meta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, path)
+
+
+def _load_meta(index_dir: str, *, allow_pending: bool = False) -> dict:
+    """Load + validate the store meta: version must match
+    _INDEX_VERSION (the store's invalidation key — a mismatched store
+    must be rebuilt, never silently read), and an uncommitted
+    append/remove (crash between the data write and the meta commit)
+    blocks everything until :func:`repair_bm25_index`."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta.get("version") != _INDEX_VERSION:
+        raise RuntimeError(
+            f"bm25 index at {index_dir} has version {meta.get('version')} "
+            f"!= {_INDEX_VERSION} — rebuild it with build_bm25_index")
+    if not allow_pending and os.path.exists(
+            os.path.join(index_dir, "pending.json")):
+        raise RuntimeError(
+            f"bm25 index at {index_dir} has an uncommitted write (crash "
+            "mid-append/remove) — run repair_bm25_index first")
+    return meta
+
+
+def _read_deleted(index_dir: str) -> np.ndarray:
+    """Sorted doc_ids on the delete list (bounded by churn between
+    compactions)."""
+    files = sorted(glob.glob(os.path.join(index_dir, "deleted",
+                                          "*.parquet")))
+    if not files:
+        return np.array([], np.int64)
+    import pyarrow.parquet as pq
+
+    ids = np.concatenate([
+        pq.read_table(f, columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False).astype(np.int64) for f in files])
+    return np.unique(ids)
+
+
+def _live_mask(doc: np.ndarray, del_ids: np.ndarray) -> np.ndarray:
+    pos = np.searchsorted(del_ids, doc)
+    pos[pos == len(del_ids)] = 0
+    return del_ids[pos] != doc
+
+
+def repair_bm25_index(index_dir: str) -> dict:
+    """Roll back an uncommitted append/remove: delete the data files the
+    crashed attempt wrote (recorded in ``pending.json`` before any data
+    write), clear the marker.  The caller re-runs the operation."""
+    meta = _load_meta(index_dir, allow_pending=True)
+    ppath = os.path.join(index_dir, "pending.json")
+    if not os.path.exists(ppath):
+        return meta
+    with open(ppath) as f:
+        pending = json.load(f)
+    before = set(pending.get("files_before", []))
+    sub = "deleted" if pending.get("op") == "remove" else "postings"
+    pat = os.path.join(index_dir, sub, "**", "*.parquet")
+    for f in glob.glob(pat, recursive=True):
+        if f not in before:
+            os.remove(f)
+    os.remove(ppath)
+    return meta
+
+
+def _stage_pending(index_dir: str, op: str, sub: str) -> None:
+    files = sorted(glob.glob(os.path.join(index_dir, sub, "**",
+                                          "*.parquet"), recursive=True))
+    tmp = os.path.join(index_dir, "pending.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"op": op, "files_before": files}, f)
+    os.replace(tmp, os.path.join(index_dir, "pending.json"))
+
+
 def _postings_batch(batch: pa.Table, *, id_col: str, text_col: str,
                     n_parts: int) -> pa.Table:
     """(part, term, doc_id, tf, dl) rows — one per (doc, term) pair of
@@ -99,11 +178,13 @@ def build_bm25_index(docs_ds: "rd.Dataset", index_dir: str, *,
 
     from .retrieval import corpus_bm25_stats
 
-    shutil.rmtree(os.path.join(index_dir, "postings"), ignore_errors=True)
-    try:
-        os.remove(os.path.join(index_dir, "meta.json"))
-    except FileNotFoundError:
-        pass
+    for sub in ("postings", "deleted"):
+        shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
+    for f in ("meta.json", "pending.json"):
+        try:
+            os.remove(os.path.join(index_dir, f))
+        except FileNotFoundError:
+            pass
     stats = corpus_bm25_stats(docs_ds, [], text_col=text_col)
     postings = docs_ds.map_batches(
         _postings_batch,
@@ -115,8 +196,7 @@ def build_bm25_index(docs_ds: "rd.Dataset", index_dir: str, *,
     meta = {"n_docs": stats["n_docs"], "n_tokens": stats["n_tokens"],
             "n_parts": n_parts, "id_col": id_col, "text_col": text_col,
             "version": _INDEX_VERSION}
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _write_meta(index_dir, meta)
     return meta
 
 
@@ -128,14 +208,19 @@ def append_bm25_index(docs_ds: "rd.Dataset", index_dir: str) -> dict:
     counts.  df is computed at query time from the pruned read, so the
     very next query scores EXACTLY like a from-scratch rebuild over the
     union corpus (pinned by test).  File count grows by ≤ ``n_parts``
-    per increment (the sorted-write bound)."""
+    per increment (the sorted-write bound).
+
+    Crash-safe: ``pending.json`` (listing the pre-append postings
+    files) is staged before any data write and cleared only after the
+    atomic meta commit — a crash in between leaves a store that refuses
+    reads until :func:`repair_bm25_index` rolls the orphans back, never
+    one that silently scores with df/N out of sync."""
     from .retrieval import corpus_bm25_stats
 
-    meta_path = os.path.join(index_dir, "meta.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
+    meta = _load_meta(index_dir)
     text_col = meta.get("text_col", "text")   # the BUILD's text column
     stats = corpus_bm25_stats(docs_ds, [], text_col=text_col)
+    _stage_pending(index_dir, "append", "postings")
     postings = docs_ds.map_batches(
         _postings_batch,
         fn_kwargs={"id_col": meta.get("id_col", "doc_id"),
@@ -145,27 +230,129 @@ def append_bm25_index(docs_ds: "rd.Dataset", index_dir: str) -> dict:
         os.path.join(index_dir, "postings"), partition_cols=["part"])
     meta["n_docs"] += stats["n_docs"]
     meta["n_tokens"] += stats["n_tokens"]
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
+    _write_meta(index_dir, meta)
+    os.remove(os.path.join(index_dir, "pending.json"))
     return meta
 
 
-def _df_batch(batch: pa.Table, *, tset: pa.Array, n_terms: int) -> pa.Table:
+def remove_from_bm25_index(index_dir: str, doc_ids) -> dict:
+    """CDC deletes: drop documents from the index — the ``removed`` side
+    of :func:`~..pipelines.diff.diff_crawls` (a ``changed`` url =
+    remove old id + append the new doc).  The doc_ids land on a
+    ``deleted/`` list honored at query time (both the df pass and the
+    scoring pass skip their postings), and the meta N / total-token
+    counts are adjusted by ONE streaming scan of the store for the
+    removed ids' denormalized ``dl`` — so the very next query scores
+    EXACTLY like a rebuild over the surviving corpus (idf/avgdl
+    included; pinned by test).  :func:`compact_bm25_index` applies the
+    deletes physically.
+
+    Ids with no postings are treated as absent (no meta adjustment) —
+    zero-token docs are invisible to the index; the crawl CDC feed
+    (``docs_from_crawl``) never emits them.  Crash-safe via the same
+    pending-marker protocol as append."""
+    meta = _load_meta(index_dir)
+    id_col = meta.get("id_col", "doc_id")
+    already = _read_deleted(index_dir)
+    ids = np.setdiff1d(np.asarray(sorted({int(i) for i in doc_ids}),
+                                  np.int64), already)
+    if not len(ids):
+        return meta
+    files = glob.glob(os.path.join(index_dir, "postings", "part=*",
+                                   "*.parquet"))
+    n_docs_rm = n_tokens_rm = 0
+    if files:
+        hits = rd.read_parquet(
+            files, columns=[id_col, "dl"],
+            filter=pc.field(id_col).isin(ids.tolist())).map_batches(
+            lambda t: pa.table({
+                id_col: t[id_col].cast(pa.int64()),
+                "dl": t["dl"].cast(pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+        if len(hits):
+            per_doc = hits.drop_duplicates(id_col)
+            n_docs_rm = len(per_doc)
+            n_tokens_rm = int(per_doc["dl"].sum())
+    _stage_pending(index_dir, "remove", "deleted")
+    ddir = os.path.join(index_dir, "deleted")
+    os.makedirs(ddir, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    k = int(meta.get("removal_batches", 0))
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
+                   os.path.join(ddir, f"del-{k}.parquet"))
+    meta["n_docs"] -= n_docs_rm
+    meta["n_tokens"] -= n_tokens_rm
+    meta["removal_batches"] = k + 1
+    _write_meta(index_dir, meta)
+    os.remove(os.path.join(index_dir, "pending.json"))
+    return meta
+
+
+def compact_bm25_index(index_dir: str) -> dict:
+    """Apply the delete list physically and merge per-increment files:
+    rewrite the postings store without the deleted docs' rows (part is
+    recomputed from the term hash), then clear ``deleted/``.  Meta is
+    already delete-adjusted, so this changes no query result; a crash
+    after the atomic postings swap merely leaves a no-op delete list."""
+    import shutil
+
+    meta = _load_meta(index_dir)
+    id_col = meta.get("id_col", "doc_id")
+    del_ids = _read_deleted(index_dir)
+    pdir = os.path.join(index_dir, "postings")
+    files = glob.glob(os.path.join(pdir, "part=*", "*.parquet"))
+    if not files:
+        shutil.rmtree(os.path.join(index_dir, "deleted"),
+                      ignore_errors=True)
+        return meta
+
+    def live_rows(t: pa.Table) -> pa.Table:
+        part = (hash_u64_many(t["term"].to_pylist())
+                % np.uint64(meta["n_parts"])).astype(np.int64)
+        t = t.append_column("part", pa.array(part, pa.int64()))
+        if len(del_ids):
+            doc = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.filter(pa.array(_live_mask(doc, del_ids)))
+        return t
+
+    tmp = os.path.join(index_dir, "_postings_compact")
+    shutil.rmtree(tmp, ignore_errors=True)
+    rd.read_parquet(files, columns=["term", id_col, "tf", "dl"]) \
+        .map_batches(live_rows, batch_format="pyarrow") \
+        .sort("part").write_parquet(tmp, partition_cols=["part"])
+    shutil.rmtree(pdir)
+    os.replace(tmp, pdir)
+    shutil.rmtree(os.path.join(index_dir, "deleted"), ignore_errors=True)
+    return meta
+
+
+def _df_batch(batch: pa.Table, *, tset: pa.Array, n_terms: int,
+              id_col: str = "doc_id",
+              del_ids: "np.ndarray | None" = None) -> pa.Table:
     idx = pc.fill_null(pc.index_in(batch["term"], value_set=tset), -1) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
+    if del_ids is not None and len(del_ids):
+        doc = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = idx[_live_mask(doc, del_ids)]
     df = np.bincount(idx[idx >= 0], minlength=n_terms).astype(np.int64)
     return pa.table({"df": pa.array([df.tolist()], pa.list_(pa.int64()))})
 
 
 def _score_postings_batch(batch: pa.Table, *, tset: pa.Array,
                           mat: np.ndarray, qids: np.ndarray, model: dict,
-                          id_col: str) -> pa.Table:
+                          id_col: str,
+                          del_ids: "np.ndarray | None" = None) -> pa.Table:
     """Pruned postings rows → per-(query, doc) PARTIAL integer score
     rows with the mixed uint64 shuffle key (the repo-standard
     coarse-partition shape, never a native two-key groupby)."""
     idx = pc.fill_null(pc.index_in(batch["term"], value_set=tset), -1) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
     hit = idx >= 0
+    if del_ids is not None and len(del_ids):
+        hit &= _live_mask(
+            batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+            del_ids)
     ti = idx[hit]
     tf = batch["tf"].to_numpy(zero_copy_only=False)[hit].astype(np.float64)
     dl = batch["dl"].to_numpy(zero_copy_only=False)[hit].astype(np.float64)
@@ -243,8 +430,8 @@ def bm25_topk_indexed(index_dir: str, queries: "list[tuple[int, str]]", *,
     score_ppm) rows."""
     from ..util.rayops import grouped_topk, partitioned_map_groups
 
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = _load_meta(index_dir)
+    del_ids = _read_deleted(index_dir)
     id_col = meta.get("id_col", "doc_id")
     terms, mat, qids = _query_terms(queries)
     wanted = sorted({int(h) for h in
@@ -273,11 +460,14 @@ def bm25_topk_indexed(index_dir: str, queries: "list[tuple[int, str]]", *,
     row_filter = pc.field("term").isin(terms)
 
     # pass 1 (narrow): df per query term from the pruned partitions
-    sub_terms = rd.read_parquet(probed_files, columns=["term"],
+    # (deleted docs' postings excluded — df must count LIVE docs only)
+    df_cols = ["term"] if not len(del_ids) else ["term", id_col]
+    sub_terms = rd.read_parquet(probed_files, columns=df_cols,
                                 filter=row_filter)
     df = np.zeros(len(terms), np.int64)
     dfp = sub_terms.map_batches(
-        _df_batch, fn_kwargs={"tset": tset, "n_terms": len(terms)},
+        _df_batch, fn_kwargs={"tset": tset, "n_terms": len(terms),
+                              "id_col": id_col, "del_ids": del_ids},
         batch_format="pyarrow").to_pandas()
     if "df" in dfp.columns:   # all-pruned read → 0 blocks, no columns
         for row in dfp["df"]:
@@ -295,7 +485,7 @@ def bm25_topk_indexed(index_dir: str, queries: "list[tuple[int, str]]", *,
         filter=row_filter).map_batches(
         _score_postings_batch,
         fn_kwargs={"tset": tset, "mat": mat, "qids": qids,
-                   "model": model, "id_col": id_col},
+                   "model": model, "id_col": id_col, "del_ids": del_ids},
         batch_format="pyarrow")
     pairs = partitioned_map_groups(scored, "bkey", _make_pair_sum(id_col),
                                    n_parts=8)

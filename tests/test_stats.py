@@ -255,6 +255,23 @@ def test_hll_grouped_matches_duckdb(ray_session):
         assert abs(est - true_d) / true_d < 0.06, (g, est, true_d)
 
 
+def test_qsketch_rejects_nulls(ray_session):
+    """Out-of-contract null input must fail loudly, not corrupt bucket 0
+    (NaN -> int64 is undefined; the SQL twin propagates NULL instead)."""
+    import ray.data as rd
+
+    from pttcrawler_ray.sketches import (qsketch_counts,
+                                         qsketch_counts_by_group)
+
+    ds = rd.from_arrow(pa.table({
+        "v": pa.array([1, None, 5], pa.int64()),
+        "g": pa.array(["a", "b", "a"], pa.string())}))
+    with pytest.raises(Exception, match="null"):
+        qsketch_counts(ds, "v").to_pandas()
+    with pytest.raises(Exception, match="null"):
+        qsketch_counts_by_group(ds, "v", "g").to_pandas()
+
+
 def test_qsketch_bucket_decode_and_error_bound():
     """Every non-negative int64 lands inside its decoded [lo, hi] bucket
     range; bucket indices are monotone in the value; the width obeys the

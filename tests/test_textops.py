@@ -1414,6 +1414,123 @@ def test_bm25_index_append_equals_rebuild(docs, tmp_path):
     pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
 
 
+def test_bm25_index_cdc_remove_equals_rebuild(docs, tmp_path):
+    """CDC maintenance (build + append + remove) must equal a rebuild
+    over the FINAL corpus — N/avgdl/df effects included, because
+    removing docs that carry query terms shifts idf for every other
+    result — and compaction must apply the deletes physically without
+    changing any result."""
+    import glob as _glob
+    import os as _os
+
+    import pandas as pd
+
+    from pttcrawler_ray.textops.bm25index import (append_bm25_index,
+                                                  bm25_topk_indexed,
+                                                  build_bm25_index,
+                                                  compact_bm25_index,
+                                                  remove_from_bm25_index)
+
+    queries = [(0, "fast table scan"), (7, "customer query join slow")]
+    cols = ["query_id", "score_ppm", "doc_id"]
+    t = docs.to_pandas()
+    half = len(t) // 2
+    first = rd.from_arrow(pa.Table.from_pandas(t.iloc[:half]))
+    second = rd.from_arrow(pa.Table.from_pandas(t.iloc[half:]))
+
+    # removals: docs that actually MATCH the queries (idf must shift) +
+    # one miss-id that never existed (must be a no-op)
+    idx = str(tmp_path / "cdc")
+    build_bm25_index(first, idx, n_parts=8)
+    append_bm25_index(second, idx)
+    pre = bm25_topk_indexed(idx, queries, topk=8).to_pandas()
+    rm = sorted(pre["doc_id"].unique()[:5].tolist())
+    meta = remove_from_bm25_index(idx, rm + [10 ** 12])
+    assert meta["n_docs"] == len(t) - len(rm)
+
+    surviving = rd.from_arrow(pa.Table.from_pandas(
+        t[~t["doc_id"].isin(rm)]))
+    build_bm25_index(surviving, str(tmp_path / "rebuilt"), n_parts=8)
+    want = bm25_topk_indexed(str(tmp_path / "rebuilt"), queries,
+                             topk=8).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    got = bm25_topk_indexed(idx, queries, topk=8).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    assert not set(got["doc_id"]) & set(rm)
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+    # idempotent re-remove
+    meta2 = remove_from_bm25_index(idx, rm)
+    assert meta2["n_docs"] == meta["n_docs"]
+
+    # compaction: physical delete, results unchanged, delete list gone
+    compact_bm25_index(idx)
+    assert not _os.path.isdir(_os.path.join(idx, "deleted"))
+    ids_left = set()
+    import pyarrow.parquet as _pq
+
+    for f in _glob.glob(_os.path.join(idx, "postings", "part=*",
+                                      "*.parquet")):
+        ids_left |= set(_pq.read_table(f, columns=["doc_id"])["doc_id"]
+                        .to_pylist())
+    assert not ids_left & set(rm)
+    got2 = bm25_topk_indexed(idx, queries, topk=8).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2[cols], want[cols],
+                                  check_dtype=False)
+
+
+def test_bm25_index_guards(docs, tmp_path):
+    """Version mismatch and uncommitted-write marker must fail loudly;
+    repair rolls an interrupted append back to a consistent store."""
+    import json as _json
+    import os as _os
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from pttcrawler_ray.textops.bm25index import (bm25_topk_indexed,
+                                                  build_bm25_index,
+                                                  append_bm25_index,
+                                                  repair_bm25_index)
+
+    idx = str(tmp_path / "g")
+    build_bm25_index(docs, idx, n_parts=4)
+    queries = [(0, "fast table scan")]
+    base = bm25_topk_indexed(idx, queries, topk=8).to_pandas() \
+        .sort_values(["query_id", "score_ppm", "doc_id"]) \
+        .reset_index(drop=True)
+
+    # version bump: every entry point refuses
+    mpath = _os.path.join(idx, "meta.json")
+    meta = _json.load(open(mpath))
+    _json.dump({**meta, "version": 999}, open(mpath, "w"))
+    with _pytest.raises(RuntimeError, match="rebuild"):
+        bm25_topk_indexed(idx, queries)
+    with _pytest.raises(RuntimeError, match="rebuild"):
+        append_bm25_index(docs, idx)
+    _json.dump(meta, open(mpath, "w"))
+
+    # crash mid-append: kill the process conceptually by staging the
+    # marker + writing an orphan postings file without the meta commit
+    from pttcrawler_ray.textops.bm25index import _stage_pending
+
+    _stage_pending(idx, "append", "postings")
+    orphan = _os.path.join(idx, "postings", "part=0", "orphan.parquet")
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(pa.table({"term": ["fast"], "doc_id": [999999],
+                              "tf": [50], "dl": [50]}), orphan)
+    with _pytest.raises(RuntimeError, match="uncommitted"):
+        bm25_topk_indexed(idx, queries)
+    repair_bm25_index(idx)
+    assert not _os.path.exists(orphan)
+    after = bm25_topk_indexed(idx, queries, topk=8).to_pandas() \
+        .sort_values(["query_id", "score_ppm", "doc_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(after, base, check_dtype=False)
+
+
 def test_shuffle_rank_permutation_and_sql(docs):
     """shuffle_rank is a dense permutation 0..n-1 in splitmix64-hash
     order, invariant to input partitioning, and equals the pure-SQL
