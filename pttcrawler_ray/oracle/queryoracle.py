@@ -31,7 +31,7 @@ from .refcrawl import build_web, sequential_crawl
 # bump whenever any oracle computation here (or the engine semantics it
 # mirrors) changes: the cached /tmp oracle parquet is keyed on this, so a
 # stale cache can never be compared against newer code
-ORACLE_VERSION = 17  # v16: phash dedup; v17: crawl snapshot diff
+ORACLE_VERSION = 18  # v17: crawl snapshot diff; v18: crawl-native sketches
 
 # the crawl_diff window: side A is a crawl of the corpus AS OF this many
 # days past the fixtures epoch (newest snapshot <= asof per url; urls
@@ -342,6 +342,60 @@ def crawl_oracle_tables(corpus_dir: str) -> dict[str, pa.Table]:
     diff = pa.table({"url": pa.array(d_urls, pa.string()),
                      "status": pa.array(d_status, pa.string())})
 
+    # --- crawl-native sketches: row-at-a-time replay of the documented
+    # sketch specs (sketches.py) over the sequential crawl's own rows —
+    # pure-int python, no numpy vectors, no engine sketch code.
+    M64 = (1 << 64) - 1
+
+    def _smx(z: int) -> int:      # SplitMix64 finalizer, scalar ints
+        z = (z + 0x9E3779B97F4A7C15) & M64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+        return (z ^ (z >> 31)) & M64
+
+    from hashlib import blake2b as _b2
+
+    # crawl_pushers_hll: per-board distinct-pusher HLL (p=12, salt=7);
+    # key = int64 view of blake2b-64(push_userid)
+    P, SALT, Q = 12, 7, 52
+    regs: dict[tuple, int] = {}
+    for url, a in arts:
+        b = a["board"]
+        for msg in a["messages"]:
+            k = int.from_bytes(
+                _b2(msg["push_userid"].encode("utf-8"),
+                    digest_size=8).digest(), "little")
+            h = _smx((k + SALT) & M64)
+            reg = h >> Q
+            w = h & ((1 << Q) - 1)
+            rho = Q + 1 if w == 0 else Q - w.bit_length() + 1
+            key = (b, reg)
+            if regs.get(key, 0) < rho:
+                regs[key] = rho
+    rk = sorted(regs)
+    pushers_hll = pa.table({
+        "board": pa.array([k[0] for k in rk], pa.string()),
+        "register": pa.array([k[1] for k in rk], pa.int64()),
+        "rho": pa.array([regs[k] for k in rk], pa.int64()),
+    })
+
+    # crawl_pushcount_qsketch: per-board log-linear quantile sketch of
+    # per-article push counts (sub_bits=7)
+    SUB = 7
+    qcnt: dict[tuple, int] = {}
+    for url, a in arts:
+        v = max(int(a["message_count"]["all"]), 0)
+        m = max(v.bit_length() - 1, SUB)
+        bucket = ((m - SUB) << SUB) + (v >> (m - SUB))
+        key = (a["board"], bucket)
+        qcnt[key] = qcnt.get(key, 0) + 1
+    qk = sorted(qcnt)
+    pushcount_qsk = pa.table({
+        "board": pa.array([k[0] for k in qk], pa.string()),
+        "bucket": pa.array([k[1] for k in qk], pa.int64()),
+        "cnt": pa.array([qcnt[k] for k in qk], pa.int64()),
+    })
+
     return {
         "crawl_latest_articles": latest,
         "crawl_pushes": pushes,
@@ -351,6 +405,8 @@ def crawl_oracle_tables(corpus_dir: str) -> dict[str, pa.Table]:
         "crawl_board_report": report,
         "crawl_users": users,
         "crawl_diff": diff,
+        "crawl_pushers_hll": pushers_hll,
+        "crawl_pushcount_qsketch": pushcount_qsk,
     }
 
 

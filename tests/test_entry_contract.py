@@ -70,6 +70,7 @@ _PATH_ORACLES = {
     "crawl_latest_articles", "crawl_pushes", "crawl_seen",
     "crawl_export_articles", "crawl_board_report", "crawl_users",
     "crawl_watermarks", "crawl_robots_blocked", "crawl_diff",
+    "crawl_pushers_hll", "crawl_pushcount_qsketch",
     "user_last_record",
     "fingerprint_docs", "perplexity_docs", "bm25_docs", "bm25_indexed_docs",
     "simhash_pairs_docs", "curate_docs",
