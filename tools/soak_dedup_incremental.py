@@ -161,23 +161,99 @@ def main():
     retro = sorted(read_retro_drops(state)["doc_id"].to_pylist())
     retro_ok = retro == [AB_BASE + 2 * i + 1 for i in range(N_BRIDGE)]
 
+    # --- CDC-removal leg (round-5): apply_removals at the 1M scale ---------
+    # 1. remove the first 5,000 CLUSTER KEEPERS (ids 4c): each cluster
+    #    {4c..4c+3, echo 1,000,000+c} must resurrect exactly 4c+1;
+    # 2. remove 1,000 already-tombstoned B-side docs: no resurrection
+    #    (A stays the component min);
+    # 3. remove 1,000 unique keepers (ids 500,000..500,999): plain
+    #    deletes, no resurrection.
+    # Then a post-removal increment of 200 near-dups — 100 echoing the
+    # REMOVED uniques (must be KEPT: the store no longer suppresses
+    # them) and 100 echoing LIVE uniques (must drop) — and finally
+    # current_keepers() compared to the closed-form expected keeper SET.
+    from pttcrawler_ray.textops.incremental import (apply_removals,
+                                                    current_keepers)
+
+    R_CL, R_UNIQ = 5_000, 1_000
+    t0 = time.time()
+    res1 = sorted(apply_removals(
+        state, [4 * c for c in range(R_CL)])["doc_id"].to_pylist())
+    res1_ok = res1 == [4 * c + 1 for c in range(R_CL)]
+    res2 = apply_removals(
+        state, [AB_BASE + 2 * i + 1 for i in range(1_000)]).num_rows
+    res3 = apply_removals(
+        state, list(range(500_000, 500_000 + R_UNIQ))).num_rows
+    removal_sec = round(time.time() - t0, 1)
+    rss_phases["after_removals"] = _rss_gb()
+
+    # post-removal increment: mutate token 0 of 100 removed uniques and
+    # 100 live uniques (j = 35/41 ≈ 0.854 ≥ 0.8 to their source only)
+    inc5_path = os.path.join(base, "postremoval_inc.parquet")
+    ids5, texts5 = [], []
+    for part_start, base_id in ((500_000, 1_300_000), (600_000, 1_300_100)):
+        src = pq.read_table(os.path.join(
+            base, "docs", f"part-{part_start:08d}.parquet"))
+        for i in range(100):
+            toks = src["text"][i].as_py().split()
+            toks[0] = f"z{part_start + i}"
+            ids5.append(base_id + i)
+            texts5.append(" ".join(toks))
+    pq.write_table(pa.table({"doc_id": pa.array(ids5, pa.int64()),
+                             "text": pa.array(texts5, pa.string())}),
+                   inc5_path)
+    t0 = time.time()
+    kept5 = sorted(minhash_dedup_incremental(
+        read_parquet_clean([inc5_path]), state, threshold=THRESHOLD,
+        num_perm=NUM_PERM, bands=BANDS).to_pandas()["doc_id"])
+    inc5_sec = round(time.time() - t0, 1)
+    kept5_ok = kept5 == list(range(1_300_000, 1_300_100))
+
+    # closed-form final keeper set
+    exp = set()
+    for c in range(N_CLUSTERS):
+        exp.add(4 * c + 1 if c < R_CL else 4 * c)
+    for k in range(N_CLASSES):
+        cb = N_CLUSTERS * CLUSTER_SZ + k * CLASS_SZ
+        exp.add(cb)
+        exp.update(range(cb + 256, cb + CLASS_SZ))
+    exp.update(range(N_CLUSTERS * CLUSTER_SZ + N_CLASSES * CLASS_SZ,
+                     500_000))                       # inc1 uniques
+    exp.update(range(500_000 + R_UNIQ, 1_000_000))   # inc2 minus removed
+    exp.update(range(1_020_000, 1_020_000 + N_FRESH))
+    exp.update(AB_BASE + 2 * i for i in range(N_BRIDGE))  # A-side keepers
+    exp.update(range(1_300_000, 1_300_100))
+    t0 = time.time()
+    got_keepers = set(current_keepers(state).to_pandas()["doc_id"])
+    keepers_ok = got_keepers == exp
+    rss_phases["after_keepers"] = _rss_gb()
+
     peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     ray.shutdown()
     ok = (all(r["kept"] == r["expected"] for r in results.values())
-          and retro_ok)
+          and retro_ok and res1_ok and res2 == 0 and res3 == 0
+          and kept5_ok and keepers_ok)
     print(json.dumps({
         "metric": "incremental dedup soak (4 increments vs persisted state "
-                  "store; cross-increment echoes drop via the store, "
-                  "bridge merges emit exact retro-drop tombstones)",
-        "n_docs_total": 1_000_000 + N_ECHO + N_FRESH + 5 * N_BRIDGE,
+                  "store + CDC-removal leg: exact resurrections, "
+                  "un-suppression, closed-form final keeper set)",
+        "n_docs_total": 1_000_000 + N_ECHO + N_FRESH + 5 * N_BRIDGE + 200,
         "increments": results,
         "retro_tombstones": len(retro),
         "retro_exact": retro_ok,
+        "removals": {"removed": R_CL + 1_000 + R_UNIQ,
+                     "resurrected": len(res1), "resurrect_exact": res1_ok,
+                     "sec": removal_sec},
+        "post_removal_inc": {"kept": len(kept5), "expected": 100,
+                             "sec": inc5_sec},
+        "final_keepers": {"n": len(got_keepers), "expected": len(exp),
+                          "set_exact": keepers_ok},
         "driver_peak_rss_gb": round(peak, 2),
         "driver_rss_phases_gb": rss_phases,
         "exact_match": ok,
     }))
-    assert ok, (results, len(retro))
+    assert ok, (results, len(retro), res1[:5], res2, res3,
+                len(kept5), len(got_keepers), len(exp))
 
 
 if __name__ == "__main__":
