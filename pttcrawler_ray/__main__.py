@@ -19,6 +19,7 @@ Subcommands::
         [--quality-min Q] [--threshold J] [--langs L ...]
     python -m pttcrawler_ray dedup-inc [--input INC.parquet --dest DIR]
         --state DIR [--threshold J] [--remove IDS|PARQUET]
+    python -m pttcrawler_ray cdc [--init] --crawl OUT --work DIR [--bm25]
 
 The CLI owns its Ray session (``ray.init(address='local')``); library code
 never initialises Ray.
@@ -229,6 +230,21 @@ def main(argv=None):
     df.add_argument("--dest", help="write the delta parquet here "
                                    "(omit to print counts only)")
     df.add_argument("--num-cpus", type=int, default=None)
+
+    cd = sub.add_parser("cdc", help="continuous-crawl driver: diff a "
+                        "re-crawl against the stored base and maintain "
+                        "the dedup store / BM25 index + url-id map in "
+                        "one call")
+    cd.add_argument("--crawl", required=True, help="crawl output dir "
+                    "(the first one with --init, a re-crawl after)")
+    cd.add_argument("--work", required=True, help="CDC state directory")
+    cd.add_argument("--init", action="store_true",
+                    help="bootstrap the store from the first crawl")
+    cd.add_argument("--threshold", type=float, default=0.7,
+                    help="near-dup Jaccard threshold (init only)")
+    cd.add_argument("--bm25", action="store_true",
+                    help="also maintain a BM25 index (init only)")
+    cd.add_argument("--num-cpus", type=int, default=None)
 
     bx = sub.add_parser("bm25", help="keyword index: build/append/remove/"
                         "compact/query a persisted term-hash-partitioned "
@@ -523,6 +539,15 @@ def main(argv=None):
                               "changed": int(counts.get("changed", 0)),
                               "removed": int(counts.get("removed", 0)),
                               "dest": args.dest}))
+        elif args.cmd == "cdc":
+            from .pipelines.cdc import cdc_init, cdc_update
+
+            if args.init:
+                out = cdc_init(args.crawl, args.work,
+                               threshold=args.threshold, bm25=args.bm25)
+            else:
+                out = cdc_update(args.crawl, args.work)
+            print(json.dumps(out))
         elif args.cmd == "bm25":
             from .textops import bm25index as BX
             from .util.rayops import read_parquet_clean

@@ -200,7 +200,8 @@ def build_bm25_index(docs_ds: "rd.Dataset", index_dir: str, *,
     return meta
 
 
-def append_bm25_index(docs_ds: "rd.Dataset", index_dir: str) -> dict:
+def append_bm25_index(docs_ds: "rd.Dataset", index_dir: str,
+                      op_id: "str | None" = None) -> dict:
     """Append an increment of NEW documents (ids must not repeat across
     increments — the same contract as incremental dedup) to an existing
     store: tokenize against the persisted ``n_parts``, sort by part,
@@ -214,10 +215,18 @@ def append_bm25_index(docs_ds: "rd.Dataset", index_dir: str) -> dict:
     files) is staged before any data write and cleared only after the
     atomic meta commit — a crash in between leaves a store that refuses
     reads until :func:`repair_bm25_index` rolls the orphans back, never
-    one that silently scores with df/N out of sync."""
+    one that silently scores with df/N out of sync.
+
+    ``op_id``: optional idempotency key — when the store meta's
+    ``last_op`` already equals it, the append is a committed replay and
+    returns untouched (the key rides the atomic meta commit, so a
+    caller resuming a crashed multi-store transaction re-calls
+    safely)."""
     from .retrieval import corpus_bm25_stats
 
     meta = _load_meta(index_dir)
+    if op_id is not None and meta.get("last_op") == op_id:
+        return meta
     text_col = meta.get("text_col", "text")   # the BUILD's text column
     stats = corpus_bm25_stats(docs_ds, [], text_col=text_col)
     _stage_pending(index_dir, "append", "postings")
@@ -230,6 +239,8 @@ def append_bm25_index(docs_ds: "rd.Dataset", index_dir: str) -> dict:
         os.path.join(index_dir, "postings"), partition_cols=["part"])
     meta["n_docs"] += stats["n_docs"]
     meta["n_tokens"] += stats["n_tokens"]
+    if op_id is not None:
+        meta["last_op"] = op_id
     _write_meta(index_dir, meta)
     os.remove(os.path.join(index_dir, "pending.json"))
     return meta

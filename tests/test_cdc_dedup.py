@@ -180,9 +180,6 @@ def test_composed_crawl_diff_incremental_equals_batch(ray_session,
     composition contract."""
     from pttcrawler_ray.fixtures import _EPOCH, generate_corpus
     from pttcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
-    from pttcrawler_ray.pipelines.diff import diff_crawls
-    from pttcrawler_ray.textops.incremental import (apply_removals,
-                                                    minhash_dedup_incremental)
     from pttcrawler_ray.textops.prepare import docs_from_crawl
 
     corpus = str(tmp_path / "corpus")
@@ -203,58 +200,32 @@ def test_composed_crawl_diff_incremental_equals_batch(ray_session,
     run_crawl(corpus, out_c, CrawlConfig(
         **base, start_date=_EPOCH + timedelta(hours=10)))
 
-    state = str(tmp_path / "st")
-    id_of: dict[str, int] = {}
-    next_id = 0
+    # drive the whole loop through the ONE-CALL driver (pipelines/cdc.py)
+    from pttcrawler_ray.pipelines.cdc import cdc_init, cdc_update
 
-    # increment 0: corpus A with dense monotone ids (url-sorted)
-    docs_a = docs_from_crawl(out_a).to_pandas() \
-        .sort_values("url").reset_index(drop=True)
-    id_of = {u: i for i, u in enumerate(docs_a["url"])}
-    next_id = len(docs_a)
-    minhash_dedup_incremental(
-        rd.from_items([{"doc_id": id_of[u], "text": t}
-                       for u, t in zip(docs_a["url"], docs_a["text"])]),
-        state, threshold=0.6)
+    work = str(tmp_path / "work")
+    s0 = cdc_init(out_a, work, threshold=0.6)
+    assert s0["docs"] > 0
+    s1 = cdc_update(out_b, work)
+    assert s1["added"] > 0 and s1["changed"] > 0, s1
+    s2 = cdc_update(out_c, work)
+    assert s2["removed"] > 0, s2
 
-    def cdc_round(out_old, out_new):
-        nonlocal next_id
-        diff = diff_crawls(out_old, out_new).to_pandas()
-        status = dict(zip(diff["url"], diff["status"]))
-        gone = [id_of.pop(u) for u, s in status.items()
-                if s in ("removed", "changed") and u in id_of]
-        apply_removals(state, gone)
-        docs_new = docs_from_crawl(out_new).to_pandas()
-        assert len(docs_new) > 0
-        delta = docs_new[docs_new["url"].map(status)
-                         .isin(["added", "changed"])] \
-            .sort_values("url").reset_index(drop=True)
-        for i, u in enumerate(delta["url"]):
-            id_of[u] = next_id + i
-        next_id += len(delta)
-        if len(delta):
-            minhash_dedup_incremental(
-                rd.from_items([{"doc_id": id_of[u], "text": t}
-                               for u, t in zip(delta["url"],
-                                               delta["text"])]),
-                state, threshold=0.6)
-        return diff["status"].value_counts()
+    # from-scratch batch over the FINAL corpus with the SAME id
+    # assignment (read back from the persisted url map)
+    import pyarrow.dataset as pads
 
-    c1 = cdc_round(out_a, out_b)
-    assert c1.get("added", 0) > 0 and c1.get("changed", 0) > 0, c1
-    c2 = cdc_round(out_b, out_c)
-    assert c2.get("removed", 0) > 0, c2
-
-    # from-scratch batch over the FINAL corpus with the SAME ids
+    m = pads.dataset(os.path.join(work, "url_map")).to_table()
+    id_of = dict(zip(m["url"].to_pylist(), m["doc_id"].to_pylist()))
     docs_c = docs_from_crawl(out_c).to_pandas()
+    assert set(docs_c["url"]) == set(id_of)
     final_rows = [{"doc_id": id_of[u], "text": t}
                   for u, t in zip(docs_c["url"], docs_c["text"])]
-    assert len(final_rows) == len(docs_c)
     from pttcrawler_ray.textops.dedup import minhash_dedup
 
     want = set(minhash_dedup(rd.from_items(final_rows),
                              threshold=0.6).to_pandas()["doc_id"])
-    assert _keepers(state) == want
+    assert _keepers(os.path.join(work, "dedup_state")) == want
 
 
 def test_increment_refuses_uncommitted_removal_batch(ray_session,
