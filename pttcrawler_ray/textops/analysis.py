@@ -31,45 +31,97 @@ _STOPWORDS = (
 ).split()
 
 
-def _tokens_flat(texts: pa.ChunkedArray | pa.Array):
-    """(flat token array, parent indices, per-doc counts) — Python
-    ``str.split()`` semantics: Arrow's ``utf8_split_whitespace`` keeps
-    EMPTY boundary tokens ('' for leading/trailing whitespace), which the
-    reference semantics (and the ``\\S+`` SQL oracles) do not, so empties
-    are filtered out before counting.
+# ASCII whitespace byte classes (\t \n \v \f \r and space) — UTF-8
+# multi-byte sequences never contain bytes < 0x80, so byte-level
+# classification is UTF-8-safe
+_WS_TABLE = np.zeros(256, bool)
+_WS_TABLE[[9, 10, 11, 12, 13, 32]] = True
 
-    Hardened after a one-off nondeterministic wrong token count (an empty
-    token surviving the filter under a long-lived loaded Ray session):
-    the keep mask is now derived from token BYTE LENGTHS (int32 offset
-    diffs — plain numpy ints, never a bit-packed boolean buffer) and
-    applied via integer ``take``, with structural consistency asserts so
-    any future misalignment fails loudly instead of silently.  The
-    common no-empty-token case skips the filter entirely."""
+
+def _tokens_flat(texts: pa.ChunkedArray | pa.Array):
+    """(flat token array, parent indices, per-doc counts) — whitespace
+    tokenization as a DETERMINISTIC numpy byte scan over the UTF-8
+    buffer, not an Arrow string kernel.
+
+    History: this used ``pc.utf8_split_whitespace`` + empty-boundary
+    filtering.  Round 4/5 observed a ~1-in-500-suite-runs wrong token
+    count; an instrumented hunt caught the kernel red-handed returning
+    ``['', 'a', 'b', ' ']`` for ``"  a   b  "`` — a token CONTAINING a
+    whitespace byte, input bytes intact, sticky for the worker process
+    once triggered (pyarrow 16.1.0, single-row block, loaded session).
+    No filter hardening can survive an upstream kernel that misclassifies
+    a byte, so the split itself is now computed here: token = maximal run
+    of non-ASCII-whitespace bytes, found with a vectorized run scan over
+    the values buffer, values gathered into a fresh StringArray.  Pure
+    numpy end to end — same-input-same-output by construction.
+
+    Semantics: splits on ASCII whitespace — identical to Python
+    ``str.split()`` on every engine corpus (crawled content collapses
+    ``\\s+`` to ``' '`` upstream; testdata verified free of non-ASCII
+    whitespace) and to the ``\\s+``-regex SQL twins by definition.
+    Docs that ARE only whitespace, empty, or null yield zero tokens."""
     if pa.types.is_null(texts.type):  # all-null block (e.g. from_items)
         texts = texts.cast(pa.string())
-    toks = pc.utf8_split_whitespace(texts)
-    raw_counts = pc.list_value_length(toks).fill_null(0).to_numpy(zero_copy_only=False)
-    flat = pc.list_flatten(toks)
-    if isinstance(flat, pa.ChunkedArray):
-        flat = flat.combine_chunks()
-    if len(flat) != int(raw_counts.sum()):
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if pa.types.is_large_string(texts.type):
+        texts = texts.cast(pa.string())
+    n = len(texts)
+    empty = (pa.array([], pa.string()), np.array([], np.int64),
+             np.zeros(n, np.int64))
+    if n == 0:
+        return empty
+    bufs = texts.buffers()
+    off = np.frombuffer(bufs[1], np.int32)[
+        texts.offset: texts.offset + n + 1].astype(np.int64)
+    if bufs[2] is None or off[-1] == off[0]:
+        return empty
+    data = np.frombuffer(bufs[2], np.uint8)
+    lo = int(off[0])
+    seg = data[lo:int(off[-1])]
+    rel = off - lo
+    nonws = ~_WS_TABLE[seg]
+    if texts.null_count:  # null slots may span bytes after concats
+        valid = pc.is_valid(texts).to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(~valid):
+            nonws[rel[i]: rel[i + 1]] = False
+
+    # run boundaries, with document boundaries also cutting runs
+    starts_mask = nonws.copy()
+    starts_mask[1:] &= ~nonws[:-1]
+    ds_pos = rel[:-1][rel[:-1] < seg.size]     # each doc's first byte
+    starts_mask[ds_pos] = nonws[ds_pos]
+    ends_mask = nonws.copy()
+    ends_mask[:-1] &= ~nonws[1:]
+    de_pos = rel[1:] - 1                       # each doc's last byte
+    de_pos = de_pos[de_pos >= 0]
+    ends_mask[de_pos] = nonws[de_pos]
+    s_idx = np.flatnonzero(starts_mask)
+    e_idx = np.flatnonzero(ends_mask)
+    if len(s_idx) != len(e_idx):
         raise AssertionError(
-            f"_tokens_flat: flattened token count {len(flat)} != "
-            f"sum of list lengths {int(raw_counts.sum())}")
-    parents = np.repeat(np.arange(len(raw_counts)), raw_counts)
-    # Empty boundary tokens have byte length 0; binary_length is an
-    # int32 offsets diff, structurally immune to boolean bit-unpacking.
-    lens = pc.binary_length(flat).to_numpy(zero_copy_only=False)
-    if lens.min(initial=1) > 0:  # no empties — nothing to filter
-        return flat, parents, raw_counts
-    idx = np.flatnonzero(lens > 0)
-    flat = flat.take(pa.array(idx, pa.int64()))
-    parents = parents[idx]
-    if len(flat) != len(parents):
-        raise AssertionError(
-            f"_tokens_flat: post-filter misalignment "
-            f"({len(flat)} tokens vs {len(parents)} parents)")
-    counts = np.bincount(parents, minlength=len(raw_counts)).astype(raw_counts.dtype)
+            f"_tokens_flat: run scan start/end mismatch "
+            f"({len(s_idx)} vs {len(e_idx)})")
+    if not len(s_idx):
+        return empty
+
+    tok_lens = e_idx - s_idx + 1
+    parents = np.searchsorted(rel[1:], s_idx, side="right")
+    counts = np.bincount(parents, minlength=n).astype(np.int64)
+    out_off = np.zeros(len(s_idx) + 1, np.int64)
+    np.cumsum(tok_lens, out=out_off[1:])
+    total = int(out_off[-1])
+    # gather index as one cumsum: +1 within a token, jump at each token
+    # start (cheaper than two total-sized np.repeat constructions)
+    g = np.ones(total, np.int64)
+    g[0] = s_idx[0]
+    g[out_off[1:-1]] = s_idx[1:] - e_idx[:-1]
+    values = np.ascontiguousarray(seg[np.cumsum(g)])
+    flat = pa.Array.from_buffers(
+        pa.utf8(), len(s_idx),
+        [None,
+         pa.py_buffer(np.ascontiguousarray(out_off.astype(np.int32))),
+         pa.py_buffer(values)])
     return flat, parents, counts
 
 
