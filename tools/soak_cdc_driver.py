@@ -1,0 +1,154 @@
+"""End-to-end soak of the one-call continuous-crawl driver
+(pipelines/cdc.py) at a real crawl scale.
+
+Three crawls of a ~20k-article versioned corpus (A: as-of + date
+filter, B: full latest, C: pruning re-crawl) run through
+cdc_init → cdc_update → cdc_update with BM25 maintenance on, then the
+whole composition is verified exactly:
+
+- the persisted url map covers exactly the final corpus' docs;
+- `current_keepers(dedup_state)` equals a from-scratch batch
+  `minhash_dedup` over the final corpus under the persisted ids;
+- an indexed BM25 query over the maintained store equals the same
+  query over a from-scratch rebuild on the final corpus.
+
+Reports per-phase wall times and churn counts.
+
+Run from the repo root:  python tools/soak_cdc_driver.py [--articles N]
+"""
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+from datetime import timedelta
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _peak_rss_gb() -> float:
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--articles", type=int, default=20_000)
+    ap.add_argument("--out", default="/tmp/ptt_cdc_soak")
+    ap.add_argument("--num-cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus,
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().enable_tensor_extension_casting = False
+
+    import ray.data as rd
+
+    from pttcrawler_ray.fixtures import _EPOCH, generate_corpus
+    from pttcrawler_ray.pipelines.cdc import cdc_init, cdc_update
+    from pttcrawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from pttcrawler_ray.textops.prepare import docs_from_crawl
+
+    corpus = os.path.join(args.out, "corpus")
+    if not os.path.exists(os.path.join(corpus, "manifest.json")):
+        generate_corpus(corpus, total_articles=args.articles, n_boards=4,
+                        dup_fraction=0.3)
+    times: dict = {}
+    base = dict(num_shards=4, strict_order=False, record_order=False,
+                round_seconds=3600.0)
+    crawls = {
+        "a": CrawlConfig(**base,
+                         asof_ts=_EPOCH + timedelta(days=31, hours=2),
+                         start_date=_EPOCH + timedelta(hours=6)),
+        "b": CrawlConfig(**base),
+        "c": CrawlConfig(**base, start_date=_EPOCH + timedelta(hours=10)),
+    }
+    for name, cfg in crawls.items():
+        out = os.path.join(args.out, name)
+        if not os.path.exists(os.path.join(out, "summary.json")):
+            t0 = time.time()
+            run_crawl(corpus, out, cfg)
+            times[f"crawl_{name}"] = round(time.time() - t0, 1)
+
+    import shutil
+
+    work = os.path.join(args.out, "work")
+    shutil.rmtree(work, ignore_errors=True)
+    t0 = time.time()
+    s0 = cdc_init(os.path.join(args.out, "a"), work, threshold=0.6,
+                  bm25=True)
+    times["cdc_init"] = round(time.time() - t0, 1)
+    rounds = [s0]
+    for name in ("b", "c"):
+        t0 = time.time()
+        rounds.append(cdc_update(os.path.join(args.out, name), work))
+        times[f"cdc_update_{name}"] = round(time.time() - t0, 1)
+
+    # final-corpus truth under the persisted id assignment
+    import pyarrow.dataset as pads
+
+    m = pads.dataset(os.path.join(work, "url_map")).to_table()
+    id_of = dict(zip(m["url"].to_pylist(), m["doc_id"].to_pylist()))
+    docs_c = docs_from_crawl(os.path.join(args.out, "c")).to_pandas()
+    assert set(docs_c["url"]) == set(id_of), (
+        len(set(docs_c["url"]) ^ set(id_of)))
+    final_rows = [{"doc_id": id_of[u], "text": t}
+                  for u, t in zip(docs_c["url"], docs_c["text"])]
+
+    from pttcrawler_ray.textops.dedup import minhash_dedup
+    from pttcrawler_ray.textops.incremental import current_keepers
+
+    t0 = time.time()
+    want = set(minhash_dedup(rd.from_items(final_rows),
+                             threshold=0.6).to_pandas()["doc_id"])
+    times["batch_oracle"] = round(time.time() - t0, 1)
+    got = set(current_keepers(os.path.join(work, "dedup_state"))
+              .to_pandas()["doc_id"])
+    keepers_ok = got == want
+
+    # BM25: maintained store == rebuild over the final corpus
+    from pttcrawler_ray.textops.bm25index import (bm25_topk_indexed,
+                                                  build_bm25_index)
+
+    queries = [(0, "content board post"), (1, "article push user")]
+    rebuilt = os.path.join(args.out, "bm25_rebuilt")
+    build_bm25_index(
+        rd.from_items(final_rows).map_batches(
+            lambda t: t, batch_format="pyarrow"),
+        rebuilt, n_parts=32)
+    cols = ["query_id", "score_ppm", "doc_id"]
+    got_q = bm25_topk_indexed(os.path.join(work, "bm25"), queries,
+                              topk=20).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    want_q = bm25_topk_indexed(rebuilt, queries, topk=20).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    bm25_ok = got_q[cols].equals(want_q[cols])
+
+    ok = keepers_ok and bm25_ok
+    print(json.dumps({
+        "metric": "one-call CDC driver soak (3 crawls; dedup + BM25 "
+                  "maintenance == from-scratch over the final corpus)",
+        "articles": args.articles,
+        "rounds": rounds,
+        "final_docs": len(final_rows),
+        "final_keepers": len(got),
+        "keepers_exact": keepers_ok,
+        "bm25_exact": bm25_ok,
+        "times_sec": times,
+        "driver_peak_rss_gb": _peak_rss_gb(),
+        "exact_match": ok,
+    }))
+    assert ok
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
