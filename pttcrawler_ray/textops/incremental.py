@@ -44,6 +44,20 @@ candidate-bounded component recompute emitting ``resurrected/`` records;
 :func:`current_keepers` is the store's authoritative kept set and equals
 a from-scratch batch run over the surviving corpus (pinned by the
 crawl → diff → incremental composed test in tests/test_cdc_dedup.py).
+
+Degenerate-bucket caveat (discovered by the round-5 20k-crawl soak,
+tools/soak_cdc_driver.py): the batch-equality contract is EXACT only
+while no LSH bucket exceeds ``dedup.MAX_BUCKET_DOCS`` anywhere in the
+store's history.  The cap keeps each bucket's 256 smallest ids, and
+that window is history-dependent: removing low-id docs slides a
+from-scratch run's window up, creating pairs the incremental history
+never generated.  The divergence is structurally ONE-SIDED — ids are
+monotone, so later additions never displace earlier docs from a cap
+window, and removals only ADD pairs to the batch side — hence the
+incremental kept set is a SUPERSET of the batch kept set (it never
+over-drops), and every excess keeper is batch-dominated by a smaller
+id.  A real pipeline layers exact/paragraph dedup before MinHash, which
+collapses such boilerplate families below the cap.
 """
 
 from __future__ import annotations

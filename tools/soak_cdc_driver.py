@@ -4,15 +4,21 @@
 Three crawls of a ~20k-article versioned corpus (A: as-of + date
 filter, B: full latest, C: pruning re-crawl) run through
 cdc_init → cdc_update → cdc_update with BM25 maintenance on, then the
-whole composition is verified exactly:
+whole composition is verified:
 
 - the persisted url map covers exactly the final corpus' docs;
-- `current_keepers(dedup_state)` equals a from-scratch batch
-  `minhash_dedup` over the final corpus under the persisted ids;
-- an indexed BM25 query over the maintained store equals the same
-  query over a from-scratch rebuild on the final corpus.
+- `current_keepers(dedup_state)` satisfies the dedup equality contract
+  vs a from-scratch batch `minhash_dedup` over the final corpus under
+  the persisted ids: EXACT when no LSH bucket exceeds MAX_BUCKET_DOCS
+  anywhere in history, else one-sided — the incremental set never
+  over-drops (want ⊆ got) and every excess keeper must be
+  batch-dominated by a smaller id (a cap-window artifact; this corpus'
+  boilerplate families exceed the cap, which is how the round-5 soak
+  DISCOVERED the history-dependence — see incremental.py);
+- an indexed BM25 query over the maintained store EXACTLY equals the
+  same query over a from-scratch rebuild on the final corpus.
 
-Reports per-phase wall times and churn counts.
+Reports per-phase wall times, churn counts, and the cap-excess count.
 
 Run from the repo root:  python tools/soak_cdc_driver.py [--articles N]
 """
@@ -111,24 +117,68 @@ def main() -> int:
     times["batch_oracle"] = round(time.time() - t0, 1)
     got = set(current_keepers(os.path.join(work, "dedup_state"))
               .to_pandas()["doc_id"])
-    keepers_ok = got == want
+    # Equality contract under degenerate buckets (incremental.py
+    # docstring): the MAX_BUCKET_DOCS cap is HISTORY-DEPENDENT — this
+    # corpus' boilerplate families exceed the cap, and removing low-id
+    # docs slides the batch run's 256-smallest window up, creating
+    # pairs the incremental history never saw.  The divergence is
+    # structurally ONE-SIDED: monotone ids mean later adds never
+    # displace earlier docs from a cap window and removals only ADD
+    # batch pairs, so incremental keeps a SUPERSET and never over-drops.
+    # Assert exactly that: want ⊆ got, and every excess keeper is
+    # batch-dominated (dropped there by a smaller-id pair) — i.e. a cap
+    # artifact, not a lost drop.
+    over_dropped = want - got
+    excess = sorted(got - want)
+    keepers_ok = not over_dropped
+    if excess:
+        from pttcrawler_ray.textops.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(rd.from_items(final_rows),
+                                  threshold=0.6).to_pandas()
+        import collections
+
+        comp_min: dict = {}
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        keepers_ok = keepers_ok and all(find(x) < x for x in excess)
 
     # BM25: maintained store == rebuild over the final corpus
     from pttcrawler_ray.textops.bm25index import (bm25_topk_indexed,
                                                   build_bm25_index)
 
-    queries = [(0, "content board post"), (1, "article push user")]
+    # query terms drawn from the corpus itself (the generated content is
+    # CJK-ish — fixed English terms would match nothing)
+    from collections import Counter
+
+    tok_counts = Counter()
+    for t in docs_c["text"].head(500):
+        tok_counts.update(t.split())
+    common = [w for w, _ in tok_counts.most_common(6)]
+    queries = [(0, " ".join(common[:3])), (1, " ".join(common[3:6]))]
     rebuilt = os.path.join(args.out, "bm25_rebuilt")
     build_bm25_index(
         rd.from_items(final_rows).map_batches(
             lambda t: t, batch_format="pyarrow"),
         rebuilt, n_parts=32)
     cols = ["query_id", "score_ppm", "doc_id"]
-    got_q = bm25_topk_indexed(os.path.join(work, "bm25"), queries,
-                              topk=20).to_pandas() \
-        .sort_values(cols).reset_index(drop=True)
-    want_q = bm25_topk_indexed(rebuilt, queries, topk=20).to_pandas() \
-        .sort_values(cols).reset_index(drop=True)
+    got_ds = bm25_topk_indexed(os.path.join(work, "bm25"), queries,
+                               topk=20)
+    want_ds = bm25_topk_indexed(rebuilt, queries, topk=20)
+    n_hits = got_ds.count()
+    assert n_hits > 0, "query terms matched nothing — vacuous compare"
+    got_q = got_ds.to_pandas().sort_values(cols).reset_index(drop=True)
+    want_q = want_ds.to_pandas().sort_values(cols).reset_index(drop=True)
     bm25_ok = got_q[cols].equals(want_q[cols])
 
     ok = keepers_ok and bm25_ok
@@ -139,7 +189,10 @@ def main() -> int:
         "rounds": rounds,
         "final_docs": len(final_rows),
         "final_keepers": len(got),
-        "keepers_exact": keepers_ok,
+        "batch_keepers": len(want),
+        "over_dropped": len(over_dropped),
+        "cap_excess_keepers": len(excess),
+        "keepers_contract_ok": keepers_ok,
         "bm25_exact": bm25_ok,
         "times_sec": times,
         "driver_peak_rss_gb": _peak_rss_gb(),
