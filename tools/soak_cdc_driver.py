@@ -69,9 +69,13 @@ def main() -> int:
     times: dict = {}
     base = dict(num_shards=4, strict_order=False, record_order=False,
                 round_seconds=3600.0)
+    # snapshot timeline: base versions at day 30 + 1 min per article, so
+    # an as-of 80% through it makes crawl A see ~80% of the corpus (a
+    # corpus-sized bootstrap), B add the rest + re-edits, C prune by date
     crawls = {
         "a": CrawlConfig(**base,
-                         asof_ts=_EPOCH + timedelta(days=31, hours=2),
+                         asof_ts=_EPOCH + timedelta(
+                             days=30, minutes=int(args.articles * 0.8)),
                          start_date=_EPOCH + timedelta(hours=6)),
         "b": CrawlConfig(**base),
         "c": CrawlConfig(**base, start_date=_EPOCH + timedelta(hours=10)),
