@@ -112,11 +112,13 @@ def _tokens_flat(texts: pa.ChunkedArray | pa.Array):
     np.cumsum(tok_lens, out=out_off[1:])
     total = int(out_off[-1])
     # gather index as one cumsum: +1 within a token, jump at each token
-    # start (cheaper than two total-sized np.repeat constructions)
-    g = np.ones(total, np.int64)
-    g[0] = s_idx[0]
-    g[out_off[1:-1]] = s_idx[1:] - e_idx[:-1]
-    values = np.ascontiguousarray(seg[np.cumsum(g)])
+    # start (cheaper than two total-sized np.repeat constructions);
+    # int32 throughout — offsets fit (string arrays are int32-offset by
+    # construction) and the total-sized cumsum is the hottest phase
+    g = np.ones(total, np.int32)
+    g[0] = np.int32(s_idx[0])
+    g[out_off[1:-1]] = (s_idx[1:] - e_idx[:-1]).astype(np.int32)
+    values = np.ascontiguousarray(seg[np.cumsum(g, dtype=np.int32)])
     flat = pa.Array.from_buffers(
         pa.utf8(), len(s_idx),
         [None,
