@@ -220,9 +220,14 @@ def _cdc_round(new_latest_ds: "rd.Dataset", work_dir: str) -> dict:
     resurrected = apply_removals(state, gone_ids)["doc_id"].to_pylist()
     if manifest.get("bm25"):
         from ..textops.bm25index import (append_bm25_index,
-                                         remove_from_bm25_index)
+                                         remove_from_bm25_index,
+                                         repair_bm25_index)
 
         bdir = os.path.join(work_dir, "bm25")
+        if os.path.exists(os.path.join(bdir, "pending.json")):
+            # only our own crashed round can have staged this store —
+            # roll the torn write back and re-apply below
+            repair_bm25_index(bdir)
         remove_from_bm25_index(bdir, gone_ids)
 
     # 2. increment (skip when a crashed attempt already committed it —

@@ -157,8 +157,21 @@ def test_cdc_round_resume_after_partial_apply(ray_session, tmp_path):
     append_bm25_index(inc, os.path.join(crash, "bm25"),
                       op_id=f"cdc-round-{staged['round']}")
 
+    # plus a TORN bm25 write from a second crash: stage the marker and
+    # an orphan postings file — the round must auto-repair it
+    from pttcrawler_ray.textops.bm25index import _stage_pending
+
+    bdir = os.path.join(crash, "bm25")
+    _stage_pending(bdir, "append", "postings")
+    orphan = os.path.join(bdir, "postings", "part=0", "orphan.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    pq.write_table(pa.table({"term": ["x"], "doc_id": [10 ** 9],
+                             "tf": [1], "dl": [1]}), orphan)
+
     # resume: must not double-apply anything
     s_resumed = _cdc_round(new_latest, crash)
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(os.path.join(bdir, "pending.json"))
     for k in ("added", "changed", "removed", "new_docs"):
         assert s_resumed[k] == s_clean[k], k
     assert _map_of(crash) == _map_of(clean)
